@@ -1,0 +1,195 @@
+"""Byte-codec kernel (SURVEY.md §1.3, §2.I) — HBase ``Bytes``-compatible
+big-endian serde as Column expressions.
+
+Reference codecs (all big-endian `Bytes.toBytes` layouts):
+- connector/hbase/util/HBaseSerde.java:280-352 (encode), :391-464 (decode)
+- connector/hbase/util/HBaseTypeUtils.java:48-118 (legacy 14-type codec)
+
+Null conventions (HBaseSerde.java:251-278 / :365-389): non-string null ↔
+empty byte[]; string null ↔ the configurable ``null-string-literal``
+(default "null", HBase2DynamicTableFactory.java:68-74). Zero-length rowkey
+⇒ dirty record, dropped (HBaseSerde.java:122-126).
+
+Integer widths use hex round-trips (``hex``/``unhex``/``conv``) so encoding
+stays JVM-side in whole-stage codegen. Floating-point bit layouts have no
+native bit-cast in Spark SQL, so those go through vectorized Arrow pandas
+UDFs (still batch-columnar, acceptable off the hot path).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, DoubleType, FloatType
+
+NULL_STRING_LITERAL = "null"  # HBase2DynamicTableFactory.java:68-74
+
+
+# ---------------------------------------------------------------------------
+# integers (TINYINT/SMALLINT/INT/BIGINT — HBaseSerde.java:292-300,313-317)
+# ---------------------------------------------------------------------------
+
+def encode_int_be(v: Column, width: int) -> Column:
+    """Big-endian two's-complement encoding of an integer column, ``width``
+    bytes (1/2/3/4/8; 3 is the TSDB metric-uid width). Returns binary.
+
+    Null ⇒ empty byte[] (non-string null convention).
+    """
+    # hex() of a long gives two's-complement; keep the low `width` bytes.
+    hx = F.lpad(F.hex(v.cast("long")), 16, "0").substr(F.lit(17 - 2 * width), F.lit(2 * width))
+    return F.when(v.isNull(), F.lit(b"")).otherwise(F.unhex(hx))
+
+
+def decode_int_be(b: Column, width: int, signed: bool = True) -> Column:
+    """Inverse of :func:`encode_int_be`. Empty byte[] ⇒ null. Returns long."""
+    unsigned = F.conv(F.hex(b), 16, 10).cast("decimal(20,0)")
+    if signed:
+        half = str(1 << (8 * width - 1))
+        full = str(1 << (8 * width))
+        # adjust in decimal space: 8-byte unsigned values exceed long range
+        signed_v = (
+            F.when(unsigned >= F.lit(half).cast("decimal(20,0)"),
+                   unsigned - F.lit(full).cast("decimal(21,0)"))
+            .otherwise(unsigned)
+            .cast("long")
+        )
+    else:
+        signed_v = unsigned.cast("long")
+    return F.when(F.length(b) == 0, F.lit(None).cast("long")).otherwise(signed_v)
+
+
+# ---------------------------------------------------------------------------
+# floating point (FLOAT/DOUBLE — HBaseSerde.java:333-336; IEEE-754 BE)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(BinaryType())
+def _pack_double_be(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: b"" if v is None or pd.isna(v) else struct.pack(">d", v))
+
+
+@pandas_udf(DoubleType())
+def _unpack_double_be(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: None if b is None or len(b) == 0 else struct.unpack(">d", bytes(b))[0])
+
+
+@pandas_udf(BinaryType())
+def _pack_float_be(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: b"" if v is None or pd.isna(v) else struct.pack(">f", v))
+
+
+@pandas_udf(FloatType())
+def _unpack_float_be(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: None if b is None or len(b) == 0 else struct.unpack(">f", bytes(b))[0])
+
+
+def encode_double_be(v: Column) -> Column:
+    return _pack_double_be(v.cast("double"))
+
+
+def decode_double_be(b: Column) -> Column:
+    return _unpack_double_be(b)
+
+
+def encode_float_be(v: Column) -> Column:
+    return _pack_float_be(v.cast("float"))
+
+
+def decode_float_be(b: Column) -> Column:
+    return _unpack_float_be(b)
+
+
+# ---------------------------------------------------------------------------
+# booleans (HBaseSerde.java:287-290 — 1 byte \x01/\x00)
+# ---------------------------------------------------------------------------
+
+def encode_boolean(v: Column) -> Column:
+    return F.when(v.isNull(), F.lit(b"")).otherwise(
+        F.when(v, F.unhex(F.lit("01"))).otherwise(F.unhex(F.lit("00")))
+    )
+
+
+def decode_boolean(b: Column) -> Column:
+    return F.when(F.length(b) == 0, F.lit(None).cast("boolean")).otherwise(
+        F.hex(b) != F.lit("00")
+    )
+
+
+# ---------------------------------------------------------------------------
+# strings (CHAR/VARCHAR — UTF-8 bytes; null ↔ null-string-literal)
+# ---------------------------------------------------------------------------
+
+def encode_string(v: Column, null_literal: str = NULL_STRING_LITERAL) -> Column:
+    """UTF-8 bytes; SQL NULL encodes as the null-string-literal's bytes
+    (HBaseSerde.java:251-260)."""
+    return F.encode(F.coalesce(v, F.lit(null_literal)), "UTF-8")
+
+
+def decode_string(b: Column, null_literal: str = NULL_STRING_LITERAL) -> Column:
+    """Inverse: bytes equal to the null literal decode to SQL NULL
+    (HBaseSerde.java:365-374)."""
+    s = F.decode(b, "UTF-8")
+    return F.when(s == F.lit(null_literal), F.lit(None).cast("string")).otherwise(s)
+
+
+# ---------------------------------------------------------------------------
+# timestamps (epoch-millis long — HBaseSerde.java:319-332; ms precision)
+# ---------------------------------------------------------------------------
+
+def encode_timestamp_ms(ts: Column) -> Column:
+    """TIMESTAMP → 8-byte big-endian epoch-millis (truncates to ms)."""
+    return encode_int_be(F.unix_millis(ts), 8)
+
+
+def decode_timestamp_ms(b: Column) -> Column:
+    return F.timestamp_millis(decode_int_be(b, 8))
+
+
+# ---------------------------------------------------------------------------
+# rowkey helpers (SURVEY.md I2/I5 — hex ordering proxy + composite slicing)
+# ---------------------------------------------------------------------------
+
+def key_hex(key: Column) -> Column:
+    """Uppercase hex of a binary rowkey — the ordering proxy the reference
+    sorts on (Bytes.toHex at TsdbBulkload.java:113). Hex order == unsigned
+    byte order, which is HBase's rowkey comparator."""
+    return F.hex(key)
+
+
+def key_bucket(salted_key: Column) -> Column:
+    """2-byte bucket prefix of a salted rowkey as int
+    (HbaseRepairRunner.java:54-67 parses the same prefix)."""
+    return decode_int_be(salted_key.substr(F.lit(1), F.lit(2)), 2, signed=False).cast("int")
+
+
+def key_time(salted_key: Column) -> Column:
+    """4-byte big-endian epoch-seconds field at offset 2 of a salted key
+    (offset 3 of an unsalted key — HBaseManager.java:118,124)."""
+    return decode_int_be(salted_key.substr(F.lit(3), F.lit(4)), 4, signed=False)
+
+
+def floor_to_hour_ms(ts_ms: Column) -> Column:
+    """Hour floor in epoch-millis (TsdbScanner.java:55-57: t - t % 3_600_000)."""
+    return ts_ms - ts_ms % F.lit(3600 * 1000)
+
+
+def epoch_millis(df, colname: str) -> Column:
+    """Timezone-proof epoch-millis of a timestamp column.
+
+    Parquet timestamps may surface as TIMESTAMP_NTZ (Spark 4 default
+    inference) or TIMESTAMP_LTZ depending on session config. For NTZ the
+    wall-clock is treated as UTC (matching DuckDB's ``epoch_ms`` on naive
+    timestamps) via pure wall-clock arithmetic — no session-timezone
+    dependency either way.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    dt = df.schema[colname].dataType
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {colname})"
+        )
+    return F.unix_millis(F.col(colname))

@@ -1,0 +1,246 @@
+"""TSDB compute core (SURVEY.md §2.B/§2.D/§2.E) — salting, hour-window
+filtering, latest-version dedup, and 5-minute rollup, Spark-first.
+
+Reference pipeline (bulkload/TsdbBulkload.java:81-155):
+scan → map(salt rowkey, D1) → sortPartition(hex key, D2) → flatMap(dedup to
+latest version + per-qualifier KeyValue, D3) → HFile output.
+
+Spark design: everything is a declarative DataFrame transform —
+- salting is a pure column-expression chain (bit-exact Java Arrays.hashCode),
+  no shuffle;
+- dedup is a hash aggregate ``max_by(value, version_ts)`` with map-side
+  partial aggregation (strictly better than the reference's per-row
+  NavigableMap walk);
+- ordering for the HFile sink is expressed ONCE as
+  ``repartitionByRange(bucket, key_hex) + sortWithinPartitions`` giving
+  globally non-overlapping sorted output per bucket (SURVEY.md §4.2 — a
+  correctness upgrade over the reference's partition-local sort).
+
+Scale notes (100 TB): the only shuffles are the dedup aggregate (keyed on
+(key, qualifier) — high cardinality, well-spread because the salt prefix is
+in the key) and the final range partitioning (512 buckets ≈ reference's
+region spread, HBaseProperties.java:16). Salting exists precisely to spread
+monotonically-increasing time keys; we preserve it unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.functions.codec import (
+    encode_double_be,
+    encode_int_be,
+    key_hex,
+)
+from hbase_bulkload_service_spark.functions.hashes import (
+    ascii_byte_ints,
+    int_byte_ints,
+    salt_bucket,
+)
+
+DEFAULT_BUCKET_COUNT = 512  # configuration/HBaseProperties.java:16
+DEFAULT_FAMILY = b"t"  # manager/HBaseManager.java:372 (column family "t")
+HOUR_SEC = 3600
+HOUR_MS = 3600 * 1000
+
+
+# ---------------------------------------------------------------------------
+# fixture derivation: events → long-form OpenTSDB cells (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+def metric_dictionary(events: DataFrame) -> DataFrame:
+    """Dense ids for event_type, deterministic (ordered by name).
+
+    Scale note: the dictionary is tiny (distinct metric names); the ranking
+    window runs over a handful of rows and the result broadcast-joins back.
+    """
+    w = Window.orderBy("event_type")
+    return (
+        events.select("event_type").distinct()
+        .withColumn("metric_id", (F.row_number().over(w) - 1).cast("int"))
+    )
+
+
+def derive_tsdb_cells(events: DataFrame, dup_fraction_mod: int = 20) -> DataFrame:
+    """events (with ``ts_ms``, see sources.tables.load_events) → tsdb_cells
+    long form (one row per cell version).
+
+    Models HBaseResult (bulkload/HBaseResult.java:6-9) exploded: rowkey is
+    the OpenTSDB v2 layout ``[3B metric][4B hour][tags]``
+    (TsdbBulkload.java:84-113), qualifier is the 2-byte offset-in-hour,
+    value is the big-endian double. Every 1/dup_fraction_mod event gets a
+    synthetic newer duplicate version (value*2, version_ts+1000) to
+    exercise latest-version dedup (D3).
+    """
+    dict_df = F.broadcast(metric_dictionary(events))
+    base = (
+        events.join(dict_df, "event_type")
+        .withColumn("ts_sec", F.expr("ts_ms div 1000"))
+        .withColumn("ts_hour", F.col("ts_sec") - F.col("ts_sec") % HOUR_SEC)
+        .withColumn("tags", F.concat(F.lit("user="), F.col("user_id")))
+        .withColumn("offset_sec", (F.col("ts_sec") - F.col("ts_hour")).cast("int"))
+        .withColumn("version_ts", F.col("ts_ms"))
+    )
+    dup = (
+        base.filter(F.col("event_id") % dup_fraction_mod == 0)
+        .withColumn("version_ts", F.col("version_ts") + 1000)
+        .withColumn("value", F.col("value") * 2)
+    )
+    cells = base.unionByName(dup).select(
+        "event_id",
+        "metric_id",
+        "ts_hour",
+        "ts_sec",
+        "tags",
+        "offset_sec",
+        "version_ts",
+        F.col("value").alias("dvalue"),
+    )
+    return cells.withColumn(
+        "rowkey",
+        F.concat(
+            encode_int_be(F.col("metric_id"), 3),
+            encode_int_be(F.col("ts_hour"), 4),
+            F.encode(F.col("tags"), "UTF-8"),
+        ),
+    ).withColumn("qualifier", encode_int_be(F.col("offset_sec"), 2)).withColumn(
+        "value", encode_double_be(F.col("dvalue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1 — whole-hour time-range filter (TsdbScanner.java:16-57)
+# ---------------------------------------------------------------------------
+
+def hour_range_filter(df: DataFrame, start_ms: int, end_ms: int, ts_sec_col: str = "ts_sec") -> DataFrame:
+    """Reference FuzzyRowFilter semantics: one pattern per whole hour in
+    [floor_hour(start), floor_hour(end)) — rows match iff their hour bucket
+    falls in that half-open hour range, regardless of sub-hour offsets
+    (TsdbScanner.java:22-43; hours floored :55-57).
+
+    Pushes down to parquet as a simple range predicate on the hour column.
+    """
+    start_hour = (start_ms - start_ms % HOUR_MS) // 1000
+    end_hour = (end_ms - end_ms % HOUR_MS) // 1000
+    hour = F.col(ts_sec_col) - F.col(ts_sec_col) % HOUR_SEC
+    return df.filter((hour >= F.lit(start_hour)) & (hour < F.lit(end_hour)))
+
+
+# ---------------------------------------------------------------------------
+# D1 — salt/bucket assignment (TsdbBulkload.java:81-114)
+# ---------------------------------------------------------------------------
+
+def salt_base_bytes(metric_id: Column, tags: Column) -> Column:
+    """Signed-byte array of the salt base = metric(3B) ‖ tags-utf8 — the
+    rowkey with the 4-byte time field excised (TsdbBulkload.java:88-93)."""
+    return F.concat(int_byte_ints(metric_id, 3), ascii_byte_ints(tags))
+
+
+def with_salt(
+    cells: DataFrame,
+    bucket_count: int = DEFAULT_BUCKET_COUNT,
+    metric_col: str = "metric_id",
+    tags_col: str = "tags",
+    rowkey_col: str = "rowkey",
+    time_col: str = "ts_hour",
+) -> DataFrame:
+    """Adds ``bucket`` (abs(Arrays.hashCode(salt_base) % n), bit-exact),
+    ``salt`` (low-2-bytes(bucket) ‖ 4B time, getSaltBytes
+    TsdbBulkload.java:167-173) and ``salted_key`` (salt ‖ original rowkey).
+
+    Pure narrow transform — no shuffle; scales linearly.
+    """
+    bucket = salt_bucket(salt_base_bytes(F.col(metric_col), F.col(tags_col)), bucket_count)
+    salt = F.concat(
+        encode_int_be(F.col("bucket"), 2),
+        encode_int_be(F.col(time_col), 4),
+    )
+    return (
+        cells.withColumn("bucket", bucket)
+        .withColumn("salt", salt)
+        .withColumn("salted_key", F.concat(F.col("salt"), F.col(rowkey_col)))
+        .withColumn("salted_key_hex", key_hex(F.col("salted_key")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3/E1 — latest-version dedup (TsdbBulkload.java:129-139)
+# ---------------------------------------------------------------------------
+
+def latest_version_dedup(
+    cells: DataFrame,
+    key_cols: tuple[str, ...] = ("rowkey", "qualifier"),
+    value_col: str = "value",
+    version_col: str = "version_ts",
+) -> DataFrame:
+    """Keep only the newest version per cell: ``max_by(value, version_ts)``.
+
+    The reference walks the time-ascending NavigableMap and takes the last
+    element (TsdbBulkload.java:135-136); the Spark-first equivalent is a
+    hash aggregate with map-side combine — one shuffle keyed on the cell.
+    Also keeps the max version_ts for auditability.
+    """
+    return cells.groupBy(*key_cols).agg(
+        F.max_by(value_col, version_col).alias(value_col),
+        F.max(version_col).alias(version_col),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 + H2 ordering contract — bulkload KV stream
+# ---------------------------------------------------------------------------
+
+def bulkload_kv(
+    cells: DataFrame,
+    bucket_count: int = DEFAULT_BUCKET_COUNT,
+    family: bytes = DEFAULT_FAMILY,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full flagship pipeline: salt → dedup-to-latest → (key, family,
+    qualifier, value) sorted per bucket range — the stream H1-H3 write.
+
+    Upgrade over the reference (SURVEY.md §4.2): ``repartitionByRange`` on
+    (bucket, key_hex, qualifier_hex) makes files globally non-overlapping
+    and totally ordered across partitions, not just within one.
+    """
+    salted = with_salt(cells, bucket_count)
+    deduped = latest_version_dedup(
+        salted, key_cols=("bucket", "salted_key", "salted_key_hex", "qualifier")
+    )
+    kv = deduped.select(
+        F.col("bucket"),
+        F.col("salted_key").alias("key"),
+        F.col("salted_key_hex").alias("key_hex"),
+        F.lit(family).alias("family"),
+        F.col("qualifier"),
+        key_hex(F.col("qualifier")).alias("qualifier_hex"),
+        F.col("value"),
+    )
+    n = num_partitions or bucket_count // 8
+    return kv.repartitionByRange(n, "bucket", "key_hex", "qualifier_hex").sortWithinPartitions(
+        "bucket", "key_hex", "qualifier_hex"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — 5-minute rollup (HBaseProperties.java:24 rollup table; made explicit)
+# ---------------------------------------------------------------------------
+
+def rollup_5m(events: DataFrame, window_sec: int = 300) -> DataFrame:
+    """Tumbling-window downsample: the reference routes rollup output to the
+    ``*rollup*`` table (TsdbBulkload.java:62-69) but leaves the aggregation
+    to the OpenTSDB convention; we implement it explicitly as a tumbling
+    window aggregate. Sums are computed in integer cents so results are
+    bit-exact and order-independent (safe for the DuckDB oracle)."""
+    wsec = F.expr("ts_ms div 1000")
+    wstart = (wsec - wsec % window_sec).alias("window_start_sec")
+    return (
+        events.groupBy(wstart, F.col("event_type"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.min(F.floor(F.col("value") * 100).cast("long")).alias("min_value_cents"),
+            F.max(F.floor(F.col("value") * 100).cast("long")).alias("max_value_cents"),
+        )
+    )

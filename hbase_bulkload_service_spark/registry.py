@@ -1,0 +1,371 @@
+"""Query registry — the driver-facing correctness surface.
+
+Each entry pairs a Spark implementation (built from engine operators) with
+an equivalent ANSI-SQL oracle string for DuckDB. Conventions that keep the
+cross-engine value-hash stable:
+
+- money/metric aggregates are computed in integer *cents*
+  (``CAST(FLOOR(x*100) AS BIGINT)``) — identical IEEE arithmetic in both
+  engines, then exact integer aggregation; no float-summation-order drift;
+- timestamps are compared/output as epoch integers (``unix_millis`` /
+  ``epoch_ms``) — timezone-proof;
+- every computed column is aliased identically on both sides;
+- ties near LIMIT boundaries are broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.functions.codec import (
+    decode_double_be,
+    decode_int_be,
+    epoch_millis,
+)
+from hbase_bulkload_service_spark.operators import tsdb
+from hbase_bulkload_service_spark.plans.jobs import time_slices
+from hbase_bulkload_service_spark.sources.tables import load, load_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def cents(col) -> F.Column:
+    return F.floor(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# shared fixture SQL: events → tsdb_cells (FIXTURES.md §2), mirrored by
+# operators/tsdb.derive_tsdb_cells
+# ---------------------------------------------------------------------------
+
+TSDB_CELLS_CTE = """
+dict AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS metric_id
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+base AS (
+  SELECT e.event_id, d.metric_id,
+         epoch_ms(e.ts) AS ts_ms,
+         epoch_ms(e.ts) // 1000 AS ts_sec,
+         'user=' || CAST(e.user_id AS VARCHAR) AS tags,
+         e.value AS dvalue
+  FROM events e JOIN dict d USING (event_type)
+),
+base2 AS (
+  SELECT event_id, metric_id, ts_ms, ts_sec, tags, dvalue,
+         ts_sec - ts_sec % 3600 AS ts_hour,
+         CAST(ts_sec % 3600 AS INT) AS offset_sec,
+         ts_ms AS version_ts
+  FROM base
+),
+cells AS (
+  SELECT event_id, metric_id, ts_hour, ts_sec, tags, offset_sec, version_ts, dvalue
+  FROM base2
+  UNION ALL
+  SELECT event_id, metric_id, ts_hour, ts_sec, tags, offset_sec,
+         version_ts + 1000 AS version_ts, dvalue * 2 AS dvalue
+  FROM base2 WHERE event_id % 20 = 0
+)
+"""
+
+# Java Arrays.hashCode over salt_base = 3-byte metric ‖ ascii(tags), as a
+# DuckDB expression (32-bit wraparound via mod-2^32 fold; % keeps dividend
+# sign exactly like Java). Mirrors functions/hashes.java_arrays_hashcode.
+_DUCK_SALT_BYTES = (
+    "[CASE WHEN b > 127 THEN b - 256 ELSE b END FOR b IN list_concat("
+    "[(metric_id >> 16) & 255, (metric_id >> 8) & 255, metric_id & 255], "
+    "list_transform(range(1, length(tags) + 1), i -> ascii(substr(tags, i, 1))))]"
+)
+_DUCK_JAVA_HASH_U = (
+    f"list_reduce(list_prepend(CAST(1 AS BIGINT), {_DUCK_SALT_BYTES}), "
+    "(acc, x) -> ((acc * 31 + x) % 4294967296 + 4294967296) % 4294967296)"
+)
+DUCK_SALT_BUCKET = (
+    f"abs((CASE WHEN {_DUCK_JAVA_HASH_U} >= 2147483648 "
+    f"THEN {_DUCK_JAVA_HASH_U} - 4294967296 ELSE {_DUCK_JAVA_HASH_U} END) % 512)"
+)
+
+# time constants (UTC) for the hour-filter / slicing queries
+HOUR_FILTER_START_MS = 1704868200000  # 2024-01-10 06:30:00Z
+HOUR_FILTER_END_MS = 1705776300000  # 2024-01-20 18:45:00Z
+SLICE_START_MS = 1704067200000  # 2024-01-01
+SLICE_END_MS = 1706659200000  # 2024-01-31
+SLICE_INTERVAL_MS = 7 * 24 * 3600 * 1000
+
+
+# ===========================================================================
+# E3 — documented SQL scan+agg surface (AbstractHBaseTableSource.java:54-65)
+# ===========================================================================
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+           SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE epoch_ms(l_shipdate) <= 904694400000
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan+aggregate (Q1-style pricing summary).
+
+    Catalyst plan: parquet scan with pushed timestamp filter + column
+    pruning → partial hash agg → final hash agg. No custom code.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(epoch_millis(li, "l_shipdate") <= F.lit(904694400000))  # 1998-09-02Z
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+            F.sum(
+                cents(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge_cents"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@register(
+    "q02_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS order_cnt
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join aggregate; nation is broadcast (small dim)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+            F.count("*").alias("order_cnt"),
+        )
+    )
+
+
+@register(
+    "q03_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 LIMIT/top-k — Spark TakeOrderedAndProject (no full sort at scale).
+    Ties broken by unique o_orderkey for cross-engine determinism."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            cents(F.col("o_totalprice")).alias("totalprice_cents"),
+        )
+    )
+
+
+@register(
+    "q04_point_get",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer WHERE c_custkey = 42
+    """,
+)
+def q04_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 point get (HBaseSerde.createGet:198-214) — an equality filter on
+    the key column; pushes down to the scan."""
+    c = load(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") == 42).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        cents(F.col("c_acctbal")).alias("acctbal_cents"),
+    )
+
+
+@register(
+    "q05_lookup_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 3 = 0 AND c.c_custkey < 500
+    """,
+)
+def q05_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 lookup join (HBaseRowDataLookupFunction.java:76-86): per-probe-row
+    point get with *inner* semantics (misses emit nothing). Spark-first
+    replacement: broadcast hash join on the rowkey — no per-row RPC."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    dim = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey, "inner").select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        cents(F.col("o_totalprice")).alias("totalprice_cents"),
+    )
+
+
+# ===========================================================================
+# TSDB core — D1 salting, D3/E1 dedup, B1 hour filter, E2 rollup, J2 slices
+# ===========================================================================
+
+@register(
+    "q10_salt_bucket",
+    f"""
+    WITH {TSDB_CELLS_CTE}
+    SELECT DISTINCT metric_id, tags, {DUCK_SALT_BUCKET} AS bucket
+    FROM cells
+    """,
+)
+def q10_salt_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — bit-exact Java Arrays.hashCode salting (TsdbBulkload.java:81-114)."""
+    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir))
+    salted = tsdb.with_salt(cells)
+    return salted.select("metric_id", "tags", "bucket").distinct()
+
+
+@register(
+    "q11_latest_version_dedup",
+    f"""
+    WITH {TSDB_CELLS_CTE},
+    c1 AS (
+      SELECT metric_id, ts_hour, tags, offset_sec, version_ts,
+             MAX(dvalue) AS dvalue
+      FROM cells
+      GROUP BY metric_id, ts_hour, tags, offset_sec, version_ts
+    )
+    SELECT metric_id, ts_hour, tags, offset_sec,
+           MAX(version_ts) AS version_ts,
+           CAST(FLOOR(arg_max(dvalue, version_ts) * 100) AS BIGINT) AS value_cents
+    FROM c1
+    GROUP BY metric_id, ts_hour, tags, offset_sec
+    """,
+)
+def q11_latest_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/E1 — newest-version-wins dedup (TsdbBulkload.java:129-139), done
+    through the *binary* rowkey/qualifier/value codecs and decoded back —
+    exercises I1/I5 end-to-end. Same-version collisions are collapsed
+    deterministically (max value) first."""
+    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir))
+    c1 = cells.groupBy("rowkey", "qualifier", "version_ts").agg(
+        F.max("dvalue").alias("dvalue")
+    )
+    c1 = c1.withColumn("value", tsdb.encode_double_be(F.col("dvalue")))
+    deduped = tsdb.latest_version_dedup(c1, key_cols=("rowkey", "qualifier"))
+    return deduped.select(
+        decode_int_be(F.expr("substring(rowkey, 1, 3)"), 3).cast("int").alias("metric_id"),
+        decode_int_be(F.expr("substring(rowkey, 4, 4)"), 4).alias("ts_hour"),
+        F.decode(F.expr("substring(rowkey, 8, length(rowkey) - 7)"), "UTF-8").alias("tags"),
+        decode_int_be(F.col("qualifier"), 2).cast("int").alias("offset_sec"),
+        F.col("version_ts"),
+        F.floor(decode_double_be(F.col("value")) * 100).cast("long").alias("value_cents"),
+    )
+
+
+@register(
+    "q12_hour_range_filter",
+    f"""
+    SELECT event_id, epoch_ms(ts) // 1000 AS ts_sec
+    FROM events
+    WHERE (epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 3600
+          >= {(HOUR_FILTER_START_MS - HOUR_FILTER_START_MS % 3600000) // 1000}
+      AND (epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 3600
+          < {(HOUR_FILTER_END_MS - HOUR_FILTER_END_MS % 3600000) // 1000}
+    """,
+)
+def q12_hour_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 — FuzzyRowFilter whole-hour semantics (TsdbScanner.java:16-57):
+    rows match iff their *hour bucket* ∈ [floor_hour(start), floor_hour(end)),
+    regardless of sub-hour offsets."""
+    ev = load_events(spark, sf_dir).withColumn("ts_sec", F.expr("ts_ms div 1000"))
+    return tsdb.hour_range_filter(ev, HOUR_FILTER_START_MS, HOUR_FILTER_END_MS).select(
+        "event_id", "ts_sec"
+    )
+
+
+@register(
+    "q13_rollup_5m",
+    """
+    SELECT (epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 300 AS window_start_sec,
+           event_type,
+           COUNT(*) AS cnt,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_value_cents,
+           MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS min_value_cents,
+           MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS max_value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q13_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — 5-minute tumbling rollup (rollup table layout,
+    HBaseProperties.java:24; aggregation made explicit)."""
+    return tsdb.rollup_5m(load_events(spark, sf_dir))
+
+
+_N_SLICES = -(-(SLICE_END_MS - SLICE_START_MS) // SLICE_INTERVAL_MS)
+
+
+@register(
+    "q14_time_slices",
+    f"""
+    SELECT CAST(k AS INT) AS slice_idx,
+           {SLICE_END_MS} - (k + 1) * {SLICE_INTERVAL_MS} AS slice_start,
+           {SLICE_END_MS} - k * {SLICE_INTERVAL_MS} AS slice_end
+    FROM (SELECT unnest(range(0, {_N_SLICES})) AS k)
+    """,
+)
+def q14_time_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — newest-first batch time slicing (HBaseController.java:209-229);
+    the oldest slice may overshoot start, faithfully."""
+    slices = time_slices(SLICE_START_MS, SLICE_END_MS, SLICE_INTERVAL_MS)
+    return spark.createDataFrame(
+        [(s.slice_idx, s.slice_start, s.slice_end) for s in slices],
+        "slice_idx int, slice_start long, slice_end long",
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the engine.
+
+The reference sizes a dedicated Flink per-job cluster
+(FlinkEnvironmentBuild.java:55-74: 1024MB TM, 2 slots, request-level
+parallelism). The Spark-first analog is one long-lived session with AQE
+doing runtime re-planning; parallelism scales with the cluster, not the
+request.
+
+Scale posture (100 TB / 1000 executors):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting.
+- Shuffle partitions default high enough to not bottleneck local runs but
+  overridable by env for cluster deployment.
+- Session timezone pinned to UTC: all TSDB epoch arithmetic is
+  timezone-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # small-dim broadcast threshold; lookup-join (F1) dim tables are small
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "hbase-bulkload-service-spark",
+    master: str | None = None,
+    **conf_overrides: str,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` outside a cluster.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in conf_overrides.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

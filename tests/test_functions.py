@@ -1,0 +1,143 @@
+"""Unit tests for the byte-codec kernel and Java hash fidelity
+(SURVEY.md §2.I; golden values computed from the Java specs, not from our
+own encoder)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.functions import codec, hashes
+
+
+def java_arrays_hashcode_py(bs: list[int]) -> int:
+    """Pure-python spec implementation of java.util.Arrays.hashCode(byte[])."""
+    h = 1
+    for b in bs:
+        assert -128 <= b <= 127
+        h = (31 * h + b) & 0xFFFFFFFF
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+@pytest.mark.parametrize(
+    "bs,expected",
+    [
+        ([], 1),
+        ([1, 2, 3], 30817),
+        ([0], 31),
+        ([-128, 127, -1], java_arrays_hashcode_py([-128, 127, -1])),
+    ],
+)
+def test_java_arrays_hashcode_golden(spark, bs, expected):
+    df = spark.createDataFrame([(bs,)], "bs array<long>")
+    got = df.select(hashes.java_arrays_hashcode(F.col("bs")).alias("h")).first()["h"]
+    assert got == expected
+
+
+def test_java_hashcode_overflow_wraps(spark):
+    # long ASCII string forces repeated 32-bit overflow
+    s = "user=1234567890" * 5
+    bs = [ord(c) for c in s]
+    df = spark.createDataFrame([(s,)], "s string")
+    got = df.select(
+        hashes.java_arrays_hashcode(hashes.ascii_byte_ints(F.col("s"))).alias("h")
+    ).first()["h"]
+    assert got == java_arrays_hashcode_py([1 * 0 + b for b in bs])  # ascii == byte here
+
+
+def test_salt_bucket_matches_reference_semantics(spark):
+    # bucket = abs(h % 512) (negate after mod) — NOT abs(h) % 512
+    rows = [([127, -5, 33, 77],), ([-1],), ([0, 0, 0],)]
+    df = spark.createDataFrame(rows, "bs array<long>")
+    got = [r["b"] for r in df.select(hashes.salt_bucket(F.col("bs")).alias("b")).collect()]
+    for (bs,), g in zip(rows, got):
+        h = java_arrays_hashcode_py(bs)
+        m = h % 512 if h >= 0 else -((-h) % 512)  # Java %: sign of dividend
+        assert g == abs(m)
+        assert 0 <= g < 512
+
+
+@pytest.mark.parametrize("v,width", [(0, 4), (1, 4), (-1, 4), (2**31 - 1, 4),
+                                     (-(2**31), 4), (255, 2), (-32768, 2),
+                                     (7, 1), (-128, 1), (2**40, 8), (-(2**62), 8),
+                                     (16777215, 3), (1704067200, 4)])
+def test_int_be_roundtrip_and_layout(spark, v, width):
+    df = spark.createDataFrame([(v,)], "v long")
+    out = df.select(
+        codec.encode_int_be(F.col("v"), width).alias("b"),
+        codec.decode_int_be(codec.encode_int_be(F.col("v"), width), width).alias("rt"),
+    ).first()
+    expected = (v & ((1 << (8 * width)) - 1)).to_bytes(width, "big")
+    assert bytes(out["b"]) == expected  # big-endian two's complement (Bytes.toBytes)
+    # round-trip only faithful when v fits the width
+    if -(1 << (8 * width - 1)) <= v < (1 << (8 * width - 1)):
+        assert out["rt"] == v
+
+
+@pytest.mark.parametrize("v", [0.0, 1.5, -2.25, 3.141592653589793, 1e300, -1e-300,
+                               float("inf"), float("-inf")])
+def test_double_be_roundtrip(spark, v):
+    df = spark.createDataFrame([(v,)], "v double")
+    out = df.select(
+        codec.encode_double_be(F.col("v")).alias("b"),
+        codec.decode_double_be(codec.encode_double_be(F.col("v"))).alias("rt"),
+    ).first()
+    assert bytes(out["b"]) == struct.pack(">d", v)
+    assert out["rt"] == v
+
+
+def test_null_conventions(spark):
+    df = spark.createDataFrame([(None, None), ("abc", 5)], "s string, v long")
+    out = df.select(
+        codec.encode_string(F.col("s")).alias("sb"),
+        codec.decode_string(codec.encode_string(F.col("s"))).alias("srt"),
+        codec.encode_int_be(F.col("v"), 4).alias("vb"),
+        codec.decode_int_be(codec.encode_int_be(F.col("v"), 4), 4).alias("vrt"),
+    ).collect()
+    null_row = out[0] if out[0]["srt"] is None else out[1]
+    val_row = out[1] if null_row is out[0] else out[0]
+    assert bytes(null_row["sb"]) == b"null"  # string null ↔ null-string-literal
+    assert null_row["srt"] is None
+    assert bytes(null_row["vb"]) == b""  # non-string null ↔ empty byte[]
+    assert null_row["vrt"] is None
+    assert bytes(val_row["sb"]) == b"abc"
+    assert val_row["srt"] == "abc"
+    assert val_row["vrt"] == 5
+
+
+def test_boolean_and_timestamp_codecs(spark):
+    df = spark.createDataFrame([(True,), (False,), (None,)], "b boolean")
+    rows = df.select(
+        codec.encode_boolean(F.col("b")).alias("eb"),
+        codec.decode_boolean(codec.encode_boolean(F.col("b"))).alias("rt"),
+    ).collect()
+    assert {bytes(r["eb"]) for r in rows} == {b"\x01", b"\x00", b""}
+    assert {r["rt"] for r in rows} == {True, False, None}
+
+    ts_df = spark.sql("SELECT timestamp_millis(1704067207179) AS ts")
+    out = ts_df.select(
+        codec.encode_timestamp_ms(F.col("ts")).alias("b"),
+        F.unix_millis(codec.decode_timestamp_ms(codec.encode_timestamp_ms(F.col("ts")))).alias("rt"),
+    ).first()
+    assert bytes(out["b"]) == (1704067207179).to_bytes(8, "big")
+    assert out["rt"] == 1704067207179
+
+
+def test_key_slicing_helpers(spark):
+    # salted key: [2B bucket][4B time][payload]
+    key = (300).to_bytes(2, "big") + (1704067200).to_bytes(4, "big") + b"payload"
+    df = spark.createDataFrame([(key,)], "k binary")
+    out = df.select(
+        codec.key_bucket(F.col("k")).alias("bucket"),
+        codec.key_time(F.col("k")).alias("t"),
+    ).first()
+    assert out["bucket"] == 300
+    assert out["t"] == 1704067200
+
+
+def test_floor_to_hour(spark):
+    df = spark.createDataFrame([(1704868200123,)], "ms long")
+    got = df.select(codec.floor_to_hour_ms(F.col("ms")).alias("h")).first()["h"]
+    assert got == 1704866400000  # TsdbScanner.getLastHourTime semantics
