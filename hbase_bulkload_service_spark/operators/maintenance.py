@@ -1,0 +1,158 @@
+"""Maintenance / storage operators (SURVEY.md §2.K) — region merge policy,
+tiered backup/restore planning, and small-partition compaction, re-expressed
+over a partitions catalog.
+
+Reference: manager/HBaseManager.java — cron jobs that (K2) merge adjacent
+undersized regions, (K3) back up frozen regions to OSS via DistCp, (K4)
+delete backed-up regions, (K5) restore them. The Spark analog operates on a
+*catalog* DataFrame of partitions/regions:
+
+    regions(region_name STRING, start_bucket INT, end_bucket INT,
+            start_time_sec BIGINT, end_time_sec BIGINT, size_bytes BIGINT)
+
+Policy constants (configuration/HBaseProperties.java:16-20).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LOWER_SIZE = 100 * 1024 * 1024  # 100 MB — HBaseProperties.java:18
+UPPER_SIZE = 5 * 1024 * 1024 * 1024  # 5 GB — HBaseProperties.java:17
+LONG_INTERVAL_MS = 3 * 365 * 24 * 3600 * 1000  # 3 years — :19
+SHORT_INTERVAL_MS = 3 * 30 * 24 * 3600 * 1000  # 3 months — :20
+BACKUP_MIN_BYTES = 10 * 1024 * 1024  # 10 MB — HBaseManager.java:221-223
+
+
+@dataclass(frozen=True)
+class Region:
+    name: str
+    start_bucket: int | None
+    end_bucket: int | None
+    start_time_sec: int
+    end_time_sec: int | None  # None = open-ended end key
+    size_bytes: int
+
+
+def plan_merges(
+    regions: list[Region],
+    now_ms: int,
+    lower_size: int = LOWER_SIZE,
+    upper_size: int = UPPER_SIZE,
+    short_interval_ms: int = SHORT_INTERVAL_MS,
+    long_interval_ms: int = LONG_INTERVAL_MS,
+) -> list[tuple[str, str]]:
+    """K2 — faithful walk of HBaseManager.mergeSmallRegion (:75-181).
+
+    Walk regions in key order holding at most one pending region A:
+    - a region whose 2-byte bucket prefix differs between start and end key
+      (cross-bucket) resets A and is skipped (:89-103);
+    - if no A pending and size < lowerSize → A := current (:131-136);
+    - if A pending and sizeA < lowerSize → merge(A, current) regardless of
+      current's own size/age (:138-145);
+    - else hot-window rule (:155-166): region merges only when its time
+      range lies inside [now-longInterval, now-shortInterval] and
+      size ≤ upperSize; outside → reset A;
+    - a region with a short/empty end key terminates the walk (:120-122).
+    """
+    merges: list[tuple[str, str]] = []
+    region_a: Region | None = None
+    range_new = now_ms - short_interval_ms
+    range_old = now_ms - long_interval_ms
+    for info in regions:
+        if info.end_bucket is None or (
+            info.start_bucket is not None and info.start_bucket != info.end_bucket
+        ):
+            region_a = None
+            continue
+        if info.end_time_sec is None:
+            break
+        size = info.size_bytes
+        if region_a is None and size < lower_size:
+            region_a = info
+            continue
+        if region_a is not None and region_a.size_bytes < lower_size:
+            merges.append((region_a.name, info.name))
+            region_a = None
+            continue
+        if (
+            info.end_time_sec * 1000 < range_old
+            or info.start_time_sec * 1000 > range_new
+            or size > upper_size
+        ):
+            region_a = None
+        else:
+            if region_a is None:
+                region_a = info
+            else:
+                merges.append((region_a.name, info.name))
+                region_a = None
+    return merges
+
+
+def backup_candidates(
+    regions: DataFrame,
+    now_ms: int,
+    already_backing_up: list[str] | None = None,
+    long_interval_ms: int = LONG_INTERVAL_MS,
+    min_bytes: int = BACKUP_MIN_BYTES,
+) -> DataFrame:
+    """K3 — backup qualification (HBaseManager.backupHFileToOSS:186-263):
+    single-bucket region AND end time older than (now - 3y) AND not already
+    in flight AND size > 10 MB. Returns the qualifying catalog rows."""
+    cond = (
+        (F.col("start_bucket") == F.col("end_bucket"))
+        & (F.col("end_time_sec") * 1000 < F.lit(now_ms - long_interval_ms))
+        & (F.col("size_bytes") > F.lit(min_bytes))
+    )
+    out = regions.filter(cond)
+    if already_backing_up:
+        out = out.filter(~F.col("region_name").isin(already_backing_up))
+    return out
+
+
+def split_keys(bucket_count: int = 512, step: int = 1) -> list[bytes]:
+    """K1/D4 — pre-split boundaries: 2-byte prefixes i*step for i in
+    1..(bucket_count/step - 1) (HBaseManager.getSplitKeys:351-368; step 8
+    for the rollup table)."""
+    count = bucket_count // step
+    return [(i * step).to_bytes(4, "big")[2:4] for i in range(1, count)]
+
+
+def compact_small_partitions(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    lower_bytes: int = LOWER_SIZE,
+) -> list[str]:
+    """K2 executor analog for parquet layouts: rewrite partition directories
+    whose total size is under ``lower_bytes`` into max(1, size/target)
+    files. Returns the rewritten partition dirs."""
+    import os
+
+    rewritten = []
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if not (os.path.isdir(full) and "=" in d):
+            continue
+        size = sum(
+            os.path.getsize(os.path.join(full, f))
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+        nfiles = len([f for f in os.listdir(full) if f.endswith(".parquet")])
+        if size < lower_bytes and nfiles > 1:
+            df = spark.read.parquet(full)
+            n = max(1, size // target_bytes + 1)
+            df.coalesce(int(n)).write.mode("overwrite").parquet(full + "_compact")
+            # atomic-ish swap
+            os.rename(full, full + "_old")
+            os.rename(full + "_compact", full)
+            import shutil
+
+            shutil.rmtree(full + "_old")
+            rewritten.append(d)
+    return rewritten

@@ -1,0 +1,241 @@
+"""HBase-SQL-table query surface (SURVEY.md §2.A A4-A8, §2.C, §2.E E3,
+§2.F F1) over family-struct DataFrames.
+
+The reference materializes scans as nested rows — rowkey + one ROW per
+column family (HBaseSerde.java:217-239, HBaseTableSchema.java:309-339) —
+and serves three query shapes: projected scans, point gets, and lookup
+joins (HBaseRowDataLookupFunction.java:76-86). Here each is a thin
+combinator over a DataFrame shaped by schema.HBaseTableSchema; Catalyst
+provides pushdown/pruning.
+
+Cell-form conversion (encode_htable_cells / decode_cells_htable) is the
+A4/A5 decode + H4 Put-mutation serde in one place: nested rows ↔ long-form
+``(rowkey BINARY, family STRING, qualifier STRING, value BINARY)`` using
+the byte codecs — the engine's canonical exchange format with HBase-world
+storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampType,
+)
+
+from hbase_bulkload_service_spark.functions import codec
+from hbase_bulkload_service_spark.schema import HBaseTableSchema
+from hbase_bulkload_service_spark.sources.tables import load
+
+
+# ---------------------------------------------------------------------------
+# fixture: htable = customer ⨝ nation as rowkey + two families (FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+HTABLE_SCHEMA = (
+    HBaseTableSchema()
+    .set_row_key("rowkey", StringType())
+    .add_column("f1", "c_name", StringType())
+    .add_column("f1", "c_acctbal", DoubleType())
+    .add_column("f1", "c_nationkey", IntegerType())
+    .add_column("f2", "n_name", StringType())
+    .add_column("f2", "c_mktsegment", StringType())
+)
+
+
+def rowkey_of_custkey(custkey: Column) -> Column:
+    """String rowkey = zero-padded custkey (keeps HBase lexicographic order
+    == numeric order, the standard fixed-width-rowkey idiom)."""
+    return F.lpad(custkey.cast("string"), 12, "0")
+
+
+def build_htable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            rowkey_of_custkey(F.col("c_custkey")).alias("rowkey"),
+            F.struct(
+                F.col("c_name"),
+                F.col("c_acctbal"),
+                F.col("c_nationkey"),
+            ).alias("f1"),
+            F.struct(F.col("n_name"), F.col("c_mktsegment")).alias("f2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/C1/C2 — projected scan
+# ---------------------------------------------------------------------------
+
+def scan(htable: DataFrame, selections: dict[str, list[str] | None]) -> DataFrame:
+    """Columns-only projection scan (HBaseSerde.java:181-191 adds exactly
+    the declared columns to the Scan). ``selections`` maps family → list of
+    qualifiers (None = whole family). Nested-field pruning means parquet
+    reads only the requested leaves — exceeding the reference's
+    family-granularity limit (C2)."""
+    cols: list[Column] = [F.col("rowkey")]
+    for fam, quals in selections.items():
+        if quals is None:
+            cols.append(F.col(fam))
+        else:
+            for q in quals:
+                cols.append(F.col(f"{fam}.{q}").alias(f"{fam}_{q}"))
+    return htable.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# A8 — point get
+# ---------------------------------------------------------------------------
+
+def point_get(htable: DataFrame, key) -> DataFrame:
+    """Single-rowkey Get (HBaseSerde.java:198-214): equality filter on the
+    key column; on a key-sorted/bucketed layout this prunes to one file."""
+    return htable.filter(F.col("rowkey") == F.lit(key))
+
+
+# ---------------------------------------------------------------------------
+# F1 — lookup join
+# ---------------------------------------------------------------------------
+
+def lookup_join(
+    probe: DataFrame,
+    probe_key: str,
+    htable: DataFrame,
+    how: str = "inner",
+) -> DataFrame:
+    """Lookup (temporal) join keyed strictly on the single rowkey
+    (AbstractHBaseDynamicTableSource.java:66-84 validates exactly one join
+    key == rowkey; eval() collects only non-empty ⇒ inner semantics,
+    HBaseRowDataLookupFunction.java:76-86).
+
+    Spark-first: broadcast hash join replaces per-probe-row RPC. At 100 TB
+    with a large dim table, drop the broadcast hint and let AQE choose a
+    shuffled hash join on the bucketed key.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "JOIN HBase table requires inner (reference) or left semantics"
+        )
+    return probe.join(
+        F.broadcast(htable), probe[probe_key] == htable["rowkey"], how
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/A5 decode + H4 encode — nested rows ↔ long-form cells
+# ---------------------------------------------------------------------------
+
+def _encode_value(col: Column, dtype: DataType) -> Column:
+    if isinstance(dtype, BinaryType):
+        return col
+    if isinstance(dtype, StringType):
+        return codec.encode_string(col)
+    if isinstance(dtype, ByteType):
+        return codec.encode_int_be(col, 1)
+    if isinstance(dtype, ShortType):
+        return codec.encode_int_be(col, 2)
+    if isinstance(dtype, IntegerType):
+        return codec.encode_int_be(col, 4)
+    if isinstance(dtype, LongType):
+        return codec.encode_int_be(col, 8)
+    if isinstance(dtype, FloatType):
+        return codec.encode_float_be(col)
+    if isinstance(dtype, DoubleType):
+        return codec.encode_double_be(col)
+    if isinstance(dtype, BooleanType):
+        return codec.encode_boolean(col)
+    if isinstance(dtype, TimestampType):
+        return codec.encode_timestamp_ms(col)
+    raise TypeError(f"no cell codec for {dtype.simpleString()}")
+
+
+def _decode_value(col: Column, dtype: DataType) -> Column:
+    if isinstance(dtype, BinaryType):
+        return col
+    if isinstance(dtype, StringType):
+        return codec.decode_string(col)
+    if isinstance(dtype, ByteType):
+        return codec.decode_int_be(col, 1).cast("byte")
+    if isinstance(dtype, ShortType):
+        return codec.decode_int_be(col, 2).cast("short")
+    if isinstance(dtype, IntegerType):
+        return codec.decode_int_be(col, 4).cast("int")
+    if isinstance(dtype, LongType):
+        return codec.decode_int_be(col, 8)
+    if isinstance(dtype, FloatType):
+        return codec.decode_float_be(col)
+    if isinstance(dtype, DoubleType):
+        return codec.decode_double_be(col)
+    if isinstance(dtype, BooleanType):
+        return codec.decode_boolean(col)
+    if isinstance(dtype, TimestampType):
+        return codec.decode_timestamp_ms(col)
+    raise TypeError(f"no cell codec for {dtype.simpleString()}")
+
+
+def encode_htable_cells(htable: DataFrame, schema: HBaseTableSchema) -> DataFrame:
+    """Nested rows → long-form cells — the Put-mutation serde
+    (HBaseSerde.createPutMutation:119-144: every declared qualifier written).
+    Zero-length rowkeys are dropped as dirty records
+    (HBaseSerde.java:122-126, B4)."""
+    rk = F.col(schema.rowkey_name)
+    rk_bin = (
+        rk if isinstance(schema.rowkey_type, BinaryType) else _encode_value(rk, schema.rowkey_type)
+    )
+    cell_structs = []
+    for fam, quals in schema.families.items():
+        for q, dtype in quals.items():
+            cell_structs.append(
+                F.struct(
+                    F.lit(fam).alias("family"),
+                    F.lit(q).alias("qualifier"),
+                    _encode_value(F.col(f"{fam}.{q}"), dtype).alias("value"),
+                )
+            )
+    return (
+        htable.select(rk_bin.alias("key"), F.explode(F.array(*cell_structs)).alias("cell"))
+        .filter(F.length("key") > 0)
+        .select("key", "cell.family", "cell.qualifier", "cell.value")
+    )
+
+
+def decode_cells_htable(cells: DataFrame, schema: HBaseTableSchema) -> DataFrame:
+    """Long-form cells → nested rows (A4/A5 scan materialization,
+    HBaseSerde.convertToRow:217-239). Cells are pivoted back into family
+    structs; missing qualifiers decode to NULL like an absent HBase cell."""
+    declared = [f"{fam}:{q}" for fam, quals in schema.families.items() for q in quals]
+    pivoted = (
+        cells.withColumn("fq", F.concat_ws(":", "family", "qualifier"))
+        .groupBy("key")
+        .pivot("fq", declared)  # explicit values: no extra pass, stable schema
+        .agg(F.first("value"))
+    )
+    rk = (
+        F.col("key")
+        if isinstance(schema.rowkey_type, BinaryType)
+        else _decode_value(F.col("key"), schema.rowkey_type)
+    )
+    cols = [rk.alias(schema.rowkey_name)]
+    for fam, quals in schema.families.items():
+        cols.append(
+            F.struct(
+                *[
+                    _decode_value(F.col(f"`{fam}:{q}`"), dtype).alias(q)
+                    for q, dtype in quals.items()
+                ]
+            ).alias(fam)
+        )
+    return pivoted.select(*cols)

@@ -369,3 +369,112 @@ def q14_time_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s.slice_idx, s.slice_start, s.slice_end) for s in slices],
         "slice_idx int, slice_start long, slice_end long",
     )
+
+
+# ===========================================================================
+# htable surface — A4/A7/C1/C2 scans, A8 point get, E3 SQL agg, serde
+# round-trip (FIXTURES.md §3)
+# ===========================================================================
+
+HTABLE_CTE = """
+htable AS (
+  SELECT lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS rowkey,
+         c_name, c_acctbal, c_nationkey, n_name, c_mktsegment
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+"""
+
+
+@register(
+    "q06_htable_scan_project",
+    f"""
+    WITH {HTABLE_CTE}
+    SELECT rowkey, c_name AS f1_c_name, n_name AS f2_n_name
+    FROM htable WHERE rowkey < lpad('500', 12, '0')
+    """,
+)
+def q06_htable_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/C1/C2 — projected scan with rowkey range; qualifier-level nested
+    projection (exceeds the reference's family-granularity pushdown,
+    AbstractHBaseDynamicTableSource.java:86-90)."""
+    from hbase_bulkload_service_spark.operators import table as tbl
+
+    ht = tbl.build_htable(spark, sf_dir).filter(
+        F.col("rowkey") < tbl.rowkey_of_custkey(F.lit(500))
+    )
+    return tbl.scan(ht, {"f1": ["c_name"], "f2": ["n_name"]})
+
+
+@register(
+    "q07_htable_sql_agg",
+    f"""
+    WITH {HTABLE_CTE}
+    SELECT n_name AS f2_n_name,
+           SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS sum_acctbal_cents,
+           COUNT(*) AS cnt
+    FROM htable GROUP BY n_name
+    """,
+)
+def q07_htable_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — the documented SQL surface
+    (AbstractHBaseTableSource.java:54-65: SELECT t.fam2.col1,
+    SUM(t.fam1.col2) FROM hTable t GROUP BY t.fam2.col1)."""
+    from hbase_bulkload_service_spark.operators import table as tbl
+
+    ht = tbl.build_htable(spark, sf_dir)
+    return ht.groupBy(F.col("f2.n_name").alias("f2_n_name")).agg(
+        F.sum(cents(F.col("f1.c_acctbal"))).alias("sum_acctbal_cents"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "q08_htable_point_get",
+    f"""
+    WITH {HTABLE_CTE}
+    SELECT rowkey, c_name AS f1_c_name,
+           CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS f1_acctbal_cents,
+           n_name AS f2_n_name
+    FROM htable WHERE rowkey = lpad('42', 12, '0')
+    """,
+)
+def q08_htable_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — point get on the nested table (HBaseSerde.createGet:198-214)."""
+    from hbase_bulkload_service_spark.operators import table as tbl
+
+    ht = tbl.build_htable(spark, sf_dir)
+    return tbl.point_get(ht, "0" * 10 + "42").select(
+        "rowkey",
+        F.col("f1.c_name").alias("f1_c_name"),
+        cents(F.col("f1.c_acctbal")).alias("f1_acctbal_cents"),
+        F.col("f2.n_name").alias("f2_n_name"),
+    )
+
+
+@register(
+    "q09_cells_roundtrip",
+    f"""
+    WITH {HTABLE_CTE}
+    SELECT rowkey, c_name,
+           CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           c_nationkey, n_name, c_mktsegment
+    FROM htable
+    """,
+)
+def q09_cells_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 + H4 — nested rows → long-form binary cells (Put serde) →
+    pivot back to nested rows (scan serde); proves the byte codecs
+    round-trip every declared type on real data."""
+    from hbase_bulkload_service_spark.operators import table as tbl
+
+    ht = tbl.build_htable(spark, sf_dir)
+    cells = tbl.encode_htable_cells(ht, tbl.HTABLE_SCHEMA)
+    back = tbl.decode_cells_htable(cells, tbl.HTABLE_SCHEMA)
+    return back.select(
+        "rowkey",
+        F.col("f1.c_name").alias("c_name"),
+        cents(F.col("f1.c_acctbal")).alias("acctbal_cents"),
+        F.col("f1.c_nationkey").alias("c_nationkey"),
+        F.col("f2.n_name").alias("n_name"),
+        F.col("f2.c_mktsegment").alias("c_mktsegment"),
+    )
