@@ -1,0 +1,108 @@
+"""Multimodal columns (north-star surface): image/audio/video as opaque
+binary columns + typed metadata, with Arrow-batched mapInPandas plumbing
+for decode / feature-extract / resize / frame-sample.
+
+The container has no image/audio libraries, so the *decode* kernel is a
+deterministic stub (clearly marked); everything Spark-side — schema,
+binary payload handling, batch iteration, UDF signatures, partitioning —
+is real and tested. Swap `_decode_stub` for a PIL/libav call in a real
+deployment; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta struct<bytes: long, checksum_md5: string, declared_w: int, declared_h: int>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, checksum_md5 string, "
+    "decoded_w int, decoded_h int, mean_luma double"
+)
+
+
+def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a media table from documents: payload = UTF-8 bytes of the
+    text (deterministic fake image), metadata derived from content. At
+    scale the payload column stays opaque binary in parquet — never parsed
+    by the JVM, only sliced/passed to Arrow batches."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(F.col(text_col)).cast("long").alias("bytes"),
+            F.md5(payload).alias("checksum_md5"),
+            (F.col("doc_id") % 640 + 64).cast("int").alias("declared_w"),
+            (F.col("doc_id") % 480 + 48).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes, w: int, h: int) -> tuple[int, int, float]:
+    """STUB decode kernel — deterministic fake for the missing image libs.
+
+    Real deployment: ``img = PIL.Image.open(io.BytesIO(payload))`` etc.
+    Raises (like a real decoder) on empty payloads.
+    """
+    if payload is None or len(payload) == 0:
+        raise ValueError("cannot decode empty payload")
+    # fake luma: mean byte value — deterministic, library-free
+    mean = sum(payload) / len(payload)
+    return w, h, mean
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas — the real plumbing for decode-class operators: columnar
+    batches in, columnar batches out, no row-at-a-time Python."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = pdf["meta"]
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "checksum_md5": [
+                    hashlib.md5(bytes(p)).hexdigest() if p is not None else None
+                    for p in pdf["payload"]
+                ],
+            }
+            decoded = [
+                _decode_stub(bytes(p), m["declared_w"], m["declared_h"])
+                for p, m in zip(pdf["payload"], metas)
+            ]
+            out["decoded_w"] = [d[0] for d in decoded]
+            out["decoded_h"] = [d[1] for d in decoded]
+            out["mean_luma"] = [d[2] for d in decoded]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' on the opaque payload: one sample per N bytes,
+    sliced JVM-side (``substring`` on binary — no Python). Yields
+    (doc_id, frame_idx, frame_bytes) — the shape a video pipeline needs."""
+    n_frames = F.ceil(F.octet_length("payload") / every_n_bytes).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
+    return media.select("doc_id", idx, F.col("payload")).select(
+        "doc_id",
+        "frame_idx",
+        F.expr(f"substring(payload, frame_idx * {every_n_bytes} + 1, {every_n_bytes})").alias(
+            "frame_bytes"
+        ),
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (north-star surface):
+brute-force cosine top-k baseline + IVF-style cell-probed variant.
+
+Scale posture:
+- brute force is the correctness baseline: broadcast the (small) query set
+  against the corpus — a map-side cross product with a per-row fold, then
+  a top-k window. At 100 TB the corpus side stays partitioned; only
+  queries broadcast.
+- IVF: assign every vector to its nearest centroid (deterministic
+  pseudo-centroids here; plug in k-means at scale), bucket the corpus by
+  cell, and probe only nprobe cells per query — turning ANN into a
+  partition-pruned equi-join on cell id.
+
+Determinism: dot products are sequential left-to-right folds over the
+array (``aggregate``), elements cast to double first — bit-identical to
+DuckDB's ``list_reduce`` fold; outputs expose ``floor(cos * 1e6)`` so the
+oracle hash never sees float formatting drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_micros(a: Column, b: Column) -> Column:
+    """cosine scaled to integer micros (floor) — cross-engine-stable."""
+    return F.floor(cosine(a, b) * 1000000).cast("long")
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding itself).
+    queries: (query_id, qvec). Ties broken by neighbor id."""
+    q = F.broadcast(queries)
+    scored = (
+        q.crossJoin(embeddings)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_micros(F.col("qvec"), F.col(vec_col)).alias("cos_micros"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micros").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_micros")
+    )
+
+
+def pseudo_centroids(embeddings: DataFrame, every: int = 50) -> DataFrame:
+    """Deterministic centroid set: every Nth vector by id (k-means init
+    stand-in; swap for ml.clustering.KMeans at scale — the IVF plumbing is
+    identical)."""
+    return embeddings.filter(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (cos desc, centroid asc).
+    Broadcast the centroid table; one window per vector."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        cosine_micros(F.col("embedding"), F.col("cvec")).alias("cos_micros"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_micros").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cell"), "cos_micros")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: per query, rank centroids, keep nprobe cells, search
+    only vectors assigned to those cells. Same output shape as brute force
+    (recall < 1.0 by design — that's the scale trade)."""
+    assign = ivf_assign(embeddings, centroids)
+    qcells_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "centroid_id",
+        cosine_micros(F.col("qvec"), F.col("cvec")).alias("qc_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qc_cos").desc(), F.col("centroid_id"))
+    probe = (
+        qcells_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("cell"))
+    )
+    corpus = embeddings.join(assign.select("vec_id", "cell"), "vec_id")
+    scored = (
+        probe.join(F.broadcast(queries), "query_id")
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_micros(F.col("qvec"), F.col("embedding")).alias("cos_micros"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_micros").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_micros")
+    )

@@ -1,0 +1,129 @@
+"""Text analysis operators (north-star surface, SURVEY.md §7 P6) —
+language-ID, quality scoring, token counting, document fingerprinting.
+
+The reference has no text operators (it is a TSDB ingestion service); these
+are the training-data-pipeline operators the target posture requires. All
+of them are pure Column-expression chains (JVM-side, whole-stage codegen)
+— no Python in the row path — and every output is an integer or an
+exact-division double so the DuckDB oracle hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker vocabularies for the lang-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "value"],
+    "de": ["der", "und", "nicht"],
+    "es": ["el", "que", "los"],
+    "fr": ["le", "les", "est"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def norm_text(text: Column) -> Column:
+    """lower + collapse whitespace runs + trim — shared normalization for
+    all tokenizing operators (identical regex semantics in DuckDB RE2)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def words_of(text: Column) -> Column:
+    return F.split(norm_text(text), " ")
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping substring occurrence count via length arithmetic —
+    engine-portable (no regex count quirks)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring statistics: char/token counts, mean token length,
+    punctuation & digit counts, stopword ratio, alpha ratio."""
+    t = norm_text(F.col(text_col))
+    n_tokens = F.size(words_of(F.col(text_col)))
+    stop_hits = (
+        occurrences(F.concat(F.lit(" "), t, F.lit(" ")), " the ")
+        + occurrences(F.concat(F.lit(" "), t, F.lit(" ")), " a ")
+    )
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_norm"),
+        n_tokens.alias("n_tokens"),
+        # exact integer arithmetic then one identical division
+        ((F.length(t) - n_tokens + 1) * F.lit(1.0) / n_tokens).alias("mean_token_len"),
+        occurrences(F.col(text_col), ".").alias("n_periods"),
+        occurrences(F.col(text_col), ",").alias("n_commas"),
+        stop_hits.alias("stopword_hits"),
+        (stop_hits * F.lit(1.0) / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: byte-vs-char ratio flags CJK; otherwise the
+    language whose marker words occur most (ties → lexicographically first
+    language). Deterministic and SQL-expressible."""
+    t = F.concat(F.lit(" "), norm_text(F.col(text_col)), F.lit(" "))
+    scores = [
+        (
+            lang,
+            sum(
+                (occurrences(t, f" {m} ") for m in markers),
+                start=F.lit(0),
+            ),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+        if lang != "zh"
+    ]
+    # argmax with (score desc, lang asc) tiebreak via a struct max
+    packed = F.array(
+        *[F.struct(s.alias("score"), F.lit(-i).alias("prio"), F.lit(lang).alias("lang"))
+          for i, (lang, s) in enumerate(scores)]
+    )
+    best = F.array_max(packed)
+    cjk = F.octet_length(F.col(text_col)) > F.length(F.col(text_col)) * 2
+    return docs.select(
+        "doc_id",
+        F.when(cjk, F.lit("zh")).otherwise(best["lang"]).alias("pred_lang"),
+        best["score"].alias("marker_hits"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate
+    (ceil(chars/4), the classic ~4-chars-per-token approximation)."""
+    t = norm_text(F.col(text_col))
+    n_ws = F.size(words_of(F.col(text_col)))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("ws_tokens"),
+        F.ceil(F.length(t) / 4).cast("long").alias("bpe_est_tokens"),
+        (F.length(t) * F.lit(1.0) / n_ws).alias("chars_per_token"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprint: the Java-style 31-multiplier fold
+    over codepoints (h = 31*h + cp, 32-bit wrap) of the normalized text —
+    same kernel as the salting hash (functions/hashes.py), content-addressed
+    like the reference's hex rowkeys. Plus md5 for exact identity."""
+    t = norm_text(F.col(text_col))
+    cps = F.transform(
+        F.sequence(F.lit(1), F.length(t)), lambda i: F.ascii(t.substr(i, F.lit(1))).cast("long")
+    )
+    h = F.aggregate(
+        cps,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + c, F.lit(4294967296)),
+    )
+    signed = F.when(h >= 2147483648, h - 4294967296).otherwise(h).cast("int")
+    return docs.select(
+        "doc_id",
+        signed.alias("rolling_hash"),
+        F.md5(t).alias("content_md5"),
+    )

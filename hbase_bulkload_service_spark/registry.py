@@ -478,3 +478,8 @@ def q09_cells_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f2.n_name").alias("n_name"),
         F.col("f2.c_mktsegment").alias("c_mktsegment"),
     )
+
+
+# wave-2 queries (LLM-data-pipeline + maintenance) register on import; the
+# circular import is benign — `register` is defined above this line.
+from hbase_bulkload_service_spark import registry_llm  # noqa: E402,F401

@@ -1,0 +1,451 @@
+"""Registry wave 2 — LLM-data-pipeline operators (dedup family, text
+analysis, similarity search, multimodal) + maintenance catalogs, each with
+a DuckDB oracle mirroring the exact same deterministic arithmetic.
+
+Portability rules used here (see registry.py for the general ones):
+- DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's
+  replace-all default;
+- hex→int is ``conv(h,16,10)`` in Spark and ``('0x'||h)::BIGINT`` in DuckDB;
+- float folds are sequential left-to-right in both engines
+  (``aggregate`` with 0.0 init vs ``list_reduce`` — IEEE-identical since
+  0.0 + x == x);
+- float outputs are floored to integer micros, never rounded (round
+  half-even vs half-up varies across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.registry import register
+from hbase_bulkload_service_spark.operators import dedup, multimodal, similarity, textops
+from hbase_bulkload_service_spark.operators import maintenance as mnt
+from hbase_bulkload_service_spark.functions.codec import epoch_millis
+from hbase_bulkload_service_spark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+NT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+DOCS_NORM_CTE = f"""
+t AS (SELECT doc_id, text, {NT} AS nt FROM documents),
+w AS (SELECT doc_id, text, nt, string_split(nt, ' ') AS ws FROM t)
+"""
+
+SHINGLES_CTE = f"""
+{DOCS_NORM_CTE},
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(ws) < 3 THEN [nt]
+                ELSE list_transform(range(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           END)) AS shingle
+  FROM w
+)
+"""
+
+
+def _occ(hay: str, needle: str) -> str:
+    """substring occurrence count — same length arithmetic as
+    textops.occurrences."""
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((length({hay}) - length(replace({hay}, '{esc}', ''))) / {len(needle)} AS INT)"
+    )
+
+
+# ===========================================================================
+# q30-q34 — exact dedup + text analysis
+# ===========================================================================
+
+@register(
+    "q30_dedup_exact",
+    f"""
+    WITH {DOCS_NORM_CTE}
+    SELECT md5(nt) AS content_md5, COUNT(*) AS copies, MIN(doc_id) AS keep_doc_id
+    FROM w GROUP BY md5(nt)
+    """,
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash group (min doc_id kept)."""
+    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q31_text_stats",
+    f"""
+    WITH {DOCS_NORM_CTE}
+    SELECT doc_id,
+           length(nt) AS n_chars_norm,
+           len(ws) AS n_tokens,
+           (length(nt) - len(ws) + 1) * 1.0 / len(ws) AS mean_token_len,
+           {_occ("text", ".")} AS n_periods,
+           {_occ("text", ",")} AS n_commas,
+           {_occ("' ' || nt || ' '", " the ")} + {_occ("' ' || nt || ' '", " a ")} AS stopword_hits,
+           ({_occ("' ' || nt || ' '", " the ")} + {_occ("' ' || nt || ' '", " a ")}) * 1.0 / len(ws)
+             AS stopword_ratio
+    FROM w
+    """,
+)
+def q31_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_stats(load(spark, sf_dir, "documents"))
+
+
+_LANG_SCORE_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, '{lang}' AS lang, "
+    + " + ".join(_occ("pt", f" {m} ") for m in markers)
+    + " AS score FROM padded"
+    for lang, markers in sorted(textops.LANG_MARKERS.items())
+    if lang != "zh"
+)
+
+
+@register(
+    "q32_lang_id",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    padded AS (SELECT doc_id, text, ' ' || nt || ' ' AS pt FROM w),
+    scores AS ({_LANG_SCORE_SQL}),
+    best AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      FROM scores
+    )
+    SELECT b.doc_id,
+           CASE WHEN octet_length(encode(d.text)) > length(d.text) * 2
+                THEN 'zh' ELSE b.lang END AS pred_lang,
+           b.score AS marker_hits
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE rn = 1
+    """,
+)
+def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q33_token_count",
+    f"""
+    WITH {DOCS_NORM_CTE}
+    SELECT doc_id,
+           len(ws) AS ws_tokens,
+           CAST(ceil(length(nt) / 4) AS BIGINT) AS bpe_est_tokens,
+           length(nt) * 1.0 / len(ws) AS chars_per_token
+    FROM w
+    """,
+)
+def q33_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q34_fingerprint",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    h AS (
+      SELECT doc_id, nt,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(nt) + 1),
+                                i -> CAST(ascii(substr(nt, i, 1)) AS BIGINT))),
+               (acc, c) -> ((acc * 31 + c) % 4294967296 + 4294967296) % 4294967296
+             ) AS hu
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS INT)
+             AS rolling_hash,
+           md5(nt) AS content_md5
+    FROM h
+    """,
+)
+def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint — same 31-fold kernel as the salting hash."""
+    return textops.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# q35-q37 — near-dup families
+# ===========================================================================
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(dedup.MINHASH_K)
+)
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2*b} || ',' || mh{2*b+1}) AS bucket FROM sig"
+    for b in range(dedup.LSH_BANDS)
+)
+
+
+@register(
+    "q35_minhash_lsh",
+    f"""
+    WITH {SHINGLES_CTE},
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+    bk AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.inter,
+           (za.n + zb.n - i.inter) AS union_n,
+           i.inter * 1.0 / (za.n + zb.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE i.inter * 1.0 / (za.n + zb.n - i.inter) >= 0.5
+    """,
+)
+def q35_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → LSH band-bucket join → exact-Jaccard verify."""
+    return dedup.minhash_lsh_neardups(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q36_ngram_jaccard",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    g AS (
+      SELECT doc_id,
+             CAST(floor(length(nt) / 50) AS INT) AS len_block,
+             unnest(list_distinct(
+               list_transform(range(1, length(nt) - 3),
+                              i -> substr(nt, i, 5)))) AS gram
+      FROM w WHERE length(nt) >= 5
+    ),
+    sizes AS (SELECT doc_id, len_block, COUNT(*) AS sz FROM g GROUP BY doc_id, len_block),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.len_block, a.sz AS na, b.sz AS nb
+      FROM sizes a JOIN sizes b ON a.len_block = b.len_block AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+      FROM pairs p
+      JOIN g ga ON ga.doc_id = p.doc_a
+      JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b, i.inter, p.na, p.nb,
+           i.inter * 1.0 / (p.na + p.nb - i.inter) AS jaccard
+    FROM pairs p JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    WHERE i.inter * 1.0 / (p.na + p.nb - i.inter) >= 0.4
+    """,
+)
+def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard within length blocks (exact near-dup)."""
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END)) >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(32)
+)
+
+
+@register(
+    "q37_simhash",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    sig AS (
+      SELECT doc_id,
+             list_transform(ws, wd -> ('0x' || substr(md5(wd), 1, 8))::BIGINT) AS hs
+      FROM w
+    )
+    SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM sig
+    """,
+)
+def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint (±1 bit votes over word hashes)."""
+    return dedup.simhash32(load(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# q38-q39 — similarity search
+# ===========================================================================
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> ({a}[i])::DOUBLE * ({b}[i])::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _duck_cos_micros(a: str, b: str) -> str:
+    return (
+        f"CAST(FLOOR({_duck_dot(a, b)} / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})) * 1000000) AS BIGINT)"
+    )
+
+
+@register(
+    "q38_embedding_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_duck_cos_micros("q.qvec", "e.embedding")} AS cos_micros
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_micros FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micros DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def q38_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (every 100th vector)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "q39_ivf_assign",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    s AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_duck_cos_micros("e.embedding", "c.cvec")} AS cos_micros
+      FROM embeddings e, c
+    )
+    SELECT vec_id, centroid_id AS cell, cos_micros FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_micros DESC, centroid_id) AS rn
+      FROM s
+    ) WHERE rn = 1
+    """,
+)
+def q39_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment (nearest pseudo-centroid per vector)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(emb, similarity.pseudo_centroids(emb))
+
+
+@register("q39b_ivf_topk")  # rows-only: search quality is recall<1 by design
+def q39b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(emb, queries, similarity.pseudo_centroids(emb))
+
+
+# ===========================================================================
+# q40-q41 — multimodal columns
+# ===========================================================================
+
+@register(
+    "q40_multimodal_features",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum_md5,
+           CAST(doc_id % 640 + 64 AS INT) AS decoded_w,
+           CAST(doc_id % 480 + 48 AS INT) AS decoded_h,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             (a, b) -> a + b) * 1.0 / octet_length(encode(text)) AS mean_luma
+    FROM documents
+    """,
+)
+def q40_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → Arrow-batched mapInPandas feature extraction
+    (decode kernel stubbed; plumbing real). ASCII corpus ⇒ byte values ==
+    codepoints, so the oracle can recompute mean_luma."""
+    media = multimodal.attach_media(load(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+@register(
+    "q41_frame_sample",
+    """
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(LEAST(64, nb - fi * 64) AS INT) AS frame_len
+    FROM (
+      SELECT doc_id, octet_length(encode(text)) AS nb,
+             unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS fi
+      FROM documents
+    )
+    """,
+)
+def q41_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque payloads — JVM-side binary slicing."""
+    media = multimodal.attach_media(load(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample(media, every_n_bytes=64)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame_bytes").alias("frame_len")
+    )
+
+
+# ===========================================================================
+# q50 — maintenance catalog queries (K3 policy over a derived region catalog)
+# ===========================================================================
+
+MAINT_NOW_MS = 1754006400000  # 2025-08-01T00:00:00Z (fixed for determinism)
+
+
+@register(
+    "q50_backup_candidates",
+    f"""
+    WITH regions AS (
+      SELECT 'r' || CAST(o_custkey % 64 AS VARCHAR) AS region_name,
+             CAST(o_custkey % 64 AS INT) AS start_bucket,
+             CAST(o_custkey % 64 AS INT) AS end_bucket,
+             MIN(epoch_ms(o_orderdate)) // 1000 AS start_time_sec,
+             MAX(epoch_ms(o_orderdate)) // 1000 AS end_time_sec,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS size_bytes
+      FROM orders GROUP BY o_custkey % 64
+    )
+    SELECT * FROM regions
+    WHERE start_bucket = end_bucket
+      AND end_time_sec * 1000 < {MAINT_NOW_MS - mnt.LONG_INTERVAL_MS}
+      AND size_bytes > {mnt.BACKUP_MIN_BYTES}
+    """,
+)
+def q50_backup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 backup qualification over a deterministic region catalog derived
+    from orders (HBaseManager.backupHFileToOSS:186-263 policy)."""
+    o = load(spark, sf_dir, "orders")
+    o = o.withColumn("od_ms", epoch_millis(o, "o_orderdate"))
+    regions = (
+        o.groupBy((F.col("o_custkey") % 64).cast("int").alias("bucket"))
+        .agg(
+            F.expr("min(od_ms) div 1000").alias("start_time_sec"),
+            F.expr("max(od_ms) div 1000").alias("end_time_sec"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("size_bytes"),
+        )
+        .select(
+            F.concat(F.lit("r"), F.col("bucket")).alias("region_name"),
+            F.col("bucket").alias("start_bucket"),
+            F.col("bucket").alias("end_bucket"),
+            "start_time_sec",
+            "end_time_sec",
+            "size_bytes",
+        )
+    )
+    return mnt.backup_candidates(regions, MAINT_NOW_MS)
