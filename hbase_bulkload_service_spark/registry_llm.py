@@ -226,26 +226,35 @@ def q35_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                               i -> substr(nt, i, 5)))) AS gram
       FROM w WHERE length(nt) >= 5
     ),
-    sizes AS (SELECT doc_id, len_block, COUNT(*) AS sz FROM g GROUP BY doc_id, len_block),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.len_block, a.sz AS na, b.sz AS nb
-      FROM sizes a JOIN sizes b ON a.len_block = b.len_block AND a.doc_id < b.doc_id
+    rare AS (
+      SELECT len_block, gram FROM g
+      GROUP BY len_block, gram HAVING COUNT(*) <= {dedup.NGRAM_DF_MAX}
     ),
+    gr AS (SELECT g.* FROM g JOIN rare USING (len_block, gram)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM gr a JOIN gr b ON a.len_block = b.len_block AND a.gram = b.gram
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
     inter AS (
-      SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
-      FROM pairs p
-      JOIN g ga ON ga.doc_id = p.doc_a
-      JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
-      GROUP BY p.doc_a, p.doc_b
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+      GROUP BY c.doc_a, c.doc_b
     )
-    SELECT p.doc_a, p.doc_b, i.inter, p.na, p.nb,
-           i.inter * 1.0 / (p.na + p.nb - i.inter) AS jaccard
-    FROM pairs p JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-    WHERE i.inter * 1.0 / (p.na + p.nb - i.inter) >= 0.4
+    SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS na, sb.sz AS nb,
+           i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.4
     """,
 )
 def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-5-gram Jaccard within length blocks (exact near-dup)."""
+    """Character-5-gram Jaccard with rare-gram blocking (df ≤ {NGRAM_DF_MAX}
+    index cap) + exact array_intersect verification."""
     return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
