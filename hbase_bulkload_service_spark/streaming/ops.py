@@ -1,0 +1,176 @@
+"""Streaming operators: windowed rollup, watermark dedup, stateful
+latest-version upsert, and a foreachBatch keyed-snapshot sink.
+
+Scale posture: every operator here is keyed state over a shuffle on the
+same keys the batch pipeline uses (rowkey/qualifier, event_type), so state
+is partitioned exactly like the batch shuffle — no skew surprises beyond
+what the batch plan already has. Watermarks bound state size; the
+stateful-latest operator stores one (version_ts, value) pair per key.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# simplified long-form cell for streaming demos/tests; the batch pipeline's
+# binary rowkey form (operators/tsdb.py) maps 1:1 — string keys keep the
+# state-schema declarations readable
+CELL_SCHEMA = "key string, qualifier string, version_ts long, value double"
+
+_LATEST_OUT_SCHEMA = CELL_SCHEMA
+_LATEST_STATE_SCHEMA = "version_ts long, value double"
+
+
+def streaming_rollup_5m(
+    events,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+):
+    """E2 streaming variant — tumbling 5-minute rollup with late-data bound.
+
+    Same output shape as the batch tsdb.rollup_5m (integer cents, epoch
+    seconds) so downstream consumers can union batch + streaming results.
+    Reference constant: 5-minute granularity of the rollup table
+    (configuration/HBaseProperties.java:24).
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "5 minutes").alias("w"), type_col)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(cents).alias("sum_value_cents"),
+            F.min(cents).alias("min_value_cents"),
+            F.max(cents).alias("max_value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_sec"),
+            type_col,
+            "cnt",
+            "sum_value_cents",
+            "min_value_cents",
+            "max_value_cents",
+        )
+    )
+
+
+def streaming_first_seen_dedup(
+    cells,
+    key_cols: tuple[str, ...] = ("key", "qualifier"),
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+):
+    """D3-adjacent streaming dedup: keep the FIRST arrival per key within
+    the watermark window (`dropDuplicatesWithinWatermark` — state expires
+    once the watermark passes, so state size is bounded by the window).
+
+    Note the semantic difference from the batch D3 (latest-version-wins,
+    TsdbBulkload.java:135-136): first-seen is the right primitive for
+    at-least-once ingestion dedup; latest-version-wins over a stream is
+    :func:`streaming_latest_version`.
+    """
+    return cells.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def _latest_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep max-version cell per key; emit only on change (upsert stream)."""
+    if state.exists:
+        cur_ts, cur_val = state.get
+    else:
+        cur_ts, cur_val = None, None
+    best_ts, best_val = cur_ts, cur_val
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        i = pdf["version_ts"].idxmax()
+        ts, val = int(pdf["version_ts"][i]), float(pdf["value"][i])
+        if best_ts is None or ts > best_ts:
+            best_ts, best_val = ts, val
+    if best_ts is not None and best_ts != cur_ts:
+        state.update((best_ts, best_val))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "qualifier": [key[1]],
+                "version_ts": [best_ts],
+                "value": [best_val],
+            }
+        )
+
+
+def streaming_latest_version(cells):
+    """D3/E1/H4 streaming variant — true latest-version-wins upsert over an
+    unbounded cell stream via `applyInPandasWithState`: one (version_ts,
+    value) state row per (key, qualifier); a change emits the new latest
+    cell downstream (= the HBase Put upsert, HBaseSerde.java:119-144, as a
+    changelog). Arrow-batched; state partitioned by the group-by keys.
+    """
+    return cells.groupBy("key", "qualifier").applyInPandasWithState(
+        _latest_fn,
+        outputStructType=_LATEST_OUT_SCHEMA,
+        stateStructType=_LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def upsert_batch_writer(path: str, key_cols: tuple[str, ...] = ("key", "qualifier")):
+    """H4/H6 sink analog for parquet fixtures: a foreachBatch function that
+    merges each micro-batch into a keyed snapshot with latest-version-wins
+    semantics (read old snapshot ∪ batch → arg-max per key → atomic swap).
+
+    The reference buffers Puts and flushes at 2 MB / 1000 rows / 1 s
+    (HBase2DynamicTableFactory.java:76-102); micro-batches ARE that buffer
+    in Structured Streaming. At scale the snapshot-rewrite becomes a
+    MERGE INTO on a table format with row-level upserts; the per-batch
+    dedup logic is identical.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keys = [F.col(c) for c in key_cols]
+        latest = (
+            batch_df.groupBy(*keys)
+            .agg(
+                F.max_by(F.struct("version_ts", "value"), F.col("version_ts")).alias(
+                    "s"
+                )
+            )
+            .select(*key_cols, "s.version_ts", "s.value")
+        )
+        if os.path.isdir(path):
+            old = spark.read.parquet(path)
+            latest = (
+                old.unionByName(latest)
+                .groupBy(*keys)
+                .agg(
+                    F.max_by(
+                        F.struct("version_ts", "value"), F.col("version_ts")
+                    ).alias("s")
+                )
+                .select(*key_cols, "s.version_ts", "s.value")
+            )
+        tmp = path + f"_tmp{batch_id}"
+        latest.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            old_dir = path + f"_old{batch_id}"
+            os.rename(path, old_dir)
+            os.rename(tmp, path)
+            shutil.rmtree(old_dir)
+        else:
+            os.rename(tmp, path)
+
+    return write

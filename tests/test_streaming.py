@@ -1,0 +1,134 @@
+"""Streaming operator tests — file-source streams with availableNow
+triggers and memory sinks; each asserts against hand-computed truth."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark import streaming as st
+
+
+def _run_to_memory(sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture()
+def cells_dir(spark, tmp_path):
+    """Two version batches of the same keys written as separate files."""
+    d = str(tmp_path / "cells")
+    rows1 = [
+        ("k1", "q1", 100, 1.0),
+        ("k1", "q1", 200, 2.0),
+        ("k2", "q1", 100, 5.0),
+    ]
+    rows2 = [
+        ("k1", "q1", 150, 9.0),  # older than current latest (200) — no-op
+        ("k2", "q1", 300, 7.0),  # newer — upsert
+    ]
+    spark.createDataFrame(rows1, st.CELL_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(rows2, st.CELL_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    return d
+
+
+def test_streaming_latest_version(spark, cells_dir):
+    stream = spark.readStream.schema(st.CELL_SCHEMA).parquet(cells_dir)
+    out = st.streaming_latest_version(stream)
+    _run_to_memory(out, "latest_cells", "update")
+    rows = {
+        (r.key, r.qualifier): (r.version_ts, r.value)
+        for r in spark.sql(
+            "SELECT key, qualifier, max_by(version_ts, version_ts) version_ts,"
+            " max_by(value, version_ts) value FROM latest_cells"
+            " GROUP BY key, qualifier"
+        ).collect()
+    }
+    assert rows[("k1", "q1")] == (200, 2.0)
+    assert rows[("k2", "q1")] == (300, 7.0)
+
+
+def test_streaming_rollup_5m(spark, tmp_path):
+    d = str(tmp_path / "events")
+    rows = [
+        ("2024-01-01 00:01:00", "click", 1.25),
+        ("2024-01-01 00:03:30", "click", 2.50),
+        ("2024-01-01 00:06:00", "click", 4.00),  # next window
+        ("2024-01-01 00:02:00", "view", 0.75),
+    ]
+    spark.createDataFrame(rows, "ts_s string, event_type string, value double") \
+        .select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value") \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(d)
+    out = st.streaming_rollup_5m(stream)
+    _run_to_memory(out, "rollup5m", "complete")
+    got = {
+        (r.window_start_sec % 86400, r.event_type): (
+            r.cnt,
+            r.sum_value_cents,
+            r.min_value_cents,
+            r.max_value_cents,
+        )
+        for r in spark.sql("SELECT * FROM rollup5m").collect()
+    }
+    assert got[(0, "click")] == (2, 375, 125, 250)
+    assert got[(300, "click")] == (1, 400, 400, 400)
+    assert got[(0, "view")] == (1, 75, 75, 75)
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    d = str(tmp_path / "dups")
+    rows = [
+        ("2024-01-01 00:00:01", "k1", "q1", 1.0),
+        ("2024-01-01 00:00:02", "k1", "q1", 2.0),  # dup key within watermark
+        ("2024-01-01 00:00:03", "k2", "q1", 3.0),
+    ]
+    spark.createDataFrame(rows, "t string, key string, qualifier string, value double") \
+        .select(F.to_timestamp("t").alias("event_time"), "key", "qualifier", "value") \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "event_time timestamp, key string, qualifier string, value double"
+    ).parquet(d)
+    out = st.streaming_first_seen_dedup(stream)
+    _run_to_memory(out, "dedup_stream", "append")
+    rows = spark.sql("SELECT key, qualifier FROM dedup_stream").collect()
+    assert sorted((r.key, r.qualifier) for r in rows) == [("k1", "q1"), ("k2", "q1")]
+
+
+def test_upsert_batch_writer(spark, tmp_path):
+    path = str(tmp_path / "snapshot")
+    writer = st.upsert_batch_writer(path)
+    b1 = spark.createDataFrame(
+        [("k1", "q1", 100, 1.0), ("k1", "q1", 200, 2.0), ("k2", "q1", 100, 5.0)],
+        st.CELL_SCHEMA,
+    )
+    writer(b1, 0)
+    b2 = spark.createDataFrame(
+        [("k1", "q1", 150, 9.0), ("k2", "q1", 300, 7.0), ("k3", "q2", 50, 0.5)],
+        st.CELL_SCHEMA,
+    )
+    writer(b2, 1)
+    snap = {
+        (r.key, r.qualifier): (r.version_ts, r.value)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert snap == {
+        ("k1", "q1"): (200, 2.0),
+        ("k2", "q1"): (300, 7.0),
+        ("k3", "q2"): (50, 0.5),
+    }
+    assert not os.path.isdir(path + "_tmp1")
