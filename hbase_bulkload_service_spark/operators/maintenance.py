@@ -114,6 +114,47 @@ def backup_candidates(
     return out
 
 
+def removal_plan(regions: DataFrame, backup_status: DataFrame) -> DataFrame:
+    """K4 — remove backed-up regions (HBaseManager.removeBackupedHFile
+    :268-288 + deleteRegions :462-513): a region is removable once its
+    backup job reports SUCCEEDED. Join the catalog to the job-status table;
+    the physical delete + merge-away of the emptied region is the caller's
+    partition-drop action.
+
+    backup_status: (region_name STRING, status STRING).
+    """
+    ok = backup_status.filter(F.col("status") == "SUCCEEDED").select("region_name")
+    return regions.join(ok, "region_name")
+
+
+def restore_plan(backups: DataFrame, live_regions: DataFrame) -> DataFrame:
+    """K5/K6 — restore grafting (HbaseRepairRunner.java:41-121): each
+    backed-up region's HFiles are copied into the live region whose key
+    range covers the backup's bucket. K6 bucket mapping (:54-67) is the
+    2-byte-prefix parse — here the catalog carries buckets directly, so the
+    graft is an equi-range join: backup.bucket ∈ [live.start, live.end].
+
+    backups:      (backup_name STRING, bucket INT, size_bytes BIGINT)
+    live_regions: (region_name STRING, start_bucket INT, end_bucket INT)
+    → one row per backup with its target region (inner: a backup whose
+    bucket no live region covers is surfaced by the caller as an error,
+    like the reference's missing-region log).
+    """
+    cond = (F.col("b.bucket") >= F.col("r.start_bucket")) & (
+        F.col("b.bucket") <= F.col("r.end_bucket")
+    )
+    return (
+        backups.alias("b")
+        .join(live_regions.alias("r"), cond)
+        .select(
+            "b.backup_name",
+            "b.bucket",
+            "b.size_bytes",
+            F.col("r.region_name").alias("target_region"),
+        )
+    )
+
+
 def split_keys(bucket_count: int = 512, step: int = 1) -> list[bytes]:
     """K1/D4 — pre-split boundaries: 2-byte prefixes i*step for i in
     1..(bucket_count/step - 1) (HBaseManager.getSplitKeys:351-368; step 8

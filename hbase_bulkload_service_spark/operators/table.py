@@ -135,6 +135,23 @@ def lookup_join(
 
 
 # ---------------------------------------------------------------------------
+# H5 — delete mutation
+# ---------------------------------------------------------------------------
+
+def delete_rows(htable: DataFrame, keys: DataFrame, key_col: str = "rowkey") -> DataFrame:
+    """H5 delete-mutation analog (HBaseSerde.createDeleteMutation:151-173:
+    delete every declared qualifier for a key — i.e. the whole logical row).
+    Over an immutable snapshot that is an anti-join: keep rows whose key is
+    NOT in the delete set (`MERGE … WHEN MATCHED THEN DELETE` semantics).
+
+    Scale: broadcast the (typically small) delete-key set; a huge delete set
+    becomes a shuffled left-anti join on the bucketed key."""
+    return htable.join(
+        F.broadcast(keys.select(F.col(key_col))), key_col, "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
 # A4/A5 decode + H4 encode — nested rows ↔ long-form cells
 # ---------------------------------------------------------------------------
 

@@ -452,6 +452,36 @@ def q08_htable_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q16_delete_rows",
+    f"""
+    WITH {HTABLE_CTE}
+    SELECT rowkey, c_name AS f1_c_name, n_name AS f2_n_name
+    FROM htable h
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer d
+      WHERE d.c_custkey % 7 = 0 AND lpad(CAST(d.c_custkey AS VARCHAR), 12, '0') = h.rowkey
+    )
+    """,
+)
+def q16_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 — delete mutation (HBaseSerde.createDeleteMutation:151-173) as a
+    broadcast left-anti join over the snapshot."""
+    from hbase_bulkload_service_spark.operators import table as tbl
+
+    ht = tbl.build_htable(spark, sf_dir)
+    doomed = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(tbl.rowkey_of_custkey(F.col("c_custkey")).alias("rowkey"))
+    )
+    return tbl.delete_rows(ht, doomed).select(
+        "rowkey",
+        F.col("f1.c_name").alias("f1_c_name"),
+        F.col("f2.n_name").alias("f2_n_name"),
+    )
+
+
+@register(
     "q09_cells_roundtrip",
     f"""
     WITH {HTABLE_CTE}

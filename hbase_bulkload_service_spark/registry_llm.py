@@ -418,6 +418,29 @@ def q41_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAINT_NOW_MS = 1754006400000  # 2025-08-01T00:00:00Z (fixed for determinism)
 
 
+def _derived_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic region catalog derived from orders (shared by the
+    maintenance-policy queries)."""
+    o = load(spark, sf_dir, "orders")
+    o = o.withColumn("od_ms", epoch_millis(o, "o_orderdate"))
+    return (
+        o.groupBy((F.col("o_custkey") % 64).cast("int").alias("bucket"))
+        .agg(
+            F.expr("min(od_ms) div 1000").alias("start_time_sec"),
+            F.expr("max(od_ms) div 1000").alias("end_time_sec"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("size_bytes"),
+        )
+        .select(
+            F.concat(F.lit("r"), F.col("bucket")).alias("region_name"),
+            F.col("bucket").alias("start_bucket"),
+            F.col("bucket").alias("end_bucket"),
+            "start_time_sec",
+            "end_time_sec",
+            "size_bytes",
+        )
+    )
+
+
 @register(
     "q50_backup_candidates",
     f"""
@@ -439,22 +462,80 @@ MAINT_NOW_MS = 1754006400000  # 2025-08-01T00:00:00Z (fixed for determinism)
 def q50_backup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 backup qualification over a deterministic region catalog derived
     from orders (HBaseManager.backupHFileToOSS:186-263 policy)."""
-    o = load(spark, sf_dir, "orders")
-    o = o.withColumn("od_ms", epoch_millis(o, "o_orderdate"))
-    regions = (
-        o.groupBy((F.col("o_custkey") % 64).cast("int").alias("bucket"))
-        .agg(
-            F.expr("min(od_ms) div 1000").alias("start_time_sec"),
-            F.expr("max(od_ms) div 1000").alias("end_time_sec"),
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("size_bytes"),
-        )
-        .select(
-            F.concat(F.lit("r"), F.col("bucket")).alias("region_name"),
-            F.col("bucket").alias("start_bucket"),
-            F.col("bucket").alias("end_bucket"),
-            "start_time_sec",
-            "end_time_sec",
-            "size_bytes",
-        )
+    return mnt.backup_candidates(_derived_regions(spark, sf_dir), MAINT_NOW_MS)
+
+
+@register(
+    "q51_removal_plan",
+    f"""
+    WITH regions AS (
+      SELECT 'r' || CAST(o_custkey % 64 AS VARCHAR) AS region_name,
+             CAST(o_custkey % 64 AS INT) AS start_bucket,
+             CAST(o_custkey % 64 AS INT) AS end_bucket,
+             MIN(epoch_ms(o_orderdate)) // 1000 AS start_time_sec,
+             MAX(epoch_ms(o_orderdate)) // 1000 AS end_time_sec,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS size_bytes
+      FROM orders GROUP BY o_custkey % 64
+    ),
+    status AS (
+      SELECT region_name,
+             CASE WHEN start_bucket % 3 = 0 THEN 'SUCCEEDED'
+                  WHEN start_bucket % 3 = 1 THEN 'RUNNING'
+                  ELSE 'FAILED' END AS status
+      FROM regions
     )
-    return mnt.backup_candidates(regions, MAINT_NOW_MS)
+    SELECT r.* FROM regions r JOIN status s USING (region_name)
+    WHERE s.status = 'SUCCEEDED'
+    """,
+)
+def q51_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — backed-up-region removal plan (HBaseManager.removeBackupedHFile
+    :268-288): joins the catalog to a deterministic DistCp status table."""
+    regions = _derived_regions(spark, sf_dir)
+    status = regions.select(
+        "region_name",
+        F.element_at(
+            F.array(F.lit("SUCCEEDED"), F.lit("RUNNING"), F.lit("FAILED")),
+            (F.col("start_bucket") % 3 + 1).cast("int"),
+        ).alias("status"),
+    )
+    return mnt.removal_plan(regions, status)
+
+
+@register(
+    "q52_restore_plan",
+    f"""
+    WITH regions AS (
+      SELECT 'r' || CAST(o_custkey % 64 AS VARCHAR) AS region_name,
+             CAST(o_custkey % 64 AS INT) AS start_bucket,
+             CAST(o_custkey % 64 AS INT) AS end_bucket,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS size_bytes
+      FROM orders GROUP BY o_custkey % 64
+    ),
+    live AS (
+      SELECT 'live' || CAST(g AS VARCHAR) AS region_name,
+             CAST(g * 8 AS INT) AS start_bucket,
+             CAST(g * 8 + 7 AS INT) AS end_bucket
+      FROM (SELECT unnest(range(0, 8)) AS g)
+    )
+    SELECT 'b_' || r.region_name AS backup_name, r.start_bucket AS bucket,
+           r.size_bytes, l.region_name AS target_region
+    FROM regions r JOIN live l
+      ON r.start_bucket >= l.start_bucket AND r.start_bucket <= l.end_bucket
+    """,
+)
+def q52_restore_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5/K6 — restore grafting plan (HbaseRepairRunner.java:41-121): map
+    each backup's bucket to the live region whose range covers it."""
+    regions = _derived_regions(spark, sf_dir)
+    backups = regions.select(
+        F.concat(F.lit("b_"), F.col("region_name")).alias("backup_name"),
+        F.col("start_bucket").alias("bucket"),
+        "size_bytes",
+    )
+    live = spark.range(8).select(
+        F.concat(F.lit("live"), F.col("id")).alias("region_name"),
+        (F.col("id") * 8).cast("int").alias("start_bucket"),
+        (F.col("id") * 8 + 7).cast("int").alias("end_bucket"),
+    )
+    return mnt.restore_plan(backups, live)
