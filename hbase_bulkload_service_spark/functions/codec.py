@@ -176,6 +176,29 @@ def floor_to_hour_ms(ts_ms: Column) -> Column:
     return ts_ms - ts_ms % F.lit(3600 * 1000)
 
 
+def ts_at_most_ms(df, colname: str, ms: int) -> Column:
+    """Pushdown-friendly ``col <= epoch-millis`` predicate on a timestamp
+    column: compares against a typed timestamp literal instead of wrapping
+    the column in epoch arithmetic (a wrapped column defeats parquet
+    row-group pruning — the scan would push only IsNotNull).
+
+    NTZ columns compare wall-clock-as-UTC (same convention as
+    :func:`epoch_millis`); LTZ columns compare in absolute time. Both are
+    session-timezone-proof.
+    """
+    import datetime as _dt
+
+    from pyspark.sql.types import TimestampNTZType
+
+    dt = df.schema[colname].dataType
+    naive_utc = _dt.datetime.fromtimestamp(ms / 1000, tz=_dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    if isinstance(dt, TimestampNTZType):
+        return F.col(colname) <= F.lit(naive_utc).cast("timestamp_ntz")
+    return F.col(colname) <= F.timestamp_millis(F.lit(ms))
+
+
 def epoch_millis(df, colname: str) -> Column:
     """Timezone-proof epoch-millis of a timestamp column.
 

@@ -24,6 +24,7 @@ from hbase_bulkload_service_spark.functions.codec import (
     decode_double_be,
     decode_int_be,
     epoch_millis,
+    ts_at_most_ms,
 )
 from hbase_bulkload_service_spark.operators import tsdb
 from hbase_bulkload_service_spark.plans.jobs import time_slices
@@ -131,12 +132,14 @@ SLICE_INTERVAL_MS = 7 * 24 * 3600 * 1000
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship scan+aggregate (Q1-style pricing summary).
 
-    Catalyst plan: parquet scan with pushed timestamp filter + column
-    pruning → partial hash agg → final hash agg. No custom code.
+    Catalyst plan: parquet scan with the shipdate range PUSHED to the scan
+    (typed-literal comparison — wrapping the column in epoch arithmetic
+    would defeat row-group pruning) + column pruning → partial hash agg →
+    final hash agg. No custom code.
     """
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.filter(epoch_millis(li, "l_shipdate") <= F.lit(904694400000))  # 1998-09-02Z
+        li.filter(ts_at_most_ms(li, "l_shipdate", 904694400000))  # 1998-09-02Z
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),

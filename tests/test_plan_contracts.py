@@ -1,0 +1,79 @@
+"""Physical-plan contracts — assert the plan SHAPE, not just the result:
+filters reach the parquet scan, projections prune the read schema, small
+dims broadcast, the bulkload sink sees range-partitioned sorted input.
+These are the properties that decide 100 TB behavior; a regression here
+can stay invisible at test scale."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_point_get_filter_pushed(spark):
+    plan = formatted_plan(registry.QUERIES["q04_point_get"](spark, SF_DIR))
+    assert re.search(r"PushedFilters:.*EqualTo\(c_custkey,42\)", plan), plan
+
+
+def test_pricing_summary_range_pushed_and_pruned(spark):
+    plan = formatted_plan(registry.QUERIES["q01_pricing_summary"](spark, SF_DIR))
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan), plan
+    m = re.search(r"ReadSchema: (.*)", plan)
+    # 7 referenced columns, not the full 16-column lineitem schema
+    assert m and m.group(1).count(":") == 7, m.group(1) if m else plan
+
+
+def test_lookup_join_broadcasts_and_pushes_both_sides(spark):
+    plan = formatted_plan(registry.QUERIES["q05_lookup_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters:.*LessThan\(c_custkey,500\)", plan)
+    # the dim filter propagates to the probe side through join inference
+    assert re.search(r"PushedFilters:.*LessThan\(o_custkey,500\)", plan)
+
+
+def test_htable_scan_prunes_to_referenced_leaves(spark):
+    plan = formatted_plan(registry.QUERIES["q06_htable_scan_project"](spark, SF_DIR))
+    read_schemas = re.findall(r"ReadSchema: (.*)", plan)
+    joined = " ".join(read_schemas)
+    assert "c_acctbal" not in joined  # unreferenced qualifier not read
+    assert "c_mktsegment" not in joined
+
+
+def test_revenue_query_broadcasts_small_dim(spark):
+    plan = formatted_plan(registry.QUERIES["q02_revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bulkload_kv_is_range_partitioned_and_sorted(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+    from hbase_bulkload_service_spark.sources.tables import load_events
+
+    kv = tsdb.bulkload_kv(tsdb.derive_tsdb_cells(load_events(spark, SF_DIR)))
+    plan = formatted_plan(kv)
+    # final layout: range exchange on (bucket, key_hex, qualifier_hex) …
+    assert re.search(
+        r"rangepartitioning\(bucket#\d+ ASC NULLS FIRST, key_hex#\d+ ASC", plan
+    ), plan
+    # … with a partition-local sort on the same keys directly above it
+    assert re.search(
+        r"\[bucket#\d+ ASC NULLS FIRST, key_hex#\d+ ASC NULLS FIRST, "
+        r"qualifier_hex#\d+ ASC NULLS FIRST\], false", plan
+    ), plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = formatted_plan(registry.QUERIES["q03_topk_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
