@@ -101,6 +101,39 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold_micros: int,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family, north star):
+    all (a, b) with a < b and cosine >= threshold.
+
+    Scale path: block by IVF cell (nearest centroid) so the O(n²) pair
+    space becomes per-cell — an equi-join on cell id (one shuffle keyed by
+    cell) followed by an exact cosine verify inside each cell. With
+    centroids=None the exact brute-force baseline runs instead (cross
+    product — validation-scale only). Blocking misses cross-cell pairs
+    (the standard ANN recall trade); raise the centroid count or assign
+    to multiple cells to buy recall with cost."""
+    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    if centroids is not None:
+        assign = ivf_assign(embeddings, centroids).select(id_col, "cell")
+        a = a.join(assign.withColumnRenamed(id_col, "vec_a"), "vec_a")
+        b = b.join(assign.withColumnRenamed(id_col, "vec_b"), "vec_b")
+        pairs = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        cosine_micros(F.col("va"), F.col("vb")).alias("cos_micros"),
+    ).filter(F.col("cos_micros") >= threshold_micros)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

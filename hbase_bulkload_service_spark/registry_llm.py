@@ -351,6 +351,46 @@ def q39_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_assign(emb, similarity.pseudo_centroids(emb))
 
 
+NEARDUP_THRESHOLD_MICROS = 350000  # calibrated to the synthetic corpus
+                                   # (max pairwise cos ≈ 0.51, p99.9 ≈ 0.38)
+
+
+@register(
+    "q42_cosine_neardup",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    s AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_duck_cos_micros("e.embedding", "c.cvec")} AS cm
+      FROM embeddings e, c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cm DESC, centroid_id) AS rn
+        FROM s
+      ) WHERE rn = 1
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_duck_cos_micros("ea.embedding", "eb.embedding")} AS cos_micros
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ) WHERE cos_micros >= {NEARDUP_THRESHOLD_MICROS}
+    """,
+)
+def q42_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-cell-blocked (the dedup-family
+    scale path: equi-join on cell instead of an O(n²) cross product)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(
+        emb, NEARDUP_THRESHOLD_MICROS, similarity.pseudo_centroids(emb)
+    )
+
+
 @register("q39b_ivf_topk")  # rows-only: search quality is recall<1 by design
 def q39b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -500,6 +540,117 @@ def q51_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("status"),
     )
     return mnt.removal_plan(regions, status)
+
+
+MERGE_NOW_MS = 946684800000  # 2000-01-01Z: hot window covers the order dates
+
+# the three deterministic size classes exercise every branch of the K2 walk:
+# 50 MB (< lowerSize -> pending/absorbed), 1 GB (in-window merge candidate),
+# 6 GB (> upperSize -> resets the pending region)
+_SIZE_CLASSES = (50_000_000, 1_000_000_000, 6_000_000_000)
+
+_MERGE_REGIONS_SQL = f"""
+  SELECT 'r' || CAST(o_custkey % 64 AS VARCHAR) AS region_name,
+         CAST(o_custkey % 64 AS INT) AS start_bucket,
+         CAST(o_custkey % 64
+              + CASE WHEN (o_custkey % 64) % 11 = 5 THEN 1 ELSE 0 END AS INT)
+           AS end_bucket,
+         MIN(epoch_ms(o_orderdate)) // 1000 AS start_time_sec,
+         MAX(epoch_ms(o_orderdate)) // 1000 AS end_time_sec,
+         [{_SIZE_CLASSES[0]}, {_SIZE_CLASSES[1]}, {_SIZE_CLASSES[2]}]
+           [CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) % 3 + 1 AS INT)]
+           AS size_bytes
+  FROM orders GROUP BY o_custkey % 64
+"""
+
+# one step of the HBaseManager.mergeSmallRegion walk, as shared CASE arms:
+# branch order mirrors maintenance.plan_merges exactly.
+_W_CROSS = "o.start_bucket != o.end_bucket"
+_W_ADOPT_SMALL = f"w.a_name IS NULL AND o.size_bytes < {mnt.LOWER_SIZE}"
+_W_MERGE_PENDING = f"w.a_name IS NOT NULL AND w.a_size < {mnt.LOWER_SIZE}"
+_W_RESET = (
+    f"o.end_time_sec * 1000 < {MERGE_NOW_MS - mnt.LONG_INTERVAL_MS} "
+    f"OR o.start_time_sec * 1000 > {MERGE_NOW_MS - mnt.SHORT_INTERVAL_MS} "
+    f"OR o.size_bytes > {mnt.UPPER_SIZE}"
+)
+
+
+def _walk_case(on_cross, on_adopt, on_merge, on_reset, on_a_null, on_else) -> str:
+    return f"""CASE WHEN {_W_CROSS} THEN {on_cross}
+         WHEN {_W_ADOPT_SMALL} THEN {on_adopt}
+         WHEN {_W_MERGE_PENDING} THEN {on_merge}
+         WHEN {_W_RESET} THEN {on_reset}
+         WHEN w.a_name IS NULL THEN {on_a_null}
+         ELSE {on_else} END"""
+
+
+@register(
+    "q53_merge_plan",
+    f"""
+    WITH RECURSIVE regions AS ({_MERGE_REGIONS_SQL}),
+    ordered AS (
+      SELECT *, row_number() OVER (ORDER BY start_bucket) AS rn FROM regions
+    ),
+    walk(rn, a_name, a_size, merge_a, merge_b) AS (
+      SELECT 0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      UNION ALL
+      SELECT o.rn,
+        {_walk_case("NULL", "o.region_name", "NULL", "NULL", "o.region_name", "NULL")},
+        {_walk_case("NULL", "o.size_bytes", "NULL", "NULL", "o.size_bytes", "NULL")},
+        {_walk_case("NULL", "NULL", "w.a_name", "NULL", "NULL", "w.a_name")},
+        {_walk_case("NULL", "NULL", "o.region_name", "NULL", "NULL", "o.region_name")}
+      FROM walk w JOIN ordered o ON o.rn = w.rn + 1
+    )
+    SELECT merge_a AS region_a, merge_b AS region_b
+    FROM walk WHERE merge_a IS NOT NULL
+    """,
+)
+def q53_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 — adjacent-region merge plan (HBaseManager.mergeSmallRegion:75-181)
+    over a deterministic catalog derived from orders. The walk itself is a
+    sequential state machine over the *region catalog* — metadata, O(regions)
+    rows (thousands at 100 TB), so it runs driver-side after a distributed
+    catalog aggregation; the oracle mirrors it with a recursive CTE."""
+    o = load(spark, sf_dir, "orders")
+    o = o.withColumn("od_ms", epoch_millis(o, "o_orderdate"))
+    catalog = (
+        o.groupBy((F.col("o_custkey") % 64).cast("int").alias("bucket"))
+        .agg(
+            F.expr("min(od_ms) div 1000").alias("start_time_sec"),
+            F.expr("max(od_ms) div 1000").alias("end_time_sec"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.concat(F.lit("r"), F.col("bucket")).alias("region_name"),
+            F.col("bucket").alias("start_bucket"),
+            (
+                F.col("bucket")
+                + F.when(F.col("bucket") % 11 == 5, 1).otherwise(0)
+            ).cast("int").alias("end_bucket"),
+            "start_time_sec",
+            "end_time_sec",
+            F.element_at(
+                F.array(*[F.lit(s) for s in _SIZE_CLASSES]),
+                (F.col("sum_cents") % 3 + 1).cast("int"),
+            ).alias("size_bytes"),
+        )
+        .orderBy("start_bucket")
+        .collect()
+    )
+    regions = [
+        mnt.Region(
+            r.region_name,
+            r.start_bucket,
+            r.end_bucket,
+            r.start_time_sec,
+            r.end_time_sec,
+            r.size_bytes,
+        )
+        for r in catalog
+    ]
+    merges = mnt.plan_merges(regions, MERGE_NOW_MS)
+    return spark.createDataFrame(merges, "region_a string, region_b string")
 
 
 @register(
