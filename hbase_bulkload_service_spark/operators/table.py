@@ -59,8 +59,8 @@ def rowkey_of_custkey(custkey: Column) -> Column:
     return F.lpad(custkey.cast("string"), 12, "0")
 
 
-def build_htable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
+def build_htable(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    c = load(spark, sf_dir, "customer", spread=spread)
     n = load(spark, sf_dir, "nation")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -149,6 +149,25 @@ def delete_rows(htable: DataFrame, keys: DataFrame, key_col: str = "rowkey") -> 
     return htable.join(
         F.broadcast(keys.select(F.col(key_col))), key_col, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# H4 — upsert Put mutation
+# ---------------------------------------------------------------------------
+
+def upsert_rows(htable: DataFrame, puts: DataFrame, key_col: str = "rowkey") -> DataFrame:
+    """H4 upsert-Put analog (HBaseSerde.createPutMutation:119-144: a Put
+    writes *every declared qualifier*, so at row granularity an applied
+    batch replaces the whole row for matched keys and inserts new keys —
+    HBase Put IS upsert).
+
+    Over an immutable snapshot: anti-join out replaced keys, then union the
+    put batch (`MERGE … WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT`).
+    Scale: broadcast the put-batch keys when the batch is small (the common
+    ingest case); a bulk batch becomes a shuffled anti-join on the bucketed
+    key, and on a row-level-upsert table format this is a native MERGE."""
+    keys = puts.select(key_col)
+    return htable.join(F.broadcast(keys), key_col, "left_anti").unionByName(puts)
 
 
 # ---------------------------------------------------------------------------

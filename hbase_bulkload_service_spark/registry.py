@@ -269,7 +269,7 @@ def q05_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_salt_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 — bit-exact Java Arrays.hashCode salting (TsdbBulkload.java:81-114)."""
-    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir))
+    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
     salted = tsdb.with_salt(cells)
     return salted.select("metric_id", "tags", "bucket").distinct()
 
@@ -296,7 +296,7 @@ def q11_latest_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the *binary* rowkey/qualifier/value codecs and decoded back —
     exercises I1/I5 end-to-end. Same-version collisions are collapsed
     deterministically (max value) first."""
-    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir))
+    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
     c1 = cells.groupBy("rowkey", "qualifier", "version_ts").agg(
         F.max("dvalue").alias("dvalue")
     )
@@ -485,6 +485,57 @@ def q16_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15_upsert_put",
+    f"""
+    WITH {HTABLE_CTE},
+    puts AS (
+      SELECT lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS rowkey,
+             c_name, c_acctbal + 1000.0 AS c_acctbal, c_nationkey,
+             n_name, 'UPSERTED' AS c_mktsegment
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey % 10 = 0
+    ),
+    merged AS (
+      SELECT * FROM htable h
+      WHERE NOT EXISTS (SELECT 1 FROM puts p WHERE p.rowkey = h.rowkey)
+      UNION ALL
+      SELECT * FROM puts
+    )
+    SELECT rowkey, c_name AS f1_c_name,
+           CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS f1_acctbal_cents,
+           c_mktsegment AS f2_mktseg
+    FROM merged
+    """,
+)
+def q15_upsert_put(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 — upsert Put mutation batch (HBaseSerde.createPutMutation:119-144)
+    applied to a snapshot: matched keys replaced whole-row, new values win."""
+    from hbase_bulkload_service_spark.operators import table as tbl
+
+    ht = tbl.build_htable(spark, sf_dir)
+    puts = ht.filter(
+        F.col("rowkey").cast("long") % 10 == 0
+    ).select(
+        "rowkey",
+        F.struct(
+            F.col("f1.c_name").alias("c_name"),
+            (F.col("f1.c_acctbal") + 1000.0).alias("c_acctbal"),
+            F.col("f1.c_nationkey").alias("c_nationkey"),
+        ).alias("f1"),
+        F.struct(
+            F.col("f2.n_name").alias("n_name"),
+            F.lit("UPSERTED").alias("c_mktsegment"),
+        ).alias("f2"),
+    )
+    return tbl.upsert_rows(ht, puts).select(
+        "rowkey",
+        F.col("f1.c_name").alias("f1_c_name"),
+        cents(F.col("f1.c_acctbal")).alias("f1_acctbal_cents"),
+        F.col("f2.c_mktsegment").alias("f2_mktseg"),
+    )
+
+
+@register(
     "q09_cells_roundtrip",
     f"""
     WITH {HTABLE_CTE}
@@ -500,7 +551,7 @@ def q09_cells_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip every declared type on real data."""
     from hbase_bulkload_service_spark.operators import table as tbl
 
-    ht = tbl.build_htable(spark, sf_dir)
+    ht = tbl.build_htable(spark, sf_dir, spread=True)
     cells = tbl.encode_htable_cells(ht, tbl.HTABLE_SCHEMA)
     back = tbl.decode_cells_htable(cells, tbl.HTABLE_SCHEMA)
     return back.select(

@@ -72,7 +72,7 @@ def _occ(hay: str, needle: str) -> str:
 )
 def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash group (min doc_id kept)."""
-    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
+    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents", spread=True))
 
 
 @register(
@@ -92,7 +92,7 @@ def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q31_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.text_stats(load(spark, sf_dir, "documents"))
+    return textops.text_stats(load(spark, sf_dir, "documents", spread=True))
 
 
 _LANG_SCORE_SQL = " UNION ALL ".join(
@@ -124,7 +124,7 @@ _LANG_SCORE_SQL = " UNION ALL ".join(
     """,
 )
 def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.lang_id(load(spark, sf_dir, "documents"))
+    return textops.lang_id(load(spark, sf_dir, "documents", spread=True))
 
 
 @register(
@@ -139,7 +139,7 @@ def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q33_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.token_counts(load(spark, sf_dir, "documents"))
+    return textops.token_counts(load(spark, sf_dir, "documents", spread=True))
 
 
 @register(
@@ -165,7 +165,7 @@ def q33_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint — same 31-fold kernel as the salting hash."""
-    return textops.fingerprint(load(spark, sf_dir, "documents"))
+    return textops.fingerprint(load(spark, sf_dir, "documents", spread=True))
 
 
 # ===========================================================================
@@ -211,7 +211,7 @@ _BANDS_SQL = " UNION ALL ".join(
 )
 def q35_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → LSH band-bucket join → exact-Jaccard verify."""
-    return dedup.minhash_lsh_neardups(load(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_neardups(load(spark, sf_dir, "documents", spread=True))
 
 
 @register(
@@ -255,7 +255,7 @@ def q35_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard with rare-gram blocking (df ≤ {NGRAM_DF_MAX}
     index cap) + exact array_intersect verification."""
-    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents", spread=True))
 
 
 _SIMHASH_BITS_SQL = " + ".join(
@@ -279,7 +279,7 @@ _SIMHASH_BITS_SQL = " + ".join(
 )
 def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint (±1 bit votes over word hashes)."""
-    return dedup.simhash32(load(spark, sf_dir, "documents"))
+    return dedup.simhash32(load(spark, sf_dir, "documents", spread=True))
 
 
 # ===========================================================================
@@ -320,7 +320,7 @@ def _duck_cos_micros(a: str, b: str) -> str:
 )
 def q38_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector (every 100th vector)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -347,7 +347,7 @@ def q38_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q39_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell assignment (nearest pseudo-centroid per vector)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     return similarity.ivf_assign(emb, similarity.pseudo_centroids(emb))
 
 
@@ -385,7 +385,7 @@ NEARDUP_THRESHOLD_MICROS = 350000  # calibrated to the synthetic corpus
 def q42_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-cell-blocked (the dedup-family
     scale path: equi-join on cell instead of an O(n²) cross product)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     return similarity.cosine_neardup_pairs(
         emb, NEARDUP_THRESHOLD_MICROS, similarity.pseudo_centroids(emb)
     )
@@ -393,7 +393,7 @@ def q42_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q39b_ivf_topk")  # rows-only: search quality is recall<1 by design
 def q39b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -426,7 +426,7 @@ def q40_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched mapInPandas feature extraction
     (decode kernel stubbed; plumbing real). ASCII corpus ⇒ byte values ==
     codepoints, so the oracle can recompute mean_luma."""
-    media = multimodal.attach_media(load(spark, sf_dir, "documents"))
+    media = multimodal.attach_media(load(spark, sf_dir, "documents", spread=True))
     return multimodal.extract_features(media)
 
 
@@ -444,7 +444,7 @@ def q40_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q41_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over opaque payloads — JVM-side binary slicing."""
-    media = multimodal.attach_media(load(spark, sf_dir, "documents"))
+    media = multimodal.attach_media(load(spark, sf_dir, "documents", spread=True))
     frames = multimodal.frame_sample(media, every_n_bytes=64)
     return frames.select(
         "doc_id", "frame_idx", F.octet_length("frame_bytes").alias("frame_len")

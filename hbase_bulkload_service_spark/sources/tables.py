@@ -27,21 +27,41 @@ TABLES = (
 )
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # parquet reader rejects; read nanos as raw long instead.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return spread_scan(df) if spread else df
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Normalize scan granularity before CPU-heavy downstream stages.
+
+    A parquet scan parallelizes at row-group granularity; a table written
+    as a single row group (the testdata fixtures) plans ONE input
+    partition, serializing every downstream codec/hash/UDF stage no matter
+    how many cores the session has. When the scan yields fewer partitions
+    than half the cores, redistribute round-robin once. On a cluster
+    reading 100 TB the scan already yields far more splits than cores and
+    this is a no-op — the exchange only fires in the degenerate
+    small-file case it exists to fix. Filter pushdown is unaffected:
+    Catalyst pushes predicates below a round-robin repartition, so pinned
+    `PushedFilters` contracts still hold (tests/test_plan_contracts.py)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 > cores:
+        return df
+    return df.repartition(cores)
+
+
+def load_events(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
     """events with a normalized ``ts_ms`` epoch-millis column, robust to the
     session's parquet timestamp representation (nanos-as-long, NTZ, LTZ)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    df = load(spark, sf_dir, "events")
+    df = load(spark, sf_dir, "events", spread=spread)
     dt = df.schema["ts"].dataType
     if isinstance(dt, LongType):
         ts_ms = F.expr("ts div 1000000")
