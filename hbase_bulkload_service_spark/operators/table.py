@@ -17,7 +17,7 @@ storage.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -132,6 +132,71 @@ def lookup_join(
     return probe.join(
         F.broadcast(htable), probe[probe_key] == htable["rowkey"], how
     )
+
+
+# ---------------------------------------------------------------------------
+# F1 upgrade — event-time as-of join
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Event-time as-of join: each probe row picks the build row with the
+    greatest ``ts`` ≤ the probe's ``ts`` for the same ``key`` (inclusive),
+    left semantics (unmatched probes keep nulls).
+
+    The reference's lookup join is processing-time `FOR SYSTEM_TIME AS OF`
+    (HBaseRowDataLookupFunction.java:76-86 — a point Get per probe row);
+    this is the event-time generalization Spark lacks as a built-in.
+
+    Spark-first composition, NOT a range join: tag build rows 0 / probe
+    rows 1, union on (key, ts), and take a running
+    ``last(build_payload, ignorenulls)`` over
+    ``partitionBy(key).orderBy(ts, tag)``. ONE shuffle on the join key and
+    a partition-local sort — linear at 100 TB, no O(probe × build)
+    candidate blowup, skew profile identical to any keyed shuffle (salt the
+    hot keys if needed). The (ts, tag) sort order makes equal timestamps
+    match inclusively, exactly like an ANSI/DuckDB ``ASOF JOIN … ON
+    probe.ts >= build.ts``.
+
+    Build rows sharing (key, ts) are collapsed deterministically first
+    (field-order struct max) so the match is unique."""
+    payload = F.struct(
+        F.col(ts).alias(f"{prefix}{ts}"),
+        *[
+            F.col(c).alias(f"{prefix}{c}")
+            for c in build.columns
+            if c not in (key, ts)
+        ],
+    )
+    b = (
+        build.select(F.col(key), F.col(ts), payload.alias("__b"))
+        .groupBy(key, ts)
+        .agg(F.max("__b").alias("__b"))
+        .withColumn("__tag", F.lit(0))
+    )
+    p = probe.withColumn("__b", F.lit(None).cast(b.schema["__b"].dataType)).withColumn(
+        "__tag", F.lit(1)
+    )
+    for c in probe.columns:
+        if c not in (key, ts):
+            b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
+    u = b.select(*p.columns).unionByName(p)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__b", ignorenulls=True).over(w))
+    out_cols = [c for c in probe.columns] + [
+        F.col(f"__m.{f.name}").alias(f.name)
+        for f in b.schema["__b"].dataType.fields
+    ]
+    return matched.filter(F.col("__tag") == 1).select(*out_cols)
 
 
 # ---------------------------------------------------------------------------

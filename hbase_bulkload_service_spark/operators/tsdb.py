@@ -244,3 +244,46 @@ def rollup_5m(events: DataFrame, window_sec: int = 300) -> DataFrame:
             F.max(F.floor(F.col("value") * 100).cast("long")).alias("max_value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J3 extension — session windows (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Session-window aggregation: consecutive events of one key belong to
+    the same session while the gap between them stays ≤ ``gap_ms``.
+
+    The reference's windowing is tumbling only (hour-aligned scan slices
+    TsdbScanner.java:22-43; 5-min rollup §E2) — session windows are the
+    new-capability member of the J3 family.
+
+    Spark-first gaps-and-islands: lag() marks session starts, a running
+    sum numbers them, then one hash aggregate per (key, session). All
+    three steps share the SAME partitioning (key), so Catalyst plans ONE
+    shuffle and partition-local sorts — linear at 100 TB, skew bounded by
+    the busiest single key (salt or sub-window if one key dominates).
+    Streaming twin: ``groupBy(session_window(ts, gap))`` with watermark.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    run = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag(ts_col).over(w)
+    is_start = (prev.isNull() | (F.col(ts_col) - prev > gap_ms)).cast("int")
+    return (
+        events.withColumn("__new", is_start)
+        .withColumn("session_seq", F.sum("__new").over(run))
+        .groupBy(key_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start_ms"),
+            F.max(ts_col).alias("session_end_ms"),
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )

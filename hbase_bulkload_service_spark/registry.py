@@ -374,6 +374,88 @@ def q14_time_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q17_asof_join",
+    """
+    WITH probe AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      FROM events WHERE event_type = 'click'
+    ),
+    build AS (
+      SELECT user_id, epoch_ms(ts) AS bts,
+             MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS pc
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, epoch_ms(ts)
+    )
+    SELECT p.event_id, p.user_id, p.ts_ms AS click_ms,
+           b.bts AS purchase_ms, b.pc AS purchase_cents
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.user_id = b.user_id AND p.ts_ms >= b.bts
+    """,
+)
+def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 event-time upgrade — as-of join (latest purchase at-or-before each
+    click, per user). The reference's lookup join is the processing-time
+    special case (HBaseRowDataLookupFunction.java:76-86)."""
+    from hbase_bulkload_service_spark.operators import table as tbl
+
+    ev = load_events(spark, sf_dir, spread=True)
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms", cents(F.col("value")).alias("purchase_cents")
+    )
+    return tbl.asof_join(build=build, probe=probe, key="user_id", ts="ts_ms").select(
+        "event_id",
+        "user_id",
+        F.col("ts_ms").alias("click_ms"),
+        F.col("asof_ts_ms").alias("purchase_ms"),
+        F.col("asof_purchase_cents").alias("purchase_cents"),
+    )
+
+
+@register(
+    "q18_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+    ),
+    m AS (
+      SELECT user_id, ts_ms, value,
+             CASE WHEN lag(ts_ms) OVER w IS NULL
+                    OR ts_ms - lag(ts_ms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+    ),
+    s AS (
+      SELECT user_id, ts_ms, value,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING
+             ) AS session_seq
+      FROM m
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q18_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 new-capability — session windows (30-min gap) via gaps-and-islands;
+    session membership is tie-order-independent, so cross-engine stable."""
+    ev = load_events(spark, sf_dir, spread=True)
+    return tsdb.sessionize(ev).select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "session_start_ms",
+        "session_end_ms",
+        "n_events",
+        "sum_value_cents",
+    )
+
+
 # ===========================================================================
 # htable surface — A4/A7/C1/C2 scans, A8 point get, E3 SQL agg, serde
 # round-trip (FIXTURES.md §3)
