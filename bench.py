@@ -41,6 +41,9 @@ def main() -> None:
         df = registry.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # operators persist() intermediates (LSH signatures, gram index);
+        # drop them so later queries aren't measured under cache pressure
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(
