@@ -163,8 +163,10 @@ def asof_join(
     match inclusively, exactly like an ANSI/DuckDB ``ASOF JOIN … ON
     probe.ts >= build.ts``.
 
-    Build rows sharing (key, ts) are collapsed deterministically first
-    (field-order struct max) so the match is unique."""
+    Build rows sharing (key, ts) resolve deterministically to the
+    field-order struct max: the window sorts by (ts, tag, payload), so the
+    running ``last`` sees the max payload latest — the tie collapse rides
+    the window sort instead of costing its own groupBy shuffle."""
     payload = F.struct(
         F.col(ts).alias(f"{prefix}{ts}"),
         *[
@@ -173,11 +175,8 @@ def asof_join(
             if c not in (key, ts)
         ],
     )
-    b = (
-        build.select(F.col(key), F.col(ts), payload.alias("__b"))
-        .groupBy(key, ts)
-        .agg(F.max("__b").alias("__b"))
-        .withColumn("__tag", F.lit(0))
+    b = build.select(F.col(key), F.col(ts), payload.alias("__b")).withColumn(
+        "__tag", F.lit(0)
     )
     p = probe.withColumn("__b", F.lit(None).cast(b.schema["__b"].dataType)).withColumn(
         "__tag", F.lit(1)
@@ -188,7 +187,7 @@ def asof_join(
     u = b.select(*p.columns).unionByName(p)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__tag").asc())
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc(), F.col("__b").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__b", ignorenulls=True).over(w))

@@ -375,6 +375,128 @@ def q14_time_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q19_streaming_rollup",
+    """
+    WITH e AS (
+      SELECT epoch_ms(ts) // 1000 AS ts_sec, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT ts_sec - ts_sec % 300 AS window_start_sec, event_type,
+           COUNT(*) AS cnt, SUM(cents) AS sum_value_cents,
+           MIN(cents) AS min_value_cents, MAX(cents) AS max_value_cents
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q19_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 streaming variant driven end-to-end: file-source stream →
+    watermark + tumbling 5-min window agg → memory sink (availableNow).
+    Complete output mode makes the finite-stream result equal the batch
+    rollup, so the SAME SQL oracle gates the streaming operator."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    schema = load(spark, sf_dir, "events").schema  # sets nanosAsLong first
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dt = schema["ts"].dataType
+    if isinstance(dt, LongType):  # TIMESTAMP(NANOS) read as long
+        ts_evt = F.timestamp_micros(F.expr("ts div 1000"))
+    elif isinstance(dt, TimestampNTZType):
+        ts_evt = F.to_utc_timestamp(F.col("ts"), "UTC")
+    else:
+        ts_evt = F.col("ts")
+    rolled = st.streaming_rollup_5m(
+        stream.withColumn("ts_evt", ts_evt), ts_col="ts_evt"
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("q19_rollup_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("q19_rollup_mem")
+
+
+@register(
+    "q20_streaming_upsert",
+    f"""
+    WITH {TSDB_CELLS_CTE},
+    clk AS (
+      SELECT CAST(metric_id AS VARCHAR) || '/' || CAST(ts_hour AS VARCHAR)
+               || '/' || tags AS key,
+             CAST(offset_sec AS VARCHAR) AS qualifier,
+             version_ts, MAX(dvalue) AS dvalue
+      FROM cells WHERE metric_id = 0
+      GROUP BY 1, 2, version_ts
+    )
+    SELECT key, qualifier, MAX(version_ts) AS version_ts,
+           CAST(FLOOR(max_by(dvalue, version_ts) * 100) AS BIGINT) AS value_cents
+    FROM clk GROUP BY key, qualifier
+    """,
+)
+def q20_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/E1/H4 streaming variant driven end-to-end: the custom stateful
+    latest-version operator (applyInPandasWithState) over a finite cell
+    stream equals the batch max_by dedup — same SQL oracle. Subset to one
+    metric to keep per-key state volume bench-sane; plumbing is identical
+    at any width."""
+    import shutil
+    import tempfile
+
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
+    slim = (
+        cells.filter(F.col("metric_id") == 0)
+        .select(
+            F.concat_ws(
+                "/",
+                F.col("metric_id").cast("string"),
+                F.col("ts_hour").cast("string"),
+                F.col("tags"),
+            ).alias("key"),
+            F.col("offset_sec").cast("string").alias("qualifier"),
+            "version_ts",
+            F.col("dvalue"),
+        )
+        # deterministic same-version collapse, mirrored by the oracle
+        .groupBy("key", "qualifier", "version_ts")
+        .agg(F.max("dvalue").alias("value"))
+    )
+    d = tempfile.mkdtemp(prefix="q20cells")
+    try:
+        slim.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(st.CELL_SCHEMA).parquet(d)
+        out = st.streaming_latest_version(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("q20_upsert_mem")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # update-mode changelog → final snapshot (last change per key wins)
+    return spark.sql(
+        """
+        SELECT key, qualifier,
+               max_by(version_ts, version_ts) AS version_ts,
+               CAST(FLOOR(max_by(value, version_ts) * 100) AS BIGINT) AS value_cents
+        FROM q20_upsert_mem GROUP BY key, qualifier
+        """
+    )
+
+
+@register(
     "q17_asof_join",
     """
     WITH probe AS (

@@ -58,11 +58,11 @@ def test_asof_plan_has_single_shuffle(spark):
     probe = spark.createDataFrame([(1, 4)], "k int, ts int")
     build = spark.createDataFrame([(1, 2, 5)], "k int, ts int, v int")
     plan = asof_join(probe, build, key="k", ts="ts")._jdf.queryExecution().executedPlan().toString()
-    # union + running last_value: the probe side is never range-joined; the
-    # only exchanges are the keyed window partitioning (+ the build-side
-    # collapse aggregate, same key)
+    # union + running last_value: the probe side is never range-joined, and
+    # the tie collapse rides the window sort — exactly ONE keyed exchange
     assert "Join" not in plan
     assert "Window" in plan
+    assert plan.count("hashpartitioning(k") == 1
 
 
 def test_sessionize_gap_boundary(spark):
