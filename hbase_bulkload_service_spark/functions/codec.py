@@ -216,3 +216,79 @@ def epoch_millis(df, colname: str) -> Column:
             f"timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {colname})"
         )
     return F.unix_millis(F.col(colname))
+
+
+# ---------------------------------------------------------------------------
+# L2 — the "decode with a user-defined scalar function" escape hatch
+# (HBaseTableSchema.java:76-83,107-114 tells users to store byte[] and
+# decode with UDFs; this registers the codec family under SQL names)
+# ---------------------------------------------------------------------------
+
+def register_sql_udfs(spark) -> list[str]:
+    """Expose the codec kernel to ``spark.sql`` as named functions.
+
+    Width-specialized int codecs ``hb_decode_int{1,2,3,4,8}(b)`` /
+    ``hb_encode_int{1,2,3,4,8}(v)``, plus ``hb_decode_string`` /
+    ``hb_encode_string`` / ``hb_decode_bool`` / ``hb_key_hex`` /
+    ``hb_key_bucket`` / ``hb_key_time``, are **SQL scalar functions**
+    (``CREATE TEMPORARY FUNCTION … RETURN expr``) — they inline into the
+    calling query's plan and stay inside whole-stage codegen, unlike any
+    Python UDF. Only the IEEE-754 pair ``hb_decode_double`` /
+    ``hb_encode_double`` crosses to Arrow (no SQL bitcast exists).
+    Returns the registered names."""
+    names: list[str] = []
+
+    def sqlf(name: str, args: str, ret: str, body: str) -> None:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+            f"RETURNS {ret} RETURN {body}"
+        )
+        names.append(name)
+
+    for w in (1, 2, 3, 4, 8):
+        half, full = str(1 << (8 * w - 1)), str(1 << (8 * w))
+        u = "CAST(conv(hex(b),16,10) AS DECIMAL(20,0))"
+        sqlf(
+            f"hb_decode_int{w}",
+            "b BINARY",
+            "BIGINT",
+            f"CASE WHEN length(b)=0 THEN NULL ELSE CAST(CASE WHEN {u} >= "
+            f"CAST('{half}' AS DECIMAL(20,0)) THEN {u} - "
+            f"CAST('{full}' AS DECIMAL(21,0)) ELSE {u} END AS BIGINT) END",
+        )
+        sqlf(
+            f"hb_encode_int{w}",
+            "v BIGINT",
+            "BINARY",
+            f"CASE WHEN v IS NULL THEN X'' ELSE "
+            f"unhex(substr(lpad(hex(v), 16, '0'), {17 - 2 * w}, {2 * w})) END",
+        )
+    lit = NULL_STRING_LITERAL
+    sqlf(
+        "hb_decode_string",
+        "b BINARY",
+        "STRING",
+        f"CASE WHEN decode(b, 'UTF-8') = '{lit}' THEN NULL "
+        "ELSE decode(b, 'UTF-8') END",
+    )
+    sqlf(
+        "hb_encode_string", "s STRING", "BINARY",
+        f"encode(coalesce(s, '{lit}'), 'UTF-8')",
+    )
+    sqlf(
+        "hb_decode_bool", "b BINARY", "BOOLEAN",
+        "CASE WHEN length(b)=0 THEN NULL ELSE hex(b) != '00' END",
+    )
+    sqlf("hb_key_hex", "k BINARY", "STRING", "hex(k)")
+    sqlf(
+        "hb_key_bucket", "k BINARY", "INT",
+        "CAST(conv(hex(substr(k, 1, 2)), 16, 10) AS INT)",
+    )
+    sqlf(
+        "hb_key_time", "k BINARY", "BIGINT",
+        "CAST(conv(hex(substr(k, 3, 4)), 16, 10) AS BIGINT)",
+    )
+    spark.udf.register("hb_decode_double", _unpack_double_be)
+    spark.udf.register("hb_encode_double", _pack_double_be)
+    names += ["hb_decode_double", "hb_encode_double"]
+    return sorted(names)

@@ -141,3 +141,34 @@ def test_floor_to_hour(spark):
     df = spark.createDataFrame([(1704868200123,)], "ms long")
     got = df.select(codec.floor_to_hour_ms(F.col("ms")).alias("h")).first()["h"]
     assert got == 1704866400000  # TsdbScanner.getLastHourTime semantics
+
+
+def test_sql_udf_registry_roundtrip(spark):
+    """L2 escape hatch: the codec family callable from plain spark.sql."""
+    from hbase_bulkload_service_spark.functions import codec
+
+    names = codec.register_sql_udfs(spark)
+    assert {"hb_decode_int4", "hb_encode_int8", "hb_decode_double"} <= set(names)
+    row = spark.sql(
+        """
+        SELECT hb_decode_int2(hb_encode_int2(-2))                      AS i2,
+               hb_decode_int8(hb_encode_int8(1704067200000))           AS i8,
+               hex(hb_encode_int3(5))                                  AS m3,
+               hb_decode_string(hb_encode_string(NULL))                AS s_null,
+               hex(hb_encode_string(NULL))                             AS s_nullb,
+               hb_decode_string(hb_encode_string('x'))                 AS s,
+               hb_decode_bool(X'01')                                   AS bt,
+               hb_decode_bool(X'')                                     AS bn,
+               hb_key_bucket(concat(hb_encode_int2(511),
+                                    hb_encode_int4(1700000000)))       AS bucket,
+               hb_key_time(concat(hb_encode_int2(511),
+                                  hb_encode_int4(1700000000)))         AS ktime,
+               hb_decode_double(hb_encode_double(CAST(6.55 AS DOUBLE))) AS d
+        """
+    ).collect()[0]
+    assert row.i2 == -2 and row.i8 == 1704067200000
+    assert row.m3 == "000005"  # 3-byte TSDB metric-uid width
+    assert row.s_null is None and row.s_nullb == "6E756C6C"  # "null" literal
+    assert row.s == "x" and row.bt is True and row.bn is None
+    assert row.bucket == 511 and row.ktime == 1700000000
+    assert row.d == 6.55
