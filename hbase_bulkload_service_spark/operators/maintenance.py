@@ -197,3 +197,33 @@ def compact_small_partitions(
             shutil.rmtree(full + "_old")
             rewritten.append(d)
     return rewritten
+
+
+def create_bucketed_table(
+    df,
+    name: str,
+    path: str | None = None,
+    file_buckets: int = 64,
+    bucket_col: str = "bucket",
+):
+    """K1 analog at full strength — the pre-split table as a Spark
+    *bucketed* table (HBaseManager.java:56-70 creates the 512-way pre-split
+    HBase table; `CLUSTERED BY (bucket) INTO n BUCKETS` is the same
+    contract for Spark: data physically co-located by the salt bucket).
+
+    Why it matters at 100 TB: every downstream groupBy/join keyed on the
+    bucket column plans ZERO exchanges — the scan's bucketing satisfies
+    the distribution requirement, so the latest-version dedup and the
+    bucket-key lookup join run shuffle-free on re-read
+    (tests/test_maintenance_schema.py pins the Exchange-free plans).
+    ``file_buckets`` defaults to 64 (= 512 salt buckets / 8, the rollup
+    region layout) to keep fixture file counts sane; at cluster scale use
+    512 to mirror the region count exactly.
+    """
+    w = df.write.bucketBy(file_buckets, bucket_col).sortBy(bucket_col).mode(
+        "overwrite"
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+    return df.sparkSession.table(name)

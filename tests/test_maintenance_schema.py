@@ -112,3 +112,40 @@ def test_schema_rules():
 
     proj = s.project({"f1": ["a"]})
     assert proj.families == {"f1": {"a": LongType()}}
+
+
+def test_bucketed_table_plans_zero_exchanges(spark, tmp_path):
+    """K1/D4 scale contract: on a bucket-clustered table, bucket-keyed agg
+    and join satisfy distribution from the scan itself — no shuffle."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.operators.maintenance import (
+        create_bucketed_table,
+    )
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 512).cast("int").alias("bucket"),
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t1 = create_bucketed_table(df, "t_kv_b", str(tmp_path / "t1"), file_buckets=8)
+    t2 = create_bucketed_table(
+        df.select("bucket", F.col("k").alias("w")), "t_kv2_b",
+        str(tmp_path / "t2"), file_buckets=8,
+    )
+    agg_plan = (
+        t1.groupBy("bucket").agg(F.sum("v"))._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in agg_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        jplan = (
+            t1.join(t2, "bucket")._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in jplan
+    assert t1.count() == 4000
