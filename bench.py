@@ -34,6 +34,15 @@ def main() -> None:
     registry.QUERIES["q04_point_get"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Python workers + Arrow path so the first pandas-UDF query
+    # isn't charged worker-spawn cost
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    ident = pandas_udf(lambda s: s, "long")
+    spark.range(0, 100000).repartition(int(cpus)).select(
+        ident(F.col("id")).alias("x")
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
