@@ -31,6 +31,8 @@ _DEFAULTS = {
     # small-dim broadcast threshold; lookup-join (F1) dim tables are small
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
+    # Python DataSource pushdown (sources/hfilescan.py region elision)
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
