@@ -174,3 +174,30 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_micros")
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Real k-means centroids for IVF — the scale path that
+    :func:`pseudo_centroids` stands in for. Distributed Lloyd iterations
+    via ml.clustering.KMeans (map-side partial sums per partition, one
+    reduce per iteration); the returned (centroid_id, cvec) table drops
+    into :func:`ivf_assign` / :func:`ivf_topk` unchanged. Seeded ⇒
+    deterministic on fixed data, so tests can pin exact results."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    X = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(X)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return embeddings.sparkSession.createDataFrame(
+        rows, "centroid_id int, cvec array<float>"
+    )

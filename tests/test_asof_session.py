@@ -95,3 +95,49 @@ def test_sessionize_single_shuffle(spark):
     # lag, running sum, and the final agg all share partitionBy(user_id):
     # exactly one hashpartitioning exchange on user_id
     assert plan.count("hashpartitioning(user_id") <= 1
+
+
+# ---------------------------------------------------------------------------
+# KMeans-backed IVF (the ANN scale path)
+# ---------------------------------------------------------------------------
+
+def _emb_queries(spark):
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return emb, queries
+
+
+def test_kmeans_ivf_exhaustive_probe_equals_brute_force(spark):
+    """Probing every cell makes IVF search exact — same rows, same ranks
+    as brute force (identical tie-breaking by construction)."""
+    from hbase_bulkload_service_spark.operators import similarity as sim
+
+    emb, queries = _emb_queries(spark)
+    cents = sim.kmeans_centroids(emb, k=8, seed=7)
+    bf = sorted(map(tuple, sim.brute_force_topk(emb, queries, k=5).collect()))
+    ivf = sorted(
+        map(tuple, sim.ivf_topk(emb, queries, cents, k=5, nprobe=8).collect())
+    )
+    assert ivf == bf
+
+
+def test_kmeans_ivf_partial_probe_recall(spark):
+    """nprobe=2 of 8 cells keeps most true neighbors (seeded k-means on
+    fixed data ⇒ deterministic recall; bound set well under it)."""
+    from hbase_bulkload_service_spark.operators import similarity as sim
+
+    emb, queries = _emb_queries(spark)
+    cents = sim.kmeans_centroids(emb, k=8, seed=7)
+    bf = {(r.query_id, r.neighbor_id) for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(emb, queries, cents, k=5, nprobe=2).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, recall
