@@ -77,3 +77,15 @@ def test_bulkload_kv_is_range_partitioned_and_sorted(spark):
 def test_topk_avoids_global_sort(spark):
     plan = formatted_plan(registry.QUERIES["q03_topk_orders"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_spread_scan_keeps_filter_pushdown(spark):
+    """spread_scan's round-robin exchange must not block pushdown: the
+    filter written AFTER the repartition still reaches the parquet scan."""
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    df = load(spark, SF_DIR, "customer", spread=True).filter(
+        F.col("c_custkey") == 42
+    )
+    plan = formatted_plan(df)
+    assert re.search(r"PushedFilters:.*EqualTo\(c_custkey,42\)", plan), plan
