@@ -292,3 +292,80 @@ def register_sql_udfs(spark) -> list[str]:
     spark.udf.register("hb_encode_double", _pack_double_be)
     names += ["hb_decode_double", "hb_encode_double"]
     return sorted(names)
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL / BigInteger (HBaseSerde.java:338-345 `Bytes.toBytes(BigDecimal)`:
+# 4-byte big-endian scale ‖ unscaled BigInteger minimal two's-complement;
+# legacy BigInteger codec HBaseTypeUtils.java type 13 = bare two's-complement)
+# ---------------------------------------------------------------------------
+
+def _signed_min_bytes(v: int) -> bytes:
+    """Java BigInteger.toByteArray(): minimal two's-complement length."""
+    n = (v.bit_length() if v >= 0 else (~v).bit_length()) // 8 + 1
+    return v.to_bytes(n, "big", signed=True)
+
+
+def encode_decimal_be(v: Column) -> Column:
+    """DECIMAL → 4-byte BE scale ‖ unscaled two's-complement. Null ⇒ empty
+    byte[] (non-string null convention)."""
+
+    @pandas_udf(BinaryType())
+    def _pack(s: pd.Series) -> pd.Series:
+        def pack(d):
+            if d is None:
+                return b""
+            scale = -d.as_tuple().exponent
+            unscaled = int(d.scaleb(scale))
+            return struct.pack(">i", scale) + _signed_min_bytes(unscaled)
+
+        return s.map(pack)
+
+    return _pack(v)
+
+
+def decode_decimal_be(b: Column, precision: int = 38, scale: int = 18) -> Column:
+    """Inverse: the embedded scale rescales into the declared (p, s)."""
+    import decimal
+
+    from pyspark.sql.types import DecimalType
+
+    @pandas_udf(DecimalType(precision, scale))
+    def _unpack(s: pd.Series) -> pd.Series:
+        def unpack(raw):
+            if raw is None or len(raw) == 0:
+                return None
+            emb_scale = struct.unpack(">i", bytes(raw[:4]))[0]
+            unscaled = int.from_bytes(bytes(raw[4:]), "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-emb_scale)
+
+        return s.map(unpack)
+
+    return _unpack(b)
+
+
+def encode_bigint_unscaled_be(v: Column) -> Column:
+    """Legacy BigInteger codec (HBaseTypeUtils type 13): bare minimal
+    two's-complement bytes of a DECIMAL(38,0) value."""
+
+    @pandas_udf(BinaryType())
+    def _pack(s: pd.Series) -> pd.Series:
+        return s.map(lambda d: b"" if d is None else _signed_min_bytes(int(d)))
+
+    return _pack(v)
+
+
+def decode_bigint_unscaled_be(b: Column) -> Column:
+    import decimal
+
+    from pyspark.sql.types import DecimalType
+
+    @pandas_udf(DecimalType(38, 0))
+    def _unpack(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda raw: None
+            if raw is None or len(raw) == 0
+            else decimal.Decimal(int.from_bytes(bytes(raw), "big", signed=True))
+        )
+
+    return _unpack(b)

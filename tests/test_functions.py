@@ -172,3 +172,66 @@ def test_sql_udf_registry_roundtrip(spark):
     assert row.s == "x" and row.bt is True and row.bn is None
     assert row.bucket == 511 and row.ktime == 1700000000
     assert row.d == 6.55
+
+
+def test_decimal_codec_golden_vectors_and_roundtrip(spark):
+    """Bytes.toBytes(BigDecimal) layout: 4B BE scale + minimal
+    two's-complement unscaled (HBaseSerde.java:338-345)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType, StructField, StructType
+
+    from hbase_bulkload_service_spark.functions import codec
+
+    rows = [(Decimal("1.50"),), (Decimal("-1.50"),), (Decimal("0.00"),), (None,)]
+    df = spark.createDataFrame(
+        rows, StructType([StructField("d", DecimalType(12, 2))])
+    )
+    enc = df.select(codec.encode_decimal_be(F.col("d")).alias("b"))
+    got = [bytes(r.b) for r in enc.collect()]
+    # scale=2 prefix; 150 -> 0x0096 (sign byte), -150 -> 0xFF6A, 0 -> 0x00
+    assert got[0] == b"\x00\x00\x00\x02\x00\x96"
+    assert got[1] == b"\x00\x00\x00\x02\xff\x6a"
+    assert got[2] == b"\x00\x00\x00\x02\x00"
+    assert got[3] == b""
+    back = enc.select(codec.decode_decimal_be(F.col("b"), 12, 2).alias("d"))
+    assert [r.d for r in back.collect()] == [
+        Decimal("1.50"), Decimal("-1.50"), Decimal("0.00"), None,
+    ]
+
+
+def test_decimal_roundtrip_on_real_column(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.functions import codec
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").cast("decimal(12,2)").alias("d")
+    )
+    rt = c.select(
+        "d", codec.decode_decimal_be(codec.encode_decimal_be(F.col("d")), 12, 2).alias("r")
+    )
+    assert rt.filter("d IS DISTINCT FROM r").count() == 0
+
+
+def test_biginteger_codec(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType, StructField, StructType
+
+    from hbase_bulkload_service_spark.functions import codec
+
+    rows = [(Decimal(128),), (Decimal(-128),), (Decimal(0),), (None,)]
+    df = spark.createDataFrame(
+        rows, StructType([StructField("v", DecimalType(38, 0))])
+    )
+    enc = df.select(codec.encode_bigint_unscaled_be(F.col("v")).alias("b"))
+    got = [bytes(r.b) for r in enc.collect()]
+    assert got == [b"\x00\x80", b"\x80", b"\x00", b""]
+    back = enc.select(codec.decode_bigint_unscaled_be(F.col("b")).alias("v"))
+    assert [r.v for r in back.collect()] == [
+        Decimal(128), Decimal(-128), Decimal(0), None,
+    ]
