@@ -369,3 +369,26 @@ def decode_bigint_unscaled_be(b: Column) -> Column:
         )
 
     return _unpack(b)
+
+
+# ---------------------------------------------------------------------------
+# DATE / TIME (LogicalType codec: DATE as epoch-days int, TIME as
+# millis-of-day int, precision 0-3 — HBaseSerde.java:302-311)
+# ---------------------------------------------------------------------------
+
+def encode_date(v: Column) -> Column:
+    """DATE → 4-byte big-endian epoch-days int."""
+    return encode_int_be(F.datediff(v, F.lit("1970-01-01")), 4)
+
+
+def decode_date(b: Column) -> Column:
+    return F.date_add(F.lit("1970-01-01").cast("date"), decode_int_be(b, 4).cast("int"))
+
+
+def encode_time_millis(v: Column) -> Column:
+    """TIME (millis-of-day int) → 4-byte big-endian int."""
+    return encode_int_be(v.cast("int"), 4)
+
+
+def decode_time_millis(b: Column) -> Column:
+    return decode_int_be(b, 4).cast("int")

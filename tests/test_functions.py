@@ -235,3 +235,25 @@ def test_biginteger_codec(spark):
     assert [r.v for r in back.collect()] == [
         Decimal(128), Decimal(-128), Decimal(0), None,
     ]
+
+
+def test_date_time_codec_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.functions import codec
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    rt = o.select("d", codec.decode_date(codec.encode_date(F.col("d"))).alias("r"))
+    assert rt.filter("d IS DISTINCT FROM r").count() == 0
+    # golden: 1970-01-02 -> epoch-day 1
+    one = spark.sql("SELECT CAST('1970-01-02' AS DATE) d").select(
+        F.hex(codec.encode_date(F.col("d"))).alias("h")
+    ).collect()[0].h
+    assert one == "00000001"
+    t = spark.sql("SELECT 34200123 ms").select(  # 09:30:00.123
+        codec.decode_time_millis(codec.encode_time_millis(F.col("ms"))).alias("r")
+    ).collect()[0].r
+    assert t == 34200123
