@@ -106,3 +106,37 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             "frame_bytes"
         ),
     )
+
+
+WAVEFORM_SCHEMA = (
+    "doc_id long, n_samples long, peak int, mean_amp double, rms double"
+)
+
+
+def waveform_stats(media: DataFrame) -> DataFrame:
+    """Audio-family feature extraction: treat the opaque payload as 8-bit
+    PCM samples and compute per-clip stats with numpy over Arrow batches
+    (the vectorized path a real resample/spectrogram kernel would use —
+    swap the frombuffer line for an actual audio decode in deployment).
+
+    Sum/sum-of-squares accumulate in exact int64 before ONE float divide /
+    sqrt, so results are bit-stable across engines and batch splits."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "n_samples": [], "peak": [],
+                   "mean_amp": [], "rms": []}
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = int(arr.size)
+                s = int(arr.sum(dtype=np.int64))
+                sq = int((arr.astype(np.int64) ** 2).sum())
+                out["n_samples"].append(n)
+                out["peak"].append(int(arr.max()))
+                out["mean_amp"].append(s / n)
+                out["rms"].append(float(np.sqrt(sq / n)))
+            yield pd.DataFrame(out)
+
+    audio = media.filter(F.col("media_type") == "audio").select("doc_id", "payload")
+    return audio.mapInPandas(batches, schema=WAVEFORM_SCHEMA)

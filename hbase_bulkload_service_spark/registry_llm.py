@@ -451,6 +451,32 @@ def q41_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q43_waveform_stats",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS bs
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id,
+           CAST(len(bs) AS BIGINT) AS n_samples,
+           CAST(list_max(bs) AS INT) AS peak,
+           list_aggregate(bs, 'sum') * 1.0 / len(bs) AS mean_amp,
+           sqrt(list_aggregate(list_transform(bs, x -> x * x), 'sum') * 1.0
+                / len(bs)) AS rms
+    FROM s
+    """,
+)
+def q43_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio multimodal: payload-as-PCM stats via numpy over Arrow batches
+    (exact int accumulation ⇒ engine-stable doubles; ASCII corpus makes
+    the oracle recomputable from codepoints)."""
+    media = multimodal.attach_media(load(spark, sf_dir, "documents", spread=True))
+    return multimodal.waveform_stats(media)
+
+
 # ===========================================================================
 # q50 — maintenance catalog queries (K3 policy over a derived region catalog)
 # ===========================================================================
