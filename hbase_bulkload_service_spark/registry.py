@@ -433,7 +433,9 @@ def q19_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                || '/' || tags AS key,
              CAST(offset_sec AS VARCHAR) AS qualifier,
              version_ts, MAX(dvalue) AS dvalue
-      FROM cells WHERE metric_id = 0
+      FROM cells
+      WHERE metric_id = 0
+        AND ts_hour >= 1704672000 AND ts_hour < 1705276800
       GROUP BY 1, 2, version_ts
     )
     SELECT key, qualifier, MAX(version_ts) AS version_ts,
@@ -454,7 +456,11 @@ def q20_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
     slim = (
-        cells.filter(F.col("metric_id") == 0)
+        cells.filter(
+            (F.col("metric_id") == 0)
+            & (F.col("ts_hour") >= 1704672000)  # one week: 2024-01-08 ..
+            & (F.col("ts_hour") < 1705276800)  # .. 2024-01-15 (UTC)
+        )
         .select(
             F.concat_ws(
                 "/",
