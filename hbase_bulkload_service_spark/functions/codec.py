@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -66,24 +67,46 @@ def decode_int_be(b: Column, width: int, signed: bool = True) -> Column:
 # floating point (FLOAT/DOUBLE — HBaseSerde.java:333-336; IEEE-754 BE)
 # ---------------------------------------------------------------------------
 
+def _pack_fp_be(s: pd.Series, np_dtype: str, width: int, fmt: str) -> pd.Series:
+    # bulk path: one astype + one tobytes for the whole Arrow batch; nulls
+    # (and NaN, which the legacy codec also folded to the null convention)
+    # drop to b"" per the non-string null rule (HBaseSerde.java:251-278)
+    mask = s.isna().to_numpy()
+    raw = memoryview(s.to_numpy(dtype=np_dtype, na_value=0.0, copy=True).astype(f">{fmt}").tobytes())
+    return pd.Series(
+        [b"" if mask[i] else bytes(raw[width * i : width * i + width]) for i in range(len(mask))],
+        dtype=object,
+    )
+
+
+def _unpack_fp_be(s: pd.Series, width: int, fmt: str, struct_ch: str) -> pd.Series:
+    vals = s.tolist()
+    if all(v is not None and len(v) == width for v in vals):
+        # bulk path: single frombuffer over the concatenated batch
+        return pd.Series(np.frombuffer(b"".join(vals), dtype=f">{fmt}").astype(f"float{8 * width}"))
+    return s.map(
+        lambda b: None if b is None or len(b) == 0 else struct.unpack(f">{struct_ch}", bytes(b))[0]
+    )
+
+
 @pandas_udf(BinaryType())
 def _pack_double_be(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: b"" if v is None or pd.isna(v) else struct.pack(">d", v))
+    return _pack_fp_be(s, "float64", 8, "f8")
 
 
 @pandas_udf(DoubleType())
 def _unpack_double_be(s: pd.Series) -> pd.Series:
-    return s.map(lambda b: None if b is None or len(b) == 0 else struct.unpack(">d", bytes(b))[0])
+    return _unpack_fp_be(s, 8, "f8", "d")
 
 
 @pandas_udf(BinaryType())
 def _pack_float_be(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: b"" if v is None or pd.isna(v) else struct.pack(">f", v))
+    return _pack_fp_be(s, "float32", 4, "f4")
 
 
 @pandas_udf(FloatType())
 def _unpack_float_be(s: pd.Series) -> pd.Series:
-    return s.map(lambda b: None if b is None or len(b) == 0 else struct.unpack(">f", bytes(b))[0])
+    return _unpack_fp_be(s, 4, "f4", "f")
 
 
 def encode_double_be(v: Column) -> Column:

@@ -371,3 +371,70 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ]
     fp = sum(bit_cols[1:], start=bit_cols[0])
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution — pairs → connected components → canonical doc
+# ---------------------------------------------------------------------------
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve verified near-dup PAIRS into clusters and pick a canonical
+    representative — the step that turns pair detection into an actionable
+    dedup decision (pairs alone over-delete: {A~B, B~C} must keep exactly
+    one of {A,B,C}, not "drop the right side of every pair").
+
+    Connected components by iterative min-label propagation: every node
+    starts as its own component; each round every node takes the min label
+    among itself and its neighbors; converged when no label changes.
+    Output: (doc_id, cluster_id = min doc_id in component, cluster_size,
+    is_canonical).
+
+    100 TB posture: each round is ONE keyed shuffle (edge⋈label join +
+    min-aggregate); rounds needed = graph diameter, and near-dup clusters
+    are near-cliques (diameter 2-3), so this settles in ~3 rounds where
+    generic graphs would need the alternating large-star/small-star
+    variant. ``localCheckpoint`` truncates the per-round lineage so plan
+    size stays O(1) across iterations; the convergence probe is a
+    LIMIT-1 existence check, not a full count."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.b == labels.node).select(
+            edges.a.alias("node"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    from pyspark.sql.window import Window
+
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+        .withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )

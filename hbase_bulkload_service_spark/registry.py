@@ -368,9 +368,14 @@ def q14_time_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — newest-first batch time slicing (HBaseController.java:209-229);
     the oldest slice may overshoot start, faithfully."""
     slices = time_slices(SLICE_START_MS, SLICE_END_MS, SLICE_INTERVAL_MS)
-    return spark.createDataFrame(
-        [(s.slice_idx, s.slice_start, s.slice_end) for s in slices],
-        "slice_idx int, slice_start long, slice_end long",
+    # inline VALUES → LocalRelation: no Python-RDD conversion path, no job
+    rows = ", ".join(
+        f"({s.slice_idx}, CAST({s.slice_start} AS BIGINT), CAST({s.slice_end} AS BIGINT))"
+        for s in slices
+    )
+    return spark.sql(
+        "SELECT slice_idx, slice_start, slice_end "
+        f"FROM (VALUES {rows}) AS t(slice_idx, slice_start, slice_end)"
     )
 
 
