@@ -215,6 +215,57 @@ def q35_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q44_neardup_clusters",
+    f"""
+    WITH RECURSIVE {SHINGLES_CTE},
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+    bk AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.inter * 1.0 / (za.n + zb.n - i.inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM lab
+    """,
+)
+def q44_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: verified MinHash-LSH pairs → connected
+    components (iterative min-label propagation) → canonical doc per
+    cluster. The oracle resolves the same components with a recursive CTE."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = dedup.minhash_lsh_neardups(docs).select("doc_a", "doc_b")
+    return dedup.neardup_clusters(pairs)
+
+
+@register(
     "q36_ngram_jaccard",
     f"""
     WITH {DOCS_NORM_CTE},
