@@ -67,11 +67,11 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: byte-vs-char ratio flags CJK; otherwise the
-    language whose marker words occur most (ties → lexicographically first
-    language). Deterministic and SQL-expressible."""
-    t = F.concat(F.lit(" "), norm_text(F.col(text_col)), F.lit(" "))
+def lang_cols(text: Column) -> tuple[Column, Column]:
+    """(pred_lang, marker_hits) column pair of the lang-ID heuristic —
+    exposed so pipeline operators (curation) can fuse it into a single
+    scan instead of joining :func:`lang_id`'s output back on doc_id."""
+    t = F.concat(F.lit(" "), norm_text(text), F.lit(" "))
     scores = [
         (
             lang,
@@ -89,11 +89,17 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
           for i, (lang, s) in enumerate(scores)]
     )
     best = F.array_max(packed)
-    cjk = F.octet_length(F.col(text_col)) > F.length(F.col(text_col)) * 2
+    cjk = F.octet_length(text) > F.length(text) * 2
+    return F.when(cjk, F.lit("zh")).otherwise(best["lang"]), best["score"]
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: byte-vs-char ratio flags CJK; otherwise the
+    language whose marker words occur most (ties → lexicographically first
+    language). Deterministic and SQL-expressible."""
+    pred, hits = lang_cols(F.col(text_col))
     return docs.select(
-        "doc_id",
-        F.when(cjk, F.lit("zh")).otherwise(best["lang"]).alias("pred_lang"),
-        best["score"].alias("marker_hits"),
+        "doc_id", pred.alias("pred_lang"), hits.alias("marker_hits")
     )
 
 

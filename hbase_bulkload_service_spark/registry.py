@@ -508,6 +508,52 @@ def q20_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q21_streaming_lookup",
+    """
+    SELECT e.event_id, e.user_id, c.c_name,
+           CAST(FLOOR(e.value * 100) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c
+      ON e.user_id = c.c_custkey
+    WHERE c.c_custkey % 3 = 0
+    """,
+)
+def q21_streaming_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 streaming variant driven end-to-end: event file-stream →
+    stream-static broadcast lookup join on the rowkey → memory sink.
+    Inner semantics: probe rows missing in the dim emit nothing (the
+    filtered dim makes misses real). The stateless join means the finite
+    stream equals the batch join — same SQL oracle."""
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    schema = load(spark, sf_dir, "events").schema  # sets nanosAsLong first
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("rowkey"), "c_name")
+    )
+    joined = st.streaming_lookup_join(stream, "user_id", dim).select(
+        "event_id",
+        "user_id",
+        "c_name",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("q21_lookup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("q21_lookup_mem")
+
+
+@register(
     "q17_asof_join",
     """
     WITH probe AS (

@@ -35,17 +35,22 @@ t AS (SELECT doc_id, text, {NT} AS nt FROM documents),
 w AS (SELECT doc_id, text, nt, string_split(nt, ' ') AS ws FROM t)
 """
 
-SHINGLES_CTE = f"""
-{DOCS_NORM_CTE},
-sh AS (
+def _sh_cte(src: str) -> str:
+    """The 3-word-shingle CTE body over any source exposing (doc_id, nt, ws)."""
+    return f"""sh AS (
   SELECT doc_id,
          unnest(list_distinct(
            CASE WHEN len(ws) < 3 THEN [nt]
                 ELSE list_transform(range(1, len(ws) - 1),
                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
            END)) AS shingle
-  FROM w
-)
+  FROM {src}
+)"""
+
+
+SHINGLES_CTE = f"""
+{DOCS_NORM_CTE},
+{_sh_cte("w")}
 """
 
 
@@ -263,6 +268,88 @@ def q44_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True)
     pairs = dedup.minhash_lsh_neardups(docs).select("doc_a", "doc_b")
     return dedup.neardup_clusters(pairs)
+
+
+@register(
+    "q45_corpus_curation",
+    f"""
+    WITH RECURSIVE {DOCS_NORM_CTE},
+    padded AS (SELECT doc_id, text, ' ' || nt || ' ' AS pt FROM w),
+    scores AS ({_LANG_SCORE_SQL}),
+    best AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      FROM scores
+    ),
+    li AS (
+      SELECT b.doc_id,
+             CASE WHEN octet_length(encode(d.text)) > length(d.text) * 2
+                  THEN 'zh' ELSE b.lang END AS pred_lang
+      FROM best b JOIN documents d ON d.doc_id = b.doc_id
+      WHERE rn = 1
+    ),
+    led AS (
+      SELECT w.doc_id, li.pred_lang, len(w.ws) AS n_tokens, md5(w.nt) AS content_md5,
+             li.pred_lang = 'en' AS lang_ok,
+             len(w.ws) BETWEEN 25 AND 2000 AS tok_ok
+      FROM w JOIN li ON li.doc_id = w.doc_id
+    ),
+    ex AS (
+      SELECT *, MIN(CASE WHEN lang_ok AND tok_ok THEN doc_id END)
+                  OVER (PARTITION BY content_md5) AS keeper
+      FROM led
+    ),
+    s2 AS (SELECT doc_id FROM ex WHERE lang_ok AND tok_ok AND doc_id = keeper),
+    {_sh_cte("w JOIN s2 USING (doc_id)")},
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+    bk AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.inter * 1.0 / (za.n + zb.n - i.inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+    drop3 AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+    SELECT e.doc_id, e.pred_lang, e.n_tokens,
+           CASE WHEN NOT e.lang_ok THEN 'lang'
+                WHEN NOT e.tok_ok THEN 'quality'
+                WHEN e.doc_id <> e.keeper THEN 'exact_dup'
+                WHEN e.doc_id IN (SELECT doc_id FROM drop3) THEN 'near_dup'
+                ELSE 'kept' END AS verdict
+    FROM ex e
+    """,
+)
+def q45_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation funnel: language filter → token-count
+    quality gate → exact dedup (content-md5 keeper) → MinHash-LSH near-dup
+    cluster resolution — one verdict per document."""
+    from hbase_bulkload_service_spark.operators.curation import curate_corpus
+
+    return curate_corpus(load(spark, sf_dir, "documents", spread=True))
 
 
 @register(

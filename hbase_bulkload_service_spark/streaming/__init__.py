@@ -12,6 +12,7 @@ from hbase_bulkload_service_spark.streaming.ops import (  # noqa: F401
     CELL_SCHEMA,
     streaming_first_seen_dedup,
     streaming_latest_version,
+    streaming_lookup_join,
     streaming_rollup_5m,
     upsert_batch_writer,
 )

@@ -174,3 +174,29 @@ def upsert_batch_writer(path: str, key_cols: tuple[str, ...] = ("key", "qualifie
             os.rename(tmp, path)
 
     return write
+
+
+def streaming_lookup_join(
+    probe_stream: DataFrame,
+    probe_key: str,
+    dim: DataFrame,
+    dim_key: str = "rowkey",
+    how: str = "inner",
+) -> DataFrame:
+    """F1 in its native habitat: the reference's lookup join is a Flink
+    *streaming* SQL operator (``JOIN … FOR SYSTEM_TIME AS OF proc_time``,
+    AbstractHBaseDynamicTableSource.java:66-84) — per probe row a point
+    Get, misses emit nothing (HBaseRowDataLookupFunction.java:76-86).
+
+    Spark-first: a stream-static equi-join. The static side is broadcast
+    to every task, replacing the reference's per-row RPC + open connection
+    (open():112-128) with an in-memory hash map; the join is stateless, so
+    there is no streaming state to watermark. Keyed strictly on the single
+    rowkey, like the reference's validation."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "JOIN HBase table requires inner (reference) or left semantics"
+        )
+    return probe_stream.join(
+        F.broadcast(dim), probe_stream[probe_key] == dim[dim_key], how
+    )

@@ -132,3 +132,29 @@ def test_upsert_batch_writer(spark, tmp_path):
         ("k3", "q2"): (50, 0.5),
     }
     assert not os.path.isdir(path + "_tmp1")
+
+
+def test_streaming_lookup_join_inner_drops_misses(spark, tmp_path):
+    d = str(tmp_path / "probe")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "event_id long, user_id long"
+    ).write.parquet(d)
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(d)
+    dim = spark.createDataFrame(
+        [(10, "alice"), (20, "bob")], "rowkey long, name string"
+    )
+    out = st.streaming_lookup_join(stream, "user_id", dim).select(
+        "event_id", "name"
+    )
+    _run_to_memory(out, "lookup_stream", "append")
+    rows = spark.sql("SELECT event_id, name FROM lookup_stream").collect()
+    # inner semantics: user 99 has no dim row and emits nothing
+    assert sorted((r.event_id, r.name) for r in rows) == [(1, "alice"), (2, "bob")]
+
+
+def test_streaming_lookup_join_rejects_other_joins(spark):
+    import pytest as _pytest
+
+    dim = spark.createDataFrame([(1, "x")], "rowkey long, name string")
+    with _pytest.raises(ValueError):
+        st.streaming_lookup_join(dim, "rowkey", dim, how="full")
