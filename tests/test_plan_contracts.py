@@ -89,3 +89,17 @@ def test_spread_scan_keeps_filter_pushdown(spark):
     )
     plan = formatted_plan(df)
     assert re.search(r"PushedFilters:.*EqualTo\(c_custkey,42\)", plan), plan
+
+
+def test_curation_ledger_is_single_scan_two_columns(spark):
+    # the enriched ledger (lang + tokens + content hash) must FUSE into one
+    # documents scan reading only (doc_id, text) — no per-derivation
+    # self-joins, no extra columns (lang/source/n_chars stay unread)
+    from hbase_bulkload_service_spark.operators.curation import curate_corpus
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    plan = formatted_plan(curate_corpus(load(spark, SF_DIR, "documents")))
+    scans = [s for s in re.findall(r"ReadSchema: (.*)", plan) if "text" in s]
+    assert scans, plan
+    for s in scans:
+        assert s.count(":") == 2, s  # doc_id + text only
