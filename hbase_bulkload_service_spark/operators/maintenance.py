@@ -15,6 +15,8 @@ Policy constants (configuration/HBaseProperties.java:16-20).
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -227,3 +229,81 @@ def create_bucketed_table(
         w = w.option("path", path)
     w.saveAsTable(name)
     return df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# K3-K5 execution — the file lifecycle behind the plans
+# ---------------------------------------------------------------------------
+#
+# The reference executes its plans with DistCp + HDFS deletes driven from
+# the service (backup: HBaseManager.java:186-263 + distcp :436-446; remove:
+# :268-288 + deleteRegions :462-513; restore graft:
+# HbaseRepairRunner.java:41-121). Here the table is the HFile-layout sink's
+# `region=N/` partition tree (sources/hfile.py), and the same lifecycle is
+# driver-orchestrated filesystem work — copy/delete/graft whole partition
+# directories, never row-level Spark jobs (metadata-scale, like the
+# reference; the data plane is untouched).
+
+def _region_dir(table_path: str, region: int) -> str:
+    return os.path.join(table_path, f"region={int(region)}")
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    n, size = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            n += 1
+            size += os.path.getsize(os.path.join(root, fn))
+    return n, size
+
+
+def execute_backup(table_path: str, regions: list[int], backup_path: str) -> list[dict]:
+    """K3 — copy each region's partition dir to backup storage (DistCp
+    analog: directory-level copy, idempotent overwrite like -update).
+    Returns one manifest entry per region: name, files, bytes."""
+    out = []
+    for region in regions:
+        src = _region_dir(table_path, region)
+        dst = _region_dir(backup_path, region)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        n, size = _dir_stats(dst)
+        out.append(
+            {"backup_name": f"region={int(region)}", "region": int(region),
+             "n_files": n, "size_bytes": size}
+        )
+    return out
+
+
+def execute_removal(table_path: str, regions: list[int]) -> list[int]:
+    """K4 — drop backed-up region dirs from the live table (the partition-
+    drop behind removal_plan; only call with SUCCEEDED backups)."""
+    dropped = []
+    for region in regions:
+        d = _region_dir(table_path, region)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            dropped.append(int(region))
+    return dropped
+
+
+def execute_restore(backup_path: str, table_path: str, regions: list[int]) -> list[dict]:
+    """K5/K6 — graft backed-up HFiles back into the live table at the
+    bucket-matched placement (HbaseRepairRunner copies recovered files into
+    the region dir covering their bucket; with 1:1 region=bucket layout the
+    target dir IS region=<bucket>). Files are added, existing files kept —
+    like the reference's copy-into-region-dir."""
+    out = []
+    for region in regions:
+        src = _region_dir(backup_path, region)
+        dst = _region_dir(table_path, region)
+        os.makedirs(dst, exist_ok=True)
+        copied = 0
+        for fn in os.listdir(src):
+            sp = os.path.join(src, fn)
+            if os.path.isfile(sp):
+                shutil.copy2(sp, os.path.join(dst, fn))
+                copied += 1
+        out.append({"region": int(region), "n_files": copied})
+    return out
