@@ -140,3 +140,45 @@ def waveform_stats(media: DataFrame) -> DataFrame:
 
     audio = media.filter(F.col("media_type") == "audio").select("doc_id", "payload")
     return audio.mapInPandas(batches, schema=WAVEFORM_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, out_w int, out_h int, n_out long, sample_sum long, "
+    "first_byte int, last_byte int, resized binary"
+)
+
+
+def resize(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Resize-class operator over opaque image payloads: numpy
+    nearest-neighbor byte resample as the STUB kernel (real deployment:
+    ``PIL.Image.resize``; only the kernel line changes). Emits the resized
+    payload plus an engine-portable fingerprint (sample_sum/first/last) so
+    the deterministic stub is fully oracle-checkable.
+
+    Plumbing is the real thing: Arrow batches in/out via mapInPandas, the
+    payload never materializes JVM-side, output is again opaque binary +
+    typed metadata — the storage shape of a 100 TB image pipeline."""
+    import numpy as np
+
+    n_out = out_w * out_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "out_w": out_w, "out_h": out_h,
+                   "n_out": n_out, "sample_sum": [], "first_byte": [],
+                   "last_byte": [], "resized": []}
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                if arr.size == 0:
+                    raise ValueError("cannot resize empty payload")
+                # nearest-neighbor index map (up- or down-sampling)
+                idx = (np.arange(n_out, dtype=np.int64) * arr.size) // n_out
+                r = arr[idx]
+                out["sample_sum"].append(int(r.sum(dtype=np.int64)))
+                out["first_byte"].append(int(r[0]))
+                out["last_byte"].append(int(r[-1]))
+                out["resized"].append(r.tobytes())
+            yield pd.DataFrame(out)
+
+    images = media.filter(F.col("media_type") == "image").select("doc_id", "payload")
+    return images.mapInPandas(batches, schema=RESIZE_SCHEMA)

@@ -615,6 +615,35 @@ def q43_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.waveform_stats(media)
 
 
+@register(
+    "q46_media_resize",
+    """
+    WITH t AS (
+      SELECT doc_id, encode(text) AS bl FROM documents WHERE doc_id % 3 = 0
+    ),
+    h AS (SELECT doc_id, hex(bl) AS hx, octet_length(bl) AS n FROM t),
+    s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, 256),
+               k -> ('0x' || substr(hx, CAST(k * n // 256 AS INT) * 2 + 1, 2))::BIGINT)
+               AS samples
+      FROM h
+    )
+    SELECT doc_id, 16 AS out_w, 16 AS out_h, CAST(256 AS BIGINT) AS n_out,
+           list_sum(samples) AS sample_sum,
+           CAST(samples[1] AS INT) AS first_byte,
+           CAST(samples[256] AS INT) AS last_byte
+    FROM s
+    """,
+)
+def q46_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-class multimodal operator: nearest-neighbor byte resample of
+    opaque image payloads to 16x16 via mapInPandas; the oracle recomputes
+    the same index map byte-for-byte over hex(payload) in SQL."""
+    media = multimodal.attach_media(load(spark, sf_dir, "documents", spread=True))
+    return multimodal.resize(media).drop("resized")
+
+
 # ===========================================================================
 # q50 — maintenance catalog queries (K3 policy over a derived region catalog)
 # ===========================================================================
