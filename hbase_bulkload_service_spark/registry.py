@@ -16,6 +16,7 @@ cross-engine value-hash stable:
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -114,6 +115,18 @@ SLICE_INTERVAL_MS = 7 * 24 * 3600 * 1000
 # ===========================================================================
 # E3 — documented SQL scan+agg surface (AbstractHBaseTableSource.java:54-65)
 # ===========================================================================
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily size shuffle/state partitions for a tiny-state streaming
+    query (state-store partition count is fixed at first query start)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 @register(
     "q01_pricing_summary",
@@ -418,14 +431,15 @@ def q19_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = st.streaming_rollup_5m(
         stream.withColumn("ts_evt", ts_evt), ts_col="ts_evt"
     )
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName("q19_rollup_mem")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName("q19_rollup_mem")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table("q19_rollup_mem")
 
 
@@ -483,17 +497,20 @@ def q20_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = tempfile.mkdtemp(prefix="q20cells")
     try:
-        slim.write.mode("overwrite").parquet(d)
+        slim.coalesce(8).write.mode("overwrite").parquet(d)
         stream = spark.readStream.schema(st.CELL_SCHEMA).parquet(d)
         out = st.streaming_latest_version(stream)
-        q = (
-            out.writeStream.format("memory")
-            .queryName("q20_upsert_mem")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        # tiny keyed state: 8 state-store partitions beat the session's 32
+        # (each costs a Python worker round per micro-batch)
+        with _scoped_shuffle_partitions(spark, 8):
+            q = (
+                out.writeStream.format("memory")
+                .queryName("q20_upsert_mem")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     # update-mode changelog → final snapshot (last change per key wins)
