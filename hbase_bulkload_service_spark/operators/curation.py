@@ -17,7 +17,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -95,3 +95,49 @@ def curate_corpus(
         enriched.join(F.broadcast(near_drops), "doc_id", "left")
         .select("doc_id", "pred_lang", "n_tokens", verdict.alias("verdict"))
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (corpus subsampling / class balancing)
+# ---------------------------------------------------------------------------
+
+SAMPLE_MOD = 1000
+
+
+def hash_bucket(col: Column, mod: int = SAMPLE_MOD) -> Column:
+    """Deterministic engine-portable sampling bucket: first 8 hex chars of
+    ``md5(string(v))`` as an integer, mod ``mod``. Uniform over keys,
+    stable across runs/engines/partitionings — the property `rand()`-based
+    sampling lacks (re-runs resample, retried tasks double-sample)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % mod
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic downsampling: keep a row iff its hash
+    bucket falls under the stratum's keep-rate (permille). The classic
+    corpus-balancing move (downsample the dominant language, keep the
+    rare ones whole).
+
+    Scale shape: a pure map-side filter — ZERO shuffle, no window, no
+    per-stratum pass. The rate table rides along as a literal map
+    expression (no broadcast, no join); at 100 TB the sample is decided
+    row-local in the scan stage and the filter arrives before any
+    downstream exchange, so everything after it shuffles only the kept
+    fraction. Contrast with cap-per-stratum sampling (window row_number
+    over the stratum), which shuffles the full corpus on a low-cardinality
+    skewed key — the rate-based form is the one that survives scale-up."""
+    pairs = [x for kv in rates_permille.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(default_permille),
+    )
+    return docs.where(hash_bucket(F.col(key_col)) < rate)

@@ -198,6 +198,57 @@ def asof_join(
     return matched.filter(F.col("__tag") == 1).select(*out_cols)
 
 
+def interval_join(
+    probe: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-containment join: each probe row matched to every interval
+    with ``start <= probe.ts < end`` — the time-slice assignment shape of
+    the reference's batch slicer (HBaseController.java:209-229 slices ×
+    scanned rows), generalized to arbitrary interval tables.
+
+    Expressed as a bare non-equi condition this plans as a
+    BroadcastNestedLoopJoin: O(|probe| × |intervals|) compares AND a
+    mandatory broadcast of one side — a dead end once the interval table
+    outgrows the driver. Bucketing restores a keyed equi-join: each
+    interval explodes to the coarse time buckets it covers (bounded
+    fan-out of ``~len/bucket_width`` rows), the probe computes its single
+    bucket map-side, Spark hash-joins on ``bucket``, and the exact range
+    predicate filters inside the bucket. Each matched pair appears exactly
+    once — a probe row owns exactly one bucket — so no dedup pass.
+
+    ``bucket_width`` tunes fan-out vs. join selectivity: ≈ the typical
+    interval length is right (each interval covers ~2 buckets; each probe
+    bucket meets only intervals it could actually match). Timestamps and
+    bounds must be non-negative (integer ``div`` truncation == floor
+    there); ``end > start`` enforced by the sequence bounds.
+
+    At 100 TB both sides shuffle keyed on bucket — AQE handles skew (a hot
+    hour) by splitting oversized bucket partitions; no driver-side state.
+    """
+    p = probe.withColumn("__bk", F.expr(f"{ts_col} div {bucket_width}"))
+    iv = intervals.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {bucket_width}"),
+                F.expr(f"({end_col} - 1) div {bucket_width}"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "__bk")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("__bk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # H5 — delete mutation
 # ---------------------------------------------------------------------------

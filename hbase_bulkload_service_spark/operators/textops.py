@@ -163,3 +163,45 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         rolling31(t).alias("rolling_hash"),
         F.md5(t).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# inverted index / distinctive-term ranking
+# ---------------------------------------------------------------------------
+
+def term_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Inverted-index long form ``(doc_id, term, tf)`` — one explode + one
+    hash aggregate (map-side partial combine collapses repeated terms
+    before the shuffle, so exchange volume is per-doc *vocabulary*, not
+    token count)."""
+    toks = docs.select("doc_id", F.explode(words_of(F.col(text_col))).alias("term"))
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def distinctive_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-``k`` distinctive terms per document: rank by (tf DESC, df ASC,
+    term ASC) — high in-doc frequency, low corpus frequency. The integer
+    twin of tf-idf ranking (same argsort for any monotone idf; no float
+    crosses the oracle boundary).
+
+    Two keyed shuffles, both unavoidable and both linear: document
+    frequency is a window count over ``term`` on the (doc, term, tf) index
+    — same exchange a groupBy-join would pay, minus the join — then the
+    per-doc rank shuffles on ``doc_id``. Stopword-like terms make ``term``
+    partitions skewed; AQE splits them, and a df-cap pre-filter (drop
+    terms with df above a threshold, as in dedup's rare-gram blocking)
+    bounds it outright when k ≪ vocabulary."""
+    from pyspark.sql.window import Window
+
+    tf = term_index(docs, text_col)
+    ranked = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("tf"), F.asc("df"), F.asc("term")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= k)

@@ -393,6 +393,35 @@ def q14_time_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q22_interval_join",
+    f"""
+    WITH slices AS (
+      SELECT CAST(k AS INT) AS slice_idx,
+             {SLICE_END_MS} - (k + 1) * {SLICE_INTERVAL_MS} AS slice_start,
+             {SLICE_END_MS} - k * {SLICE_INTERVAL_MS} AS slice_end
+      FROM (SELECT unnest(range(0, {_N_SLICES})) AS k)
+    )
+    SELECT e.event_id, epoch_ms(e.ts) AS ts_ms, s.slice_idx
+    FROM events e JOIN slices s
+      ON epoch_ms(e.ts) >= s.slice_start AND epoch_ms(e.ts) < s.slice_end
+    """,
+)
+def q22_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: assign every event to its J2 time slice
+    (HBaseController.java:209-229 slices × scanned rows, made a first-class
+    operator). Bucketed equi-join — never BroadcastNestedLoopJoin; see
+    operators/table.py:interval_join. Day-sized buckets against week-sized
+    slices: each slice explodes to 8 bucket rows, each event owns one."""
+    from hbase_bulkload_service_spark.operators.table import interval_join
+
+    slices = q14_time_slices(spark, sf_dir)
+    ev = load_events(spark, sf_dir).select("event_id", "ts_ms")
+    return interval_join(
+        ev, "ts_ms", slices, "slice_start", "slice_end", 24 * 3600 * 1000
+    ).select("event_id", "ts_ms", "slice_idx")
+
+
+@register(
     "q19_streaming_rollup",
     """
     WITH e AS (

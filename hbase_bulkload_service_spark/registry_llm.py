@@ -883,3 +883,68 @@ def q52_restore_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * 8 + 7).cast("int").alias("end_bucket"),
     )
     return mnt.restore_plan(backups, live)
+
+
+# ===========================================================================
+# q47-q48 — corpus subsampling + inverted-index term ranking
+# ===========================================================================
+
+SAMPLE_RATES = {"en": 250, "zh": 900}
+SAMPLE_DEFAULT = 600
+
+_RATE_CASE = (
+    "CASE lang WHEN 'en' THEN 250 WHEN 'zh' THEN 900 ELSE 600 END"
+)
+
+
+@register(
+    "q47_stratified_sample",
+    f"""
+    WITH hb AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+               AS sample_bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_bucket
+    FROM hb WHERE sample_bucket < {_RATE_CASE}
+    """,
+)
+def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus subsampling (class balancing):
+    keep-rate per language stratum, decided by a portable md5 hash bucket.
+    Map-side filter, ZERO shuffle — the sampling shape that survives
+    100 TB (see operators/curation.py:stratified_sample)."""
+    from hbase_bulkload_service_spark.operators.curation import (
+        hash_bucket,
+        stratified_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return stratified_sample(docs, SAMPLE_RATES, SAMPLE_DEFAULT).select(
+        "doc_id", "lang", hash_bucket(F.col("doc_id")).alias("sample_bucket")
+    )
+
+
+@register(
+    "q48_distinctive_terms",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    wd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+    r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC
+             ) AS rnk
+      FROM wd
+    )
+    SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def q48_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by (tf DESC, df ASC, term ASC)
+    over the inverted index — integer twin of tf-idf ranking (same argsort
+    for any monotone idf; no float crosses the oracle)."""
+    return textops.distinctive_terms(load(spark, sf_dir, "documents", spread=True))

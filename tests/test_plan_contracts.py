@@ -103,3 +103,22 @@ def test_curation_ledger_is_single_scan_two_columns(spark):
     assert scans, plan
     for s in scans:
         assert s.count(":") == 2, s  # doc_id + text only
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    plan = formatted_plan(registry.QUERIES["q22_interval_join"](spark, SF_DIR))
+    # bucketed rewrite: a hash equi-join on the coarse bucket, never the
+    # O(probe x intervals) BroadcastNestedLoopJoin a raw range predicate plans
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan, plan
+
+
+def test_stratified_sample_has_no_shuffle(spark):
+    from hbase_bulkload_service_spark.operators.curation import stratified_sample
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    # measured WITHOUT the fixture spread repartition: the operator itself
+    # is a map-side filter — zero exchanges between scan and output
+    docs = load(spark, SF_DIR, "documents")
+    plan = formatted_plan(stratified_sample(docs, {"en": 250}, 600))
+    assert "Exchange" not in plan, plan
