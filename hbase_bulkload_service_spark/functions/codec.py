@@ -218,7 +218,14 @@ def ts_at_most_ms(df, colname: str, ms: int) -> Column:
         tzinfo=None
     )
     if isinstance(dt, TimestampNTZType):
-        return F.col(colname) <= F.lit(naive_utc).cast("timestamp_ntz")
+        # a TIMESTAMP_NTZ 'literal' parses timezone-free. `F.lit(datetime)`
+        # would NOT be: lit→micros uses the OS timezone while a subsequent
+        # NTZ cast re-renders in the SESSION timezone — the conversions only
+        # cancel when the two zones agree (they silently diverge under e.g.
+        # spark.sql.session.timeZone=America/New_York; caught by TZ probe).
+        return F.col(colname) <= F.expr(
+            f"TIMESTAMP_NTZ '{naive_utc.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        )
     return F.col(colname) <= F.timestamp_millis(F.lit(ms))
 
 

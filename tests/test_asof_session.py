@@ -141,3 +141,31 @@ def test_kmeans_ivf_partial_probe_recall(spark):
     }
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.5, recall
+
+
+def test_interval_join_matches_brute_force(spark):
+    """Bucketed rewrite == naive range predicate on deterministic data,
+    including intervals that span many buckets, empty intervals (none),
+    probes outside every interval, and overlapping intervals."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.operators.table import interval_join
+
+    probe = spark.range(0, 500).select(
+        F.col("id").alias("pid"), ((F.col("id") * 37) % 1000).alias("ts")
+    )
+    # 20 intervals, widths 1..400, some overlapping
+    iv = spark.range(0, 20).select(
+        F.col("id").alias("iid"),
+        ((F.col("id") * 53) % 700).alias("lo"),
+        (((F.col("id") * 53) % 700) + 1 + (F.col("id") * 21) % 400).alias("hi"),
+    )
+    fast = interval_join(probe, "ts", iv, "lo", "hi", bucket_width=64)
+    brute = probe.crossJoin(iv).filter(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+    )
+    cols = ["pid", "ts", "iid", "lo", "hi"]
+    assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+        map(tuple, brute.select(cols).collect())
+    )
+    assert fast.count() > 0

@@ -257,3 +257,24 @@ def test_date_time_codec_roundtrip(spark, sf_dir):
         codec.decode_time_millis(codec.encode_time_millis(F.col("ms"))).alias("r")
     ).collect()[0].r
     assert t == 34200123
+
+
+def test_ts_at_most_ms_is_session_timezone_proof(spark):
+    """The NTZ predicate literal must parse timezone-free: under a non-UTC
+    session timezone, a lit(datetime)→cast chain shifts the boundary (lit
+    uses the OS zone, the cast uses the session zone) and silently drops
+    boundary rows. Regression for the America/New_York probe."""
+    from hbase_bulkload_service_spark.functions.codec import ts_at_most_ms
+
+    df = spark.sql(
+        "SELECT * FROM VALUES (TIMESTAMP_NTZ '1998-09-02 00:00:00'),"
+        " (TIMESTAMP_NTZ '1998-09-02 00:00:01') AS t(ts)"
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            # 904694400000 ms == 1998-09-02 00:00:00Z: exactly one boundary row
+            assert df.filter(ts_at_most_ms(df, "ts", 904694400000)).count() == 1, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
