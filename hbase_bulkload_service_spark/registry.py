@@ -554,6 +554,71 @@ def q20_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q23_streaming_dedup",
+    f"""
+    WITH {TSDB_CELLS_CTE}
+    SELECT DISTINCT
+           CAST(metric_id AS VARCHAR) || '/' || CAST(ts_hour AS VARCHAR)
+             || '/' || tags AS key,
+           CAST(offset_sec AS VARCHAR) AS qualifier
+    FROM cells
+    WHERE metric_id = 0
+      AND ts_hour >= 1704672000 AND ts_hour < 1705276800
+    """,
+)
+def q23_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark dedup driven end-to-end: `dropDuplicatesWithinWatermark`
+    over a finite cell stream — at-least-once ingestion dedup with state
+    bounded by the watermark window (the streaming answer to D3's
+    at-most-one-cell contract). Output projects only the dedup key, so the
+    nondeterministic which-duplicate-wins choice is invisible and the
+    batch oracle is exact (SELECT DISTINCT). Single input file → single
+    micro-batch → no cross-batch late-arrival drops to model."""
+    import shutil
+    import tempfile
+
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
+    slim = cells.filter(
+        (F.col("metric_id") == 0)
+        & (F.col("ts_hour") >= 1704672000)
+        & (F.col("ts_hour") < 1705276800)
+    ).select(
+        F.concat_ws(
+            "/",
+            F.col("metric_id").cast("string"),
+            F.col("ts_hour").cast("string"),
+            F.col("tags"),
+        ).alias("key"),
+        F.col("offset_sec").cast("string").alias("qualifier"),
+        "version_ts",
+        F.col("dvalue").alias("value"),
+    )
+    d = tempfile.mkdtemp(prefix="q23cells")
+    try:
+        slim.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(st.CELL_SCHEMA).parquet(d)
+        deduped = st.streaming_first_seen_dedup(
+            stream.withColumn("event_time", F.timestamp_millis(F.col("version_ts"))),
+            key_cols=("key", "qualifier"),
+        )
+        with _scoped_shuffle_partitions(spark, 8):
+            q = (
+                deduped.select("key", "qualifier")
+                .writeStream.format("memory")
+                .queryName("q23_dedup_mem")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q23_dedup_mem")
+
+
+@register(
     "q21_streaming_lookup",
     """
     SELECT e.event_id, e.user_id, c.c_name,
