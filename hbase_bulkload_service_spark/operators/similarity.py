@@ -201,3 +201,25 @@ def kmeans_centroids(
     return embeddings.sparkSession.createDataFrame(
         rows, "centroid_id int, cvec array<float>"
     )
+
+
+def label_centroids(embeddings: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Per-label centroid accumulators in fixed point — the k-means /
+    IVF-training primitive (one Lloyd's-iteration reduce) as a first-class
+    distributed aggregation: ``(label, pos, n, sum_micros)`` where
+    ``sum_micros = Σ floor(v * scale)`` over the label's vectors at that
+    dimension. Centroid = sum/n, left to the caller so no division mode
+    crosses the oracle boundary.
+
+    Scale shape: posexplode fans each vector to its dims, then ONE hash
+    aggregate keyed (label, pos) — map-side partial combine reduces the
+    exchange to |labels| × dim rows per task regardless of corpus size.
+    This is exactly how the IVF/k-means scale path recomputes centroids at
+    100 TB: no driver-side vectors, no collect."""
+    e = embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return e.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("v").cast("double") * scale).cast("long")).alias(
+            "sum_micros"
+        ),
+    )

@@ -948,3 +948,23 @@ def q48_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the inverted index — integer twin of tf-idf ranking (same argsort
     for any monotone idf; no float crosses the oracle)."""
     return textops.distinctive_terms(load(spark, sf_dir, "documents", spread=True))
+
+
+@register(
+    "q49_label_centroids",
+    """
+    SELECT label, pos - 1 AS pos, COUNT(*) AS n,
+           SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sum_micros
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos - 1
+    """,
+)
+def q49_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label fixed-point centroid accumulators — one Lloyd's-iteration
+    reduce (the IVF/k-means training primitive) as a single keyed hash
+    aggregate; integer accumulators keep the oracle exact."""
+    return similarity.label_centroids(load(spark, sf_dir, "embeddings", spread=True))
