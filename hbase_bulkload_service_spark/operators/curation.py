@@ -34,6 +34,19 @@ from hbase_bulkload_service_spark.operators.textops import (
 # funnel verdicts, in decision order: a doc gets the FIRST stage it fails
 VERDICTS = ("lang", "quality", "exact_dup", "near_dup", "kept")
 
+# Caching contract: curate_corpus persists its enriched ledger (read twice —
+# eagerly by the near-dup phase inside the call, lazily by the returned
+# verdict join). The cache is released on the NEXT curate_corpus call, so at
+# most ONE ledger is ever cached; call release_caches() to drop it sooner
+# (e.g. after materializing the result in a long-lived session).
+_LEDGER_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist any ledger cached by a prior curate_corpus call."""
+    while _LEDGER_CACHES:
+        _LEDGER_CACHES.pop().unpersist()
+
 
 def curate_corpus(
     docs: DataFrame,
@@ -71,9 +84,11 @@ def curate_corpus(
     keeper = F.min(
         F.when(F.col("lang_ok") & F.col("tok_ok"), F.col("doc_id"))
     ).over(Window.partitionBy("content_md5"))
+    release_caches()  # bound the cache to one ledger across invocations
     enriched = enriched.withColumn(
         "exact_ok", F.col("lang_ok") & F.col("tok_ok") & (F.col("doc_id") == keeper)
     ).persist()  # ledger read twice: near-dup input + final verdict join
+    _LEDGER_CACHES.append(enriched)
 
     survivors = enriched.filter(F.col("exact_ok")).select("doc_id", text_col)
     pairs = minhash_lsh_neardups(
@@ -91,6 +106,10 @@ def curate_corpus(
         .when(F.col("near_dup").isNotNull(), "near_dup")
         .otherwise("kept")
     )
+    # NOTE eager-execution contract: the near-dup stage has already run jobs
+    # by this point (neardup_clusters checkpoints eagerly); the returned
+    # frame is lazy and reuses the cached ledger (see _LEDGER_CACHES above
+    # for the cache-release contract).
     return (
         enriched.join(F.broadcast(near_drops), "doc_id", "left")
         .select("doc_id", "pred_lang", "n_tokens", verdict.alias("verdict"))

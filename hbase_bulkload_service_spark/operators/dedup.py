@@ -428,6 +428,13 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"neardup_clusters did not converge within max_iter={max_iter} "
+            "label-propagation rounds (component diameter exceeds max_iter); "
+            "labels would be wrong — raise max_iter"
+        )
     edges.unpersist()
     from pyspark.sql.window import Window
 

@@ -260,14 +260,29 @@ def _dir_stats(path: str) -> tuple[int, int]:
 def execute_backup(table_path: str, regions: list[int], backup_path: str) -> list[dict]:
     """K3 — copy each region's partition dir to backup storage (DistCp
     analog: directory-level copy, idempotent overwrite like -update).
-    Returns one manifest entry per region: name, files, bytes."""
+    Returns one manifest entry per region: name, files, bytes.
+
+    Crash safety: copy lands in a temp sibling first, then replaces the
+    prior backup via rename — a mid-copy failure never destroys the last
+    good backup (same atomic-rename pattern as streaming/ops.py's
+    upsert_batch_writer)."""
     out = []
     for region in regions:
         src = _region_dir(table_path, region)
         dst = _region_dir(backup_path, region)
+        tmp = dst + ".inprogress"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(src, tmp)
         if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        shutil.copytree(src, dst)
+            old = dst + ".old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(dst, old)
+            os.rename(tmp, dst)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, dst)
         n, size = _dir_stats(dst)
         out.append(
             {"backup_name": f"region={int(region)}", "region": int(region),

@@ -225,13 +225,16 @@ def interval_join(
     interval length is right (each interval covers ~2 buckets; each probe
     bucket meets only intervals it could actually match). Timestamps and
     bounds must be non-negative (integer ``div`` truncation == floor
-    there); ``end > start`` enforced by the sequence bounds.
+    there). Degenerate intervals (``end <= start``) are filtered out
+    before the explode — F.sequence would otherwise silently generate a
+    *descending* bucket sequence for them (extra exploded rows that only
+    die later at the exact range filter).
 
     At 100 TB both sides shuffle keyed on bucket — AQE handles skew (a hot
     hour) by splitting oversized bucket partitions; no driver-side state.
     """
     p = probe.withColumn("__bk", F.expr(f"{ts_col} div {bucket_width}"))
-    iv = intervals.withColumn(
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bk",
         F.explode(
             F.sequence(

@@ -132,10 +132,10 @@ def _scoped_shuffle_partitions(spark: SparkSession, n: int):
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-           SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
-           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
            COUNT(*) AS cnt
     FROM lineitem
     WHERE epoch_ms(l_shipdate) <= 904694400000
@@ -176,7 +176,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_revenue_by_nation",
     """
     SELECT n.n_name,
-           SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            COUNT(*) AS order_cnt
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -352,7 +352,7 @@ def q12_hour_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 300 AS window_start_sec,
            event_type,
            COUNT(*) AS cnt,
-           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_value_cents,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
            MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS min_value_cents,
            MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS max_value_cents
     FROM events
@@ -430,7 +430,7 @@ def q22_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT ts_sec - ts_sec % 300 AS window_start_sec, event_type,
-           COUNT(*) AS cnt, SUM(cents) AS sum_value_cents,
+           COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS sum_value_cents,
            MIN(cents) AS min_value_cents, MAX(cents) AS max_value_cents
     FROM e GROUP BY 1, 2
     """,
@@ -468,7 +468,7 @@ def q19_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        st.await_finite(q, 300)
     return spark.table("q19_rollup_mem")
 
 
@@ -539,7 +539,7 @@ def q20_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            st.await_finite(q, 300)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     # update-mode changelog → final snapshot (last change per key wins)
@@ -612,7 +612,7 @@ def q23_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            st.await_finite(q, 300)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table("q23_dedup_mem")
@@ -660,7 +660,7 @@ def q21_streaming_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    st.await_finite(q, 300)
     return spark.table("q21_lookup_mem")
 
 
@@ -785,7 +785,7 @@ def q06_htable_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {HTABLE_CTE}
     SELECT n_name AS f2_n_name,
-           SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS sum_acctbal_cents,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
            COUNT(*) AS cnt
     FROM htable GROUP BY n_name
     """,

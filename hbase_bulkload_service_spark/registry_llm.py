@@ -630,7 +630,7 @@ def q43_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h
     )
     SELECT doc_id, 16 AS out_w, 16 AS out_h, CAST(256 AS BIGINT) AS n_out,
-           list_sum(samples) AS sample_sum,
+           CAST(list_sum(samples) AS BIGINT) AS sample_sum,
            CAST(samples[1] AS INT) AS first_byte,
            CAST(samples[256] AS INT) AS last_byte
     FROM s
@@ -683,7 +683,7 @@ def _derived_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(o_custkey % 64 AS INT) AS end_bucket,
              MIN(epoch_ms(o_orderdate)) // 1000 AS start_time_sec,
              MAX(epoch_ms(o_orderdate)) // 1000 AS end_time_sec,
-             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS size_bytes
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS size_bytes
       FROM orders GROUP BY o_custkey % 64
     )
     SELECT * FROM regions
@@ -707,7 +707,7 @@ def q50_backup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(o_custkey % 64 AS INT) AS end_bucket,
              MIN(epoch_ms(o_orderdate)) // 1000 AS start_time_sec,
              MAX(epoch_ms(o_orderdate)) // 1000 AS end_time_sec,
-             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS size_bytes
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS size_bytes
       FROM orders GROUP BY o_custkey % 64
     ),
     status AS (
@@ -853,7 +853,7 @@ def q53_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'r' || CAST(o_custkey % 64 AS VARCHAR) AS region_name,
              CAST(o_custkey % 64 AS INT) AS start_bucket,
              CAST(o_custkey % 64 AS INT) AS end_bucket,
-             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS size_bytes
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS size_bytes
       FROM orders GROUP BY o_custkey % 64
     ),
     live AS (
@@ -953,8 +953,8 @@ def q48_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q49_label_centroids",
     """
-    SELECT label, pos - 1 AS pos, COUNT(*) AS n,
-           SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sum_micros
+    SELECT label, CAST(pos - 1 AS INT) AS pos, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
     FROM (
       SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS pos

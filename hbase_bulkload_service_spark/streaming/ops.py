@@ -28,6 +28,20 @@ _LATEST_OUT_SCHEMA = CELL_SCHEMA
 _LATEST_STATE_SCHEMA = "version_ts long, value double"
 
 
+def await_finite(query, timeout_sec: int = 300) -> None:
+    """Block until a finite (availableNow-triggered) streaming query stops.
+
+    ``awaitTermination(timeout)`` returns False on timeout with the query
+    still running — reading the sink at that point silently yields partial
+    results. Stop the query and fail loudly instead."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.name or query.id} did not finish within "
+            f"{timeout_sec}s; sink contents would be partial"
+        )
+
+
 def streaming_rollup_5m(
     events,
     ts_col: str = "ts",
