@@ -223,3 +223,73 @@ def label_centroids(embeddings: DataFrame, scale: int = 1_000_000) -> DataFrame:
             "sum_micros"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (signed random projection / hyperplane LSH) — ANN bucketing for
+# cosine similarity; complements MinHash (sets) and IVF (trained cells)
+# ---------------------------------------------------------------------------
+
+def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — reproducible across engines
+    and sessions with no RNG state. Plane p, dim d gets +1 when the first
+    hex nibble of md5(f"{p}:{d}") is even. Rademacher (±1) projections
+    satisfy the same Johnson-Lindenstrauss bounds as Gaussian ones, and
+    make the dot product EXACT in IEEE (sign flips only, no rounding) —
+    which is what lets the oracle reproduce bucket assignment bit-for-bit.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_signature(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH bucket assignment for cosine ANN: ``signature`` packs the sign
+    bit of ⟨v, plane_p⟩ for each of ``n_planes`` hyperplanes; vectors with
+    equal signatures land in one candidate bucket (P[bit match] =
+    1 - θ/π). Output adds the bucket population so callers can see the
+    candidate-set size a probe would scan.
+
+    Scale shape: signatures are a pure map (plane matrix is a literal in
+    the plan — broadcast-free, ~n_planes×dim doubles of codegen
+    constants); the bucket count is one hash aggregate on an 8-byte key.
+    Probe-time ANN = equi-join on ``signature`` (optionally multi-probe:
+    flip k bits) — a keyed shuffle join, never a cross join. The dot
+    product folds left-to-right (F.aggregate), so the float sum is
+    reproducible cross-engine.
+    """
+    planes = srp_planes(n_planes, dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for p in range(n_planes):
+        w = F.array(*[F.lit(planes[p][d]) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(v, w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    out = embeddings.withColumn("signature", sig)
+    from pyspark.sql import Window
+
+    return out.select(
+        "vec_id",
+        "label",
+        "signature",
+        F.count("*").over(Window.partitionBy("signature")).alias("bucket_n"),
+    )

@@ -393,3 +393,48 @@ def decode_cells_htable(cells: DataFrame, schema: HBaseTableSchema) -> DataFrame
             ).alias(fam)
         )
     return pivoted.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# skew-mitigating salted equi-join (scale path for F1-family joins)
+# ---------------------------------------------------------------------------
+
+def salted_join(
+    probe: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_partitions: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting — the standard cure when one join key
+    carries a disproportionate share of probe rows (the TSDB shape: a hot
+    metric, a celebrity user) and a plain shuffle join puts that whole key
+    in ONE task.
+
+    Result is IDENTICAL to ``probe.join(dim, key, how)``: the probe side
+    computes a deterministic salt from ``salt_source`` (any
+    roughly-uniform column; defaults to the key's own xxhash — only
+    useful if skew is value-level, so pass a unique id), the dim side
+    explodes each row into ``salt_partitions`` copies, and the join keys
+    on ``(key, salt)``. The hot key's rows now spread across
+    ``salt_partitions`` tasks; dim inflation is bounded by
+    |dim| × salt_partitions (keep the factor small — 8-16 splits a hot
+    task 8-16× while only copying the dim side, which is the small side
+    by assumption).
+
+    Composition with engine config: AQE's skew-join handles *detected*
+    skew by splitting partitions post-shuffle; explicit salting is the
+    declarative form that also works under shuffle-hash joins and
+    bucketed layouts where AQE cannot re-split. Reference analog: the
+    rowkey salt itself (TsdbBulkload.java:84-113) is this exact move
+    applied to writes; `salted_join` is the read-side twin.
+    """
+    src = F.col(salt_source) if salt_source else F.col(key)
+    p = probe.withColumn(
+        "__salt", F.pmod(F.xxhash64(src), F.lit(salt_partitions)).cast("int")
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_partitions - 1)))
+    )
+    return p.join(d, [key, "__salt"], how).drop("__salt")

@@ -939,3 +939,4 @@ def q09_cells_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wave-2 queries (LLM-data-pipeline + maintenance) register on import; the
 # circular import is benign — `register` is defined above this line.
 from hbase_bulkload_service_spark import registry_llm  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_ext  # noqa: E402,F401

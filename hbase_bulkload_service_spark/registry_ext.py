@@ -1,0 +1,372 @@
+"""Registry wave 3 — analytical/scale extensions: grouping sets, exact
+distributed quantiles, running window analytics, skew-salted joins,
+format-roundtrip connector breadth, streaming session windows, and SRP-LSH
+vector bucketing.
+
+Same portability conventions as registry.py (integer cents, epoch ints,
+identical aliases both sides, CAST(SUM(..) AS BIGINT) against DuckDB's
+HUGEINT promotion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.registry import (
+    _scoped_shuffle_partitions,
+    cents,
+    register,
+)
+from hbase_bulkload_service_spark.operators import analytics, similarity
+from hbase_bulkload_service_spark.operators import table as tbl
+from hbase_bulkload_service_spark.sources.tables import load, load_events
+
+
+# ===========================================================================
+# q24 — streaming session windows (built-in session_window, complete mode)
+# ===========================================================================
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+@register(
+    "q24_streaming_sessions",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts_ms, cents,
+             CASE WHEN lag(ts_ms) OVER w IS NULL
+                    OR ts_ms - lag(ts_ms) OVER w >= {SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+    ),
+    s AS (
+      SELECT user_id, ts_ms, cents,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING
+             ) AS seq
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts_ms) AS session_start_ms,
+           MAX(ts_ms) + {SESSION_GAP_MS} AS session_end_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM s GROUP BY user_id, seq
+    """,
+)
+def q24_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+ streaming twin of q18 — Spark's built-in ``session_window``
+    aggregation driven end-to-end as a stream (file source → session agg →
+    memory sink, complete mode so a finite stream yields the exact batch
+    answer; no watermark-holdback rows).
+
+    Boundary semantics: Spark merges events while the next event starts
+    STRICTLY inside the previous window (gap < threshold); the oracle's
+    new-session predicate is therefore ``diff >= gap``, and window end =
+    last event + gap. Complete mode on an unbounded stream would keep all
+    session state forever — the production variant uses a watermark +
+    append; complete is the finite-replay/backfill configuration.
+    """
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "user_id", "ts_ms", cents(F.col("value")).alias("cents")
+    )
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="q24sess")
+    try:
+        ev.coalesce(4).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(ev.schema).parquet(d)
+        agg = (
+            stream.withColumn("evt", F.timestamp_millis(F.col("ts_ms")))
+            .groupBy(
+                "user_id",
+                F.session_window(F.col("evt"), "30 minutes").alias("sw"),
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+        with _scoped_shuffle_partitions(spark, 8):
+            q = (
+                agg.select(
+                    "user_id",
+                    F.unix_millis("sw.start").alias("session_start_ms"),
+                    F.unix_millis("sw.end").alias("session_end_ms"),
+                    "n_events",
+                    "sum_cents",
+                )
+                .writeStream.format("memory")
+                .queryName("q24_sess_mem")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            st.await_finite(q, 300)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q24_sess_mem")
+
+
+# ===========================================================================
+# q25 — grouping sets (ROLLUP) aggregation
+# ===========================================================================
+
+@register(
+    "q25_rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q25_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 extension — grouping-sets aggregation (ROLLUP): per-(flag,status),
+    per-flag subtotal, and grand total in ONE Expand + hash aggregate (a
+    single shuffle; no per-set jobs). New capability: the reference
+    delegates all SQL aggregation to Flink's planner and has no
+    grouping-set surface of its own."""
+    li = load(spark, sf_dir, "lineitem")
+    return analytics.rollup_cube(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.count("*").alias("cnt"),
+        ],
+    )
+
+
+# ===========================================================================
+# q26 — exact per-group quantiles (PERCENTILE_DISC twin)
+# ===========================================================================
+
+@register(
+    "q26_group_quantiles",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+    ),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    )
+    SELECT event_type, p, v AS quantile_value, n AS group_n
+    FROM r CROSS JOIN (
+      SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p
+    ) ps
+    WHERE rn = CAST(ceil(p * n) AS INT)
+    """,
+)
+def q26_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quantiles (p50/p90/p99 of event value) — the
+    PERCENTILE_DISC definition (value at rank ceil(p*n)), integer-exact so
+    both engines pick the identical element. One keyed shuffle; see
+    analytics.group_quantiles for the 100 TB notes."""
+    e = load_events(spark, sf_dir, spread=True).select(
+        "event_type", cents(F.col("value")).alias("v")
+    )
+    return analytics.group_quantiles(e, "event_type", "v", (0.5, 0.9, 0.99))
+
+
+# ===========================================================================
+# q27 — JSON/CSV connector round-trip (source/sink breadth)
+# ===========================================================================
+
+@register(
+    "q27_format_roundtrip",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+           epoch_ms(ts) AS ts_ms
+    FROM events WHERE user_id % 50 = 0
+    """,
+)
+def q27_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth: the same slice written to line-JSON and
+    CSV, read back through both connectors with explicit schemas, and
+    inner-joined on EVERY column — the result equals the source slice iff
+    both round-trips are value-exact (a lossy codec would drop rows).
+
+    The reference's only source/sink is HBase (SURVEY.md §2.A/§2.H);
+    Spark's format matrix is engine-level new capability. Explicit schema
+    on read is the scale posture: schema inference is a full extra pass at
+    100 TB."""
+    import shutil
+    import tempfile
+
+    sub = (
+        load_events(spark, sf_dir, spread=True)
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            cents(F.col("value")).alias("cents"),
+            "ts_ms",
+        )
+    )
+    schema = "event_id long, user_id long, event_type string, cents long, ts_ms long"
+    d = tempfile.mkdtemp(prefix="q27fmt")
+    sub = sub.persist()  # one events scan feeds both format writes
+    try:
+        sub.coalesce(4).write.mode("overwrite").json(f"{d}/j")
+        sub.coalesce(4).write.mode("overwrite").option("header", True).csv(f"{d}/c")
+        j = spark.read.schema(schema).json(f"{d}/j")
+        c = spark.read.schema(schema).option("header", True).csv(f"{d}/c")
+        out = j.join(c, on=j.columns, how="inner")
+        # materialize before the temp dir disappears (lazy scan would fail)
+        rows = out.collect()
+    finally:
+        sub.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ===========================================================================
+# q28 — skew-salted join
+# ===========================================================================
+
+@register(
+    "q28_salted_join",
+    """
+    WITH probe AS (
+      SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                  ELSE CAST(l_suppkey % 100 AS BIGINT) END AS skew_key,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT CAST(s_suppkey % 100 AS BIGINT) AS skew_key,
+             COUNT(*) AS dim_cnt
+      FROM supplier GROUP BY s_suppkey % 100
+    )
+    SELECT p.skew_key, d.dim_cnt,
+           COUNT(*) AS n_rows,
+           CAST(SUM(p.cents) AS BIGINT) AS sum_cents
+    FROM probe p JOIN dim d USING (skew_key)
+    GROUP BY p.skew_key, d.dim_cnt
+    """,
+)
+def q28_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join on a deliberately skewed key (half the
+    probe rows share key 0 — the hot-metric/celebrity-user shape). Result
+    is identical to the plain equi-join; the salt spreads the hot key
+    across salt_partitions tasks. See table.salted_join for the AQE
+    interplay."""
+    li = load(spark, sf_dir, "lineitem")
+    probe = li.select(
+        F.when(F.col("l_orderkey") % 10 < 5, F.lit(0).cast("long"))
+        .otherwise((F.col("l_suppkey") % 100).cast("long"))
+        .alias("skew_key"),
+        cents(F.col("l_extendedprice")).alias("cents"),
+        "l_orderkey",
+    )
+    dim = (
+        load(spark, sf_dir, "supplier")
+        .groupBy((F.col("s_suppkey") % 100).cast("long").alias("skew_key"))
+        .agg(F.count("*").alias("dim_cnt"))
+    )
+    joined = tbl.salted_join(
+        probe, dim, "skew_key", salt_partitions=8, salt_source="l_orderkey"
+    )
+    return joined.groupBy("skew_key", "dim_cnt").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+# ===========================================================================
+# q29 — per-key running window analytics
+# ===========================================================================
+
+@register(
+    "q29_running_stats",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id % 97 = 0
+    )
+    SELECT user_id, event_id, ts_ms, cents,
+           CAST(SUM(cents) OVER (
+             PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS running_cents,
+           ts_ms - lag(ts_ms) OVER (
+             PARTITION BY user_id ORDER BY ts_ms, event_id
+           ) AS gap_ms,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY ts_ms, event_id
+           ) AS INT) AS seq
+    FROM e
+    """,
+)
+def q29_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-family extension — lag + running sum + ordinal per user in ONE
+    keyed shuffle (all windows share partitioning+ordering → single
+    Window operator). Unique (ts, event_id) ordering keeps lag/rank
+    deterministic cross-engine."""
+    ev = (
+        load_events(spark, sf_dir, spread=True)
+        .filter(F.col("user_id") % 97 == 0)
+        .select("user_id", "event_id", "ts_ms", cents(F.col("value")).alias("cents"))
+    )
+    return analytics.running_user_stats(ev)
+
+
+# ===========================================================================
+# q54 — SRP-LSH (hyperplane) vector bucketing
+# ===========================================================================
+
+_SRP_PLANES = similarity.srp_planes(16, 64)
+_SRP_W_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in row) + "]"
+        for row in _SRP_PLANES
+    )
+    + "]"
+)
+_SRP_SIG_SQL = " + ".join(
+    f"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform(range(1, 65), d -> (ve[d])::DOUBLE * (w[{p + 1}][d])::DOUBLE)), "
+    f"(acc, x) -> acc + x) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for p in range(16)
+)
+
+
+@register(
+    "q54_srp_lsh",
+    f"""
+    WITH pl AS (SELECT {_SRP_W_SQL} AS w),
+    v AS (SELECT vec_id, label, embedding AS ve FROM embeddings),
+    s AS (
+      SELECT vec_id, label, {_SRP_SIG_SQL} AS signature
+      FROM v CROSS JOIN pl
+    )
+    SELECT vec_id, label, signature,
+           COUNT(*) OVER (PARTITION BY signature) AS bucket_n
+    FROM s
+    """,
+)
+def q54_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH (signed-random-projection / hyperplane LSH) bucket
+    assignment for cosine ANN — the third ANN family next to MinHash
+    (q35, sets) and IVF (q39, trained cells). ±1 planes make the
+    projection sign exactly reproducible; see similarity.srp_signature."""
+    return similarity.srp_signature(
+        load(spark, sf_dir, "embeddings", spread=True), n_planes=16, dim=64
+    )

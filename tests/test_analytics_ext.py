@@ -1,0 +1,126 @@
+"""Wave-3 operators: salted join, grouping sets, exact quantiles, SRP-LSH."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.operators import analytics, similarity
+from hbase_bulkload_service_spark.operators.table import salted_join
+
+from conftest import SF_DIR  # noqa: F401  (fixture dir)
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # hot key 0 carries half the probe
+    probe = spark.range(0, 4000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 37).alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dim = spark.range(0, 37).select(F.col("id").alias("k"), (F.col("id") + 100).alias("w"))
+    return probe, dim
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    probe, dim = skewed
+    plain = probe.join(dim, "k").select("k", "uid", "v", "w")
+    salted = salted_join(probe, dim, "k", salt_partitions=4, salt_source="uid").select(
+        "k", "uid", "v", "w"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark, skewed):
+    probe, dim = skewed
+    dim_half = dim.filter(F.col("k") < 20)
+    plain = probe.join(dim_half, "k", "left").select("k", "uid", "w")
+    salted = salted_join(
+        probe, dim_half, "k", salt_partitions=4, salt_source="uid", how="left"
+    ).select("k", "uid", "w")
+    assert sorted(
+        map(tuple, plain.collect())
+    ) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_shuffles_on_salted_key(spark, skewed):
+    probe, dim = skewed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _formatted(salted_join(probe, dim, "k", salt_partitions=4))
+        # without salting the whole hot key 0 hashes to ONE task; salted,
+        # the join keys include __salt so the exchange spreads it
+        assert "__salt" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_group_quantiles_exact(spark):
+    rows = [("a", v) for v in [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]] + [
+        ("b", v) for v in [5, 15, 25]
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["g"], r["p"]): (r["quantile_value"], r["group_n"])
+        for r in analytics.group_quantiles(df, "g", "v", (0.5, 0.9)).collect()
+    }
+    # rank = ceil(p*n): a@0.5 -> rank 5 -> 50; a@0.9 -> rank 9 -> 90
+    assert out[("a", 0.5)] == (50, 10)
+    assert out[("a", 0.9)] == (90, 10)
+    # b: n=3 -> rank 2 -> 15 ; rank ceil(2.7)=3 -> 25
+    assert out[("b", 0.5)] == (15, 3)
+    assert out[("b", 0.9)] == (25, 3)
+
+
+def test_group_quantiles_single_shuffle(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    plan = _formatted(analytics.group_quantiles(df, "g", "v"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_rollup_has_subtotals_and_total(spark):
+    df = spark.createDataFrame(
+        [("x", "p", 1), ("x", "q", 2), ("y", "p", 4)], "a string, b string, v long"
+    )
+    out = analytics.rollup_cube(df, ["a", "b"], [F.sum("v").alias("s")]).collect()
+    got = {(r["a"], r["b"]): r["s"] for r in out}
+    assert got[("x", "p")] == 1 and got[("x", None)] == 3
+    assert got[(None, None)] == 7
+    cube = analytics.rollup_cube(
+        df, ["a", "b"], [F.sum("v").alias("s")], cube=True
+    ).collect()
+    gotc = {(r["a"], r["b"]): r["s"] for r in cube}
+    assert gotc[(None, "p")] == 5  # cube adds the per-b slice rollup lacks
+
+
+def test_srp_signature_deterministic_and_bounded(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.5] * 64, 0), (2, [0.5] * 64, 1), (3, [-0.5] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: r for r in similarity.srp_signature(emb).collect()}
+    # identical vectors share a bucket; all signatures fit in 16 bits
+    assert out[1]["signature"] == out[2]["signature"]
+    assert out[1]["bucket_n"] == 2
+    for r in out.values():
+        assert 0 <= r["signature"] < (1 << 16)
+    # opposite vector flips every non-zero projection -> different bucket
+    assert out[3]["signature"] != out[1]["signature"]
+
+
+def test_srp_planes_are_pm1_and_stable(spark):
+    p1 = similarity.srp_planes(4, 8)
+    p2 = similarity.srp_planes(4, 8)
+    assert p1 == p2
+    assert {x for row in p1 for x in row} <= {1.0, -1.0}
