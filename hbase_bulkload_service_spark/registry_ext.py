@@ -370,3 +370,94 @@ def q54_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_signature(
         load(spark, sf_dir, "embeddings", spread=True), n_planes=16, dim=64
     )
+
+
+# ===========================================================================
+# q56 — flagship bulkload pipeline end-to-end through the HFile-layout sink
+# ===========================================================================
+
+from hbase_bulkload_service_spark.registry import DUCK_SALT_BUCKET, TSDB_CELLS_CTE
+from hbase_bulkload_service_spark.functions.codec import decode_double_be
+from hbase_bulkload_service_spark.operators import tsdb
+from hbase_bulkload_service_spark.sources import hfile
+
+
+@register(
+    "q56_bulkload_e2e",
+    f"""
+    WITH {TSDB_CELLS_CTE},
+    c1 AS (
+      SELECT metric_id, ts_hour, tags, offset_sec, version_ts,
+             MAX(dvalue) AS dvalue
+      FROM cells
+      GROUP BY metric_id, ts_hour, tags, offset_sec, version_ts
+    ),
+    ded AS (
+      SELECT metric_id, ts_hour, tags, offset_sec,
+             arg_max(dvalue, version_ts) AS dvalue
+      FROM c1 GROUP BY metric_id, ts_hour, tags, offset_sec
+    ),
+    b AS (SELECT *, {DUCK_SALT_BUCKET} AS bucket FROM ded),
+    k AS (
+      SELECT CAST(bucket // 8 AS INT) AS region,
+             upper(lpad(to_hex(bucket), 4, '0') || lpad(to_hex(ts_hour), 8, '0')
+                   || lpad(to_hex(metric_id), 6, '0') || lpad(to_hex(ts_hour), 8, '0')
+                   || hex(tags)) AS key_hex,
+             dvalue
+      FROM b
+    )
+    SELECT region, COUNT(*) AS n_cells,
+           COUNT(DISTINCT key_hex) AS n_keys,
+           MIN(key_hex) AS min_key_hex, MAX(key_hex) AS max_key_hex,
+           CAST(SUM(CAST(FLOOR(dvalue * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM k GROUP BY region
+    """,
+)
+def q56_bulkload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline (D1 salt → D3/E1 dedup → D2/G2 ordering →
+    H1/H3 per-region sorted files + H7 manifest) driven END-TO-END through
+    the real sink, then read back and summarized per region. The oracle
+    recomputes salt/bucket/rowkey-hex/dedup from first principles — a
+    mismatch in ANY stage (hash, byte layout, dedup, partitioning, value
+    round-trip through the binary codec and the files) breaks it.
+
+    Uses the rollup region layout (8 buckets/region → 64 region dirs,
+    HadoopOutputFormat3.java:24,97): same code path as the raw 512-region
+    layout but 8× fewer directories — the bench-sane configuration; the
+    512-dir variant is covered by test_bulkload_hfile.
+
+    Same-version collisions collapse to MAX(dvalue) first (as q11) so the
+    max_by tie is deterministic cross-engine."""
+    import shutil
+    import tempfile
+
+    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
+    c1 = cells.groupBy("rowkey", "qualifier", "version_ts").agg(
+        F.max("dvalue").alias("dvalue"),
+        F.max("metric_id").alias("metric_id"),
+        F.max("ts_hour").alias("ts_hour"),
+        F.max("tags").alias("tags"),
+    )
+    c1 = c1.withColumn("value", tsdb.encode_double_be(F.col("dvalue")))
+    kv = tsdb.bulkload_kv(c1, num_partitions=16)
+    schema = (
+        "region int, n_cells long, n_keys long, "
+        "min_key_hex string, max_key_hex string, sum_value_cents long"
+    )
+    d = tempfile.mkdtemp(prefix="q56hfiles")
+    try:
+        hfile.write_hfiles(kv, d, rollup=True, num_partitions=16)
+        back = spark.read.parquet(d)
+        summary = back.groupBy("region").agg(
+            F.count("*").alias("n_cells"),
+            F.countDistinct("key_hex").alias("n_keys"),
+            F.min("key_hex").alias("min_key_hex"),
+            F.max("key_hex").alias("max_key_hex"),
+            F.sum(
+                F.floor(decode_double_be(F.col("value")) * 100).cast("long")
+            ).alias("sum_value_cents"),
+        )
+        rows = summary.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

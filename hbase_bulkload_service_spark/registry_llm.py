@@ -529,8 +529,61 @@ def q42_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q39b_ivf_topk")  # rows-only: search quality is recall<1 by design
+@register(
+    "q39b_ivf_topk",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    s AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_duck_cos_micros("e.embedding", "c.cvec")} AS cm
+      FROM embeddings e, c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cm DESC, centroid_id) AS rn
+        FROM s
+      ) WHERE rn = 1
+    ),
+    qc AS (
+      SELECT q.query_id, c.centroid_id,
+             {_duck_cos_micros("q.qvec", "c.cvec")} AS qc_cos
+      FROM q, c
+    ),
+    probe AS (
+      SELECT query_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY qc_cos DESC, centroid_id) AS rn
+        FROM qc
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_duck_cos_micros("q.qvec", "e.embedding")} AS cos_micros
+      FROM probe p
+      JOIN q USING (query_id)
+      JOIN assign a ON a.cell = p.cell
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE p.query_id <> e.vec_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_micros FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micros DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
 def q39b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probed ANN search, FULL exact oracle: with deterministic
+    centroids the whole search — assignment, nprobe cell ranking, in-cell
+    scoring, top-k — is reproducible SQL. The oracle replays it verbatim
+    (recall<1 vs brute force is a property of the algorithm, not
+    nondeterminism; the q39b-vs-q38 recall bound is pinned in tests)."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
