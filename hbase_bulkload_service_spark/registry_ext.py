@@ -461,3 +461,46 @@ def q56_bulkload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ===========================================================================
+# q57 — the documented Flink-SQL query shape, verbatim, through spark.sql
+# ===========================================================================
+
+from hbase_bulkload_service_spark.registry import HTABLE_CTE
+
+
+@register(
+    "q57_sql_surface",
+    f"""
+    WITH {HTABLE_CTE}
+    SELECT n_name,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
+           COUNT(*) AS cnt
+    FROM htable
+    WHERE rowkey LIKE '000000000%'
+    GROUP BY n_name
+    """,
+)
+def q57_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/§3.2 — the reference's documented SQL surface run literally as
+    SQL text over a registered table (AbstractHBaseTableSource.java:54-65:
+    ``SELECT t.fam2.col1, SUM(t.fam1.col2) FROM hTable t WHERE t.rowkey
+    LIKE 'flink%' GROUP BY t.fam2.col1``): nested family access, a rowkey
+    prefix LIKE, and a grouped aggregate — parsed and planned by Catalyst
+    (the reference hands the same job to Flink's planner; only projection
+    pushdown lives in the connector). The prefix LIKE compiles to a
+    StartsWith filter that prunes on a key-sorted layout."""
+    from hbase_bulkload_service_spark.operators import table as htbl
+
+    htbl.build_htable(spark, sf_dir).createOrReplaceTempView("htable_t")
+    return spark.sql(
+        """
+        SELECT t.f2.n_name AS n_name,
+               SUM(CAST(FLOOR(t.f1.c_acctbal * 100) AS BIGINT)) AS sum_acctbal_cents,
+               COUNT(*) AS cnt
+        FROM htable_t t
+        WHERE t.rowkey LIKE '000000000%'
+        GROUP BY t.f2.n_name
+        """
+    )
