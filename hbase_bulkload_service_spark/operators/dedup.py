@@ -402,10 +402,17 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .persist()
     )
+    # Round-1 state computed directly: comp = min(node, neighbors) — one
+    # aggregate instead of an identity round + join (saves a full
+    # join+checkpoint+probe cycle; on diameter-2 near-cliques the loop
+    # below then runs 1-2 rounds instead of 2-3).
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("mb")).alias("comp"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):

@@ -214,3 +214,45 @@ def streaming_lookup_join(
     return probe_stream.join(
         F.broadcast(dim), probe_stream[probe_key] == dim[dim_key], how
     )
+
+
+def streaming_bulkload(
+    base_path: str,
+    bucket_count: int = 512,
+    rollup: bool = False,
+    num_partitions: int = 16,
+):
+    """J1 × H1-H3 — the reference's production loop (bulkload jobs enqueued
+    over time, each producing an adoption unit: HFile set + manifest,
+    HBaseController.java:49-124) as a Structured Streaming foreachBatch:
+    every micro-batch runs the FULL flagship pipeline (salt → dedup →
+    range-sorted per-region files, operators/tsdb.bulkload_kv) into its
+    own ``batch=<id>/`` staging dir — one adoption unit per batch, exactly
+    the queue's one-job-at-a-time contract (micro-batches are sequential).
+
+    Cross-batch versions are NOT merged here: like the reference, each
+    job's HFile set is self-consistent and HBase resolves versions at read
+    time (multiple files per region are expected — the 2048/region cap).
+    For a merged snapshot view, compact with latest_version_dedup over the
+    union of batches (see upsert_batch_writer for the snapshot pattern).
+
+    Returns the foreachBatch callable; wire it as
+    ``stream.writeStream.foreachBatch(streaming_bulkload(...))``.
+    """
+    from hbase_bulkload_service_spark.operators import tsdb as _tsdb
+    from hbase_bulkload_service_spark.sources import hfile as _hfile
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return  # empty trigger: no adoption unit
+        kv = _tsdb.bulkload_kv(
+            batch_df, bucket_count=bucket_count, num_partitions=num_partitions
+        )
+        _hfile.write_hfiles(
+            kv,
+            os.path.join(base_path, f"batch={int(batch_id)}"),
+            rollup=rollup,
+            num_partitions=num_partitions,
+        )
+
+    return write

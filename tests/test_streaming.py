@@ -158,3 +158,62 @@ def test_streaming_lookup_join_rejects_other_joins(spark):
     dim = spark.createDataFrame([(1, "x")], "rowkey long, name string")
     with _pytest.raises(ValueError):
         st.streaming_lookup_join(dim, "rowkey", dim, how="full")
+
+
+def test_streaming_bulkload_batches_equal_batch_pipeline(spark, tmp_path):
+    """Incremental bulkload: N micro-batches -> N adoption units whose
+    union equals the one-shot batch pipeline (same salt/dedup/ordering),
+    each unit passing the adoption validator independently."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.operators import tsdb
+    from hbase_bulkload_service_spark.sources import hfile
+    from hbase_bulkload_service_spark.sources.tables import load_events
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    from conftest import SF_DIR
+
+    cells = tsdb.derive_tsdb_cells(load_events(spark, SF_DIR)).select(
+        "metric_id", "ts_hour", "tags", "rowkey", "qualifier",
+        "version_ts", "value",
+    )
+    src = str(tmp_path / "cells_src")
+    # 3 source files -> 3 micro-batches with maxFilesPerTrigger=1.
+    # Partitioned BY ROWKEY so every cell's versions share a batch: staged
+    # units drop version_ts (C3 projection, like the reference's KeyValue),
+    # so cross-batch version order is the adopter's concern, not the
+    # pipeline's — mirroring the reference where each bulkload job covers
+    # a disjoint time range (HBaseController.java:209-229 slices).
+    cells.repartition(3, F.col("rowkey")).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "staged")
+    stream = spark.readStream.schema(cells.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            st.streaming_bulkload(out, rollup=True, num_partitions=4)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    st.await_finite(q, 300)
+
+    batch_dirs = sorted(glob.glob(f"{out}/batch=*"))
+    assert len(batch_dirs) == 3, batch_dirs
+    for d in batch_dirs:
+        hfile.validate_layout(spark, d, rollup=True)  # each unit adoptable
+
+    # union of staged cells == one-shot pipeline over the same input
+    # (per-batch dedup == global dedup because batches are rowkey-disjoint)
+    staged = spark.read.option("basePath", out).parquet(*batch_dirs)
+    batch_kv = tsdb.bulkload_kv(cells, num_partitions=4)
+    got = sorted(
+        map(tuple, staged.select("key", "qualifier", "value").collect())
+    )
+    want = sorted(
+        map(tuple, batch_kv.select("key", "qualifier", "value").collect())
+    )
+    assert got == want
