@@ -426,6 +426,11 @@ def q56_bulkload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout but 8× fewer directories — the bench-sane configuration; the
     512-dir variant is covered by test_bulkload_hfile.
 
+    The read-back goes through the engine's OWN DSv2 scan source
+    (sources/hfilescan.py — manifest-driven per-region splits, the
+    reference's createInputSplits analog), so A1/A2 sit inside the
+    correctness gate too, not just unit tests.
+
     Same-version collisions collapse to MAX(dvalue) first (as q11) so the
     max_by tie is deterministic cross-engine."""
     import shutil
@@ -447,7 +452,10 @@ def q56_bulkload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="q56hfiles")
     try:
         hfile.write_hfiles(kv, d, rollup=True, num_partitions=16)
-        back = spark.read.parquet(d)
+        from hbase_bulkload_service_spark.sources import hfilescan
+
+        hfilescan.register(spark)
+        back = spark.read.format("hfilescan").option("path", d).load()
         summary = back.groupBy("region").agg(
             F.count("*").alias("n_cells"),
             F.countDistinct("key_hex").alias("n_keys"),

@@ -135,4 +135,8 @@ class HFileScanDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # A reader that implements pushFilters() hard-fails unless pushdown is
+    # enabled; the flag is runtime-settable, so make registration
+    # self-sufficient in sessions that lack session.py's defaults.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HFileScanDataSource)
