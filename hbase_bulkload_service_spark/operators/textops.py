@@ -205,3 +205,38 @@ def distinctive_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Da
         ),
     )
     return ranked.filter(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub / text cleaning (training-data pipeline stage)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+DIGITRUN_RE = "[0-9]{7,}"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails then long digit runs (phone/account-number shaped),
+    counting each — the standard pre-training scrub stage. Patterns stay
+    in the RE2-compatible subset (no backreferences/lookaround) so the
+    same regex text runs identically on Java regex, RE2, and hence any
+    engine an oracle might use.
+
+    Pure map-side projection: two regexp counts + two sequential
+    regexp_replace passes (emails first — they contain digit runs), no
+    shuffle, codegen'd. At 100 TB this pipelines into whatever scan feeds
+    it; the md5 of the scrubbed text doubles as the exact-dedup key of
+    the CLEANED corpus (scrub-then-dedup collapses docs that differed
+    only in their PII)."""
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(no_email, DIGITRUN_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(DIGITRUN_RE), 0)).alias(
+            "n_digit_runs"
+        ),
+        F.md5(clean).alias("scrubbed_md5"),
+        F.length(clean).alias("scrubbed_len"),
+    )

@@ -399,18 +399,32 @@ from hbase_bulkload_service_spark.sources import hfile
     ),
     b AS (SELECT *, {DUCK_SALT_BUCKET} AS bucket FROM ded),
     k AS (
-      SELECT CAST(bucket // 8 AS INT) AS region,
+      SELECT bucket, CAST(bucket // 8 AS INT) AS region,
              upper(lpad(to_hex(bucket), 4, '0') || lpad(to_hex(ts_hour), 8, '0')
                    || lpad(to_hex(metric_id), 6, '0') || lpad(to_hex(ts_hour), 8, '0')
                    || hex(tags)) AS key_hex,
              dvalue
       FROM b
+    ),
+    agg AS (
+      SELECT region, COUNT(*) AS n_cells,
+             COUNT(DISTINCT key_hex) AS n_keys,
+             MIN(key_hex) AS min_key_hex, MAX(key_hex) AS max_key_hex,
+             CAST(SUM(CAST(FLOOR(dvalue * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      FROM k GROUP BY region
+    ),
+    agg_slice AS (
+      -- fixed-width uppercase hex is order-isomorphic to the bucket
+      -- number: key_hex in ['0000','0010') == bucket < 16
+      SELECT region, COUNT(*) AS n_cells,
+             COUNT(DISTINCT key_hex) AS n_keys,
+             MIN(key_hex) AS min_key_hex, MAX(key_hex) AS max_key_hex,
+             CAST(SUM(CAST(FLOOR(dvalue * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      FROM k WHERE bucket < 16 GROUP BY region
     )
-    SELECT region, COUNT(*) AS n_cells,
-           COUNT(DISTINCT key_hex) AS n_keys,
-           MIN(key_hex) AS min_key_hex, MAX(key_hex) AS max_key_hex,
-           CAST(SUM(CAST(FLOOR(dvalue * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-    FROM k GROUP BY region
+    SELECT 'all' AS src, * FROM agg
+    UNION ALL
+    SELECT 'dsv2slice' AS src, * FROM agg_slice
     """,
 )
 def q56_bulkload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,17 +460,12 @@ def q56_bulkload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = c1.withColumn("value", tsdb.encode_double_be(F.col("dvalue")))
     kv = tsdb.bulkload_kv(c1, num_partitions=16)
     schema = (
-        "region int, n_cells long, n_keys long, "
+        "src string, region int, n_cells long, n_keys long, "
         "min_key_hex string, max_key_hex string, sum_value_cents long"
     )
-    d = tempfile.mkdtemp(prefix="q56hfiles")
-    try:
-        hfile.write_hfiles(kv, d, rollup=True, num_partitions=16)
-        from hbase_bulkload_service_spark.sources import hfilescan
 
-        hfilescan.register(spark)
-        back = spark.read.format("hfilescan").option("path", d).load()
-        summary = back.groupBy("region").agg(
+    def summarize(back: DataFrame, src: str) -> DataFrame:
+        return back.groupBy("region").agg(
             F.count("*").alias("n_cells"),
             F.countDistinct("key_hex").alias("n_keys"),
             F.min("key_hex").alias("min_key_hex"),
@@ -464,8 +473,29 @@ def q56_bulkload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.floor(decode_double_be(F.col("value")) * 100).cast("long")
             ).alias("sum_value_cents"),
+        ).select(F.lit(src).alias("src"), "*")
+
+    d = tempfile.mkdtemp(prefix="q56hfiles")
+    try:
+        hfile.write_hfiles(kv, d, rollup=True, num_partitions=16)
+        # full-corpus summary: native parquet readback (the sink IS parquet
+        # per region; at bench scale a full Arrow transfer through the
+        # Python source would dominate the query)
+        full = summarize(spark.read.parquet(d), "all")
+        # DSv2 readback on a rowkey range: the engine's own scan source
+        # plans one split per region and ELIDES regions outside the pushed
+        # [lo, hi) via the manifest — only buckets 0x0000-0x000F (2 region
+        # dirs of 64) ever get a task
+        from hbase_bulkload_service_spark.sources import hfilescan
+
+        hfilescan.register(spark)
+        sliced = (
+            spark.read.format("hfilescan")
+            .option("path", d)
+            .load()
+            .filter((F.col("key_hex") >= "0000") & (F.col("key_hex") < "0010"))
         )
-        rows = summary.collect()
+        rows = full.unionByName(summarize(sliced, "dsv2slice")).collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
@@ -512,3 +542,52 @@ def q57_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.f2.n_name
         """
     )
+
+
+# ===========================================================================
+# q58 — PII scrub / text cleaning
+# ===========================================================================
+
+from hbase_bulkload_service_spark.operators import textops
+
+
+@register(
+    "q58_pii_scrub",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +' || CAST(doc_id * 1234567 + 10000000 AS VARCHAR)
+               AS text
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{textops.EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+      FROM d
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{textops.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(no_email, '{textops.DIGITRUN_RE}')) AS n_digit_runs,
+           md5(regexp_replace(no_email, '{textops.DIGITRUN_RE}', '<NUM>', 'g')) AS scrubbed_md5,
+           CAST(length(regexp_replace(no_email, '{textops.DIGITRUN_RE}', '<NUM>', 'g')) AS INT)
+             AS scrubbed_len
+    FROM s
+    """,
+)
+def q58_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline scrub stage over documents seeded with
+    deterministic synthetic PII (an email + a long digit run per doc, so
+    counts are non-trivial); see textops.scrub_pii. Redaction order
+    (emails before digit runs) is part of the contract and the oracle."""
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +"),
+            (F.col("doc_id") * 1234567 + 10000000).cast("string"),
+        ).alias("text"),
+    )
+    return textops.scrub_pii(docs)

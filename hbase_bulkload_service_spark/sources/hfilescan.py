@@ -99,12 +99,19 @@ class HFileScanReader(DataSourceReader):
             parts.append(
                 RegionPartition(int(region), os.path.join(self.path, f"region={region}"))
             )
+        if not parts:
+            # every region elided: Spark's Python-source contract calls
+            # read(None) when partitions() is empty — hand it an explicit
+            # empty split instead
+            parts.append(RegionPartition(-1, ""))
         return parts
 
     def read(self, part: RegionPartition):
         import pyarrow as pa
         import pyarrow.dataset as ds
 
+        if part is None or part.region < 0:
+            return  # empty split (all regions elided)
         dataset = ds.dataset(part.path, format="parquet")
         # row-level range restriction inside the surviving region (B2)
         expr = None

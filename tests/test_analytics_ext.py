@@ -124,3 +124,23 @@ def test_srp_planes_are_pm1_and_stable(spark):
     p2 = similarity.srp_planes(4, 8)
     assert p1 == p2
     assert {x for row in p1 for x in row} <= {1.0, -1.0}
+
+
+def test_scrub_pii_counts_and_order(spark):
+    from hbase_bulkload_service_spark.operators.textops import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and b@c.org plus 12345678 end"),
+            (2, "no pii here"),
+            (3, "digits 123456 only six"),  # below the 7-digit threshold
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_digit_runs"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_digit_runs"] == 0
+    assert out[3]["n_digit_runs"] == 0
+    # scrubbed text is deterministic: same input -> same md5
+    again = {r["doc_id"]: r["scrubbed_md5"] for r in scrub_pii(docs).collect()}
+    assert again[1] == out[1]["scrubbed_md5"]
