@@ -430,6 +430,10 @@ def salted_join(
     rowkey salt itself (TsdbBulkload.java:84-113) is this exact move
     applied to writes; `salted_join` is the read-side twin.
     """
+    if how not in ("inner", "left", "left_semi", "leftsemi"):
+        # right/full would emit each UNMATCHED dim row once per salt copy —
+        # silently wrong; probe-side-preserving joins only
+        raise ValueError(f"salted_join supports inner/left semantics, got {how!r}")
     src = F.col(salt_source) if salt_source else F.col(key)
     p = probe.withColumn(
         "__salt", F.pmod(F.xxhash64(src), F.lit(salt_partitions)).cast("int")

@@ -144,3 +144,35 @@ def test_scrub_pii_counts_and_order(spark):
     # scrubbed text is deterministic: same input -> same md5
     again = {r["doc_id"]: r["scrubbed_md5"] for r in scrub_pii(docs).collect()}
     assert again[1] == out[1]["scrubbed_md5"]
+
+
+def test_salted_join_rejects_dim_preserving_sides(spark, skewed):
+    probe, dim = skewed
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(probe, dim, "k", how="right")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(probe, dim, "k", how="full")
+
+
+def test_interval_join_drops_degenerate_intervals(spark):
+    from hbase_bulkload_service_spark.operators.table import interval_join
+
+    probe = spark.createDataFrame([(1, 100), (2, 250)], "pid long, ts long")
+    intervals = spark.createDataFrame(
+        [(10, 0, 200), (11, 250, 250), (12, 300, 200)],  # 11, 12 degenerate
+        "iid long, s long, e long",
+    )
+    out = interval_join(probe, "ts", intervals, "s", "e", bucket_width=100)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 10)]  # ts=100 in [0,200); nothing matches 11/12
+
+
+def test_neardup_clusters_raises_on_exhausted_iterations(spark):
+    from hbase_bulkload_service_spark.operators.dedup import neardup_clusters
+
+    # a chain 0-1-2-...-9: diameter 9, so max_iter=2 cannot converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(chain, max_iter=2)
