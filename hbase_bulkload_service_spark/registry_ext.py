@@ -591,3 +591,79 @@ def q58_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return textops.scrub_pii(docs)
+
+
+# ===========================================================================
+# q59 — K1 bucketed layout + co-located (zero-exchange) join in the gate
+# ===========================================================================
+
+from hbase_bulkload_service_spark.operators import maintenance as mnt_ops
+
+
+@register(
+    "q59_bucketed_join",
+    """
+    WITH fact AS (
+      SELECT CAST(o_custkey % 64 AS INT) AS bucket,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    dim AS (
+      SELECT DISTINCT CAST(o_custkey % 64 AS INT) AS bucket,
+             CAST(o_custkey % 64 AS BIGINT) * 2 + 1 AS factor
+      FROM orders
+    )
+    SELECT f.bucket, d.factor,
+           COUNT(*) AS n_rows,
+           CAST(SUM(f.cents) AS BIGINT) AS sum_cents
+    FROM fact f JOIN dim d USING (bucket)
+    GROUP BY f.bucket, d.factor
+    """,
+)
+def q59_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 at full strength through the gate: fact + dim written as
+    CLUSTERED BY (bucket) tables (the pre-split HBase table's Spark twin,
+    HBaseManager.java:56-70 + :370-402 split keys), re-read from the
+    bucketed layout, then joined and aggregated ON the bucket key — the
+    physical plan satisfies the join/agg distribution from the scan, so
+    at scale this runs with ZERO exchanges (pinned by
+    test_maintenance_schema.test_bucketed_table_plans_zero_exchanges);
+    here the driver gate additionally pins the RESULT through the
+    bucketed write/read path."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders")
+    fact = o.select(
+        (F.col("o_custkey") % 64).cast("int").alias("bucket"),
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+    dim = (
+        o.select((F.col("o_custkey") % 64).cast("int").alias("bucket"))
+        .distinct()
+        .withColumn("factor", F.col("bucket").cast("long") * 2 + 1)
+    )
+    d = tempfile.mkdtemp(prefix="q59bkt")
+    try:
+        t1 = mnt_ops.create_bucketed_table(
+            fact, "q59_fact", f"{d}/fact", file_buckets=8
+        )
+        t2 = mnt_ops.create_bucketed_table(
+            dim, "q59_dim", f"{d}/dim", file_buckets=8
+        )
+        out = (
+            t1.join(t2, "bucket")
+            .groupBy("bucket", "factor")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        for t in ("q59_fact", "q59_dim"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "bucket int, factor long, n_rows long, sum_cents long"
+    )
