@@ -667,3 +667,108 @@ def q59_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "bucket int, factor long, n_rows long, sum_cents long"
     )
+
+
+# ===========================================================================
+# q60 — stream-stream interval join (click→purchase attribution)
+# ===========================================================================
+
+ATTR_WINDOW_MS = 3600 * 1000
+
+
+@register(
+    "q60_stream_stream_join",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           c.ts_ms AS click_ms, p.ts_ms AS purchase_ms,
+           p.cents AS purchase_cents
+    FROM e c JOIN e p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts_ms >= c.ts_ms AND p.ts_ms <= c.ts_ms + {ATTR_WINDOW_MS}
+    """,
+)
+def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join driven end-to-end: clicks and purchases as
+    two independent file streams, joined per user within a 1-hour
+    attribution window (streaming/ops.py:stream_stream_interval_join).
+    Inner matches emit on arrival — no watermark holdback — so the finite
+    replay equals the batch join and the SQL oracle is exact. The
+    reference's only join probes a STATIC table; dual-unbounded-side joins
+    with interval-bounded state are pure new capability."""
+    import shutil
+    import tempfile
+
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_millis(F.col("ts_ms")).alias("evt"),
+        F.col("ts_ms"),
+        cents(F.col("value")).alias("cents"),
+    )
+    d = tempfile.mkdtemp(prefix="q60ss")
+    try:
+        ev.filter(F.col("event_type") == "click").coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/clicks")
+        ev.filter(F.col("event_type") == "purchase").coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/purchases")
+        sch = (
+            "event_id long, user_id long, event_type string, "
+            "evt timestamp, ts_ms long, cents long"
+        )
+        clicks = (
+            spark.readStream.schema(sch)
+            .parquet(f"{d}/clicks")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("evt").alias("c_evt"),
+                F.col("ts_ms").alias("click_ms"),
+            )
+        )
+        purchases = (
+            spark.readStream.schema(sch)
+            .parquet(f"{d}/purchases")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("evt").alias("p_evt"),
+                F.col("ts_ms").alias("purchase_ms"),
+                F.col("cents").alias("purchase_cents"),
+            )
+        )
+        lw = clicks.withWatermark("c_evt", "10 minutes")
+        rw = purchases.withWatermark("p_evt", "10 minutes")
+        joined = lw.join(
+            rw,
+            (lw["user_id"] == rw["p_user_id"])
+            & (rw["p_evt"] >= lw["c_evt"])
+            & (rw["p_evt"] <= lw["c_evt"] + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        ).select("click_id", "user_id", "click_ms", "purchase_ms", "purchase_cents")
+        with _scoped_shuffle_partitions(spark, 8):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName("q60_ss_mem")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            st.await_finite(q, 300)
+        rows = spark.table("q60_ss_mem").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "click_id long, user_id long, click_ms long, purchase_ms long, "
+        "purchase_cents long",
+    )

@@ -256,3 +256,39 @@ def streaming_bulkload(
         )
 
     return write
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within_ms: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STREAM inner join: each left event matched to right events of
+    the same key arriving within ``[left_ts, left_ts + within_ms]`` — the
+    click→purchase attribution shape. Both sides are unbounded, so BOTH
+    carry watermarks and the time-interval condition bounds how long each
+    side's state is retained (Spark derives state TTL from the watermark +
+    interval; without the interval the join would buffer both streams
+    forever).
+
+    Inner-join matches emit as soon as both rows have arrived (no
+    watermark holdback — that's only for outer sides), so a finite
+    replay produces exactly the batch join's rows. The reference has no
+    stream-stream surface at all (its lookup join probes a static table);
+    this is the F1-family member Spark adds outright.
+
+    Scale: state is keyed on the join key — the same salt-spread keys as
+    every batch shuffle — and bounded by (event rate × interval width).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within_ms} MILLISECONDS"))
+    )
+    return lw.join(rw, cond, "inner")

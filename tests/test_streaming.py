@@ -217,3 +217,39 @@ def test_streaming_bulkload_batches_equal_batch_pipeline(spark, tmp_path):
         map(tuple, batch_kv.select("key", "qualifier", "value").collect())
     )
     assert got == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100)],
+        "k long, lts string, lv long",
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"), "lv")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:20:00", 7),   # inside [lts, lts+30min]
+            (1, "2024-01-01 10:40:00", 8),   # outside
+            (2, "2024-01-01 10:10:00", 9),   # wrong key
+        ],
+        "k long, rts string, rv long",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "rv")
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(ld)
+    right.write.parquet(rd)
+    ls = spark.readStream.schema("k long, lts timestamp, lv long").parquet(ld)
+    rs = spark.readStream.schema("k long, rts timestamp, rv long").parquet(rd)
+    joined = st.stream_stream_interval_join(
+        ls, rs.withColumnRenamed("k", "rk").withColumnRenamed("rk", "k"),
+        key="k", left_ts="lts", right_ts="rts", within_ms=30 * 60 * 1000,
+    ).select("lv", "rv")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    st.await_finite(q, 120)
+    got = [(r["lv"], r["rv"]) for r in spark.table("ssj_mem").collect()]
+    assert got == [(100, 7)]
