@@ -442,3 +442,48 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_partitions - 1)))
     )
     return p.join(d, [key, "__salt"], how).drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# secondary index (index-table pattern — HBase-world standard idiom)
+# ---------------------------------------------------------------------------
+
+def build_index(htable: DataFrame, col: str, rowkey_col: str = "rowkey") -> DataFrame:
+    """Secondary-index table: ``(index_key = value-of-col, rowkey)``.
+
+    HBase has no native secondary indexes; the universal workaround is a
+    second table keyed by the indexed value whose cells are the primary
+    rowkeys (what Phoenix/Lily automate). Here the index is a two-column
+    DataFrame — write it bucketed/sorted by ``index_key`` and a point
+    lookup on the value prunes to one file, exactly like the primary
+    table's rowkey get (A8).
+
+    Nested family columns index fine: pass ``"f2.c_mktsegment"``.
+    """
+    return htable.select(
+        F.col(col).alias("index_key"), F.col(rowkey_col).alias("rowkey")
+    )
+
+
+def index_lookup(
+    htable: DataFrame,
+    index: DataFrame,
+    value,
+    rowkey_col: str = "rowkey",
+) -> DataFrame:
+    """A8-via-index: resolve ``value`` to rowkeys in the (small, pruned)
+    index table, then semi-join the primary table on its OWN key.
+
+    Scale shape: the index filter prunes to one index file (key-sorted
+    layout); the surviving rowkey set is usually broadcast-sized, so the
+    primary-side probe is a broadcast semi-join — a full scan of the
+    primary table is replaced by (tiny index read + hash probe). With the
+    primary bucketed by rowkey, dynamic partition pruning narrows the
+    probe further. The equivalent of HBase's multi-Get on index results.
+    """
+    hits = index.filter(F.col("index_key") == F.lit(value)).select("rowkey")
+    return htable.join(
+        F.broadcast(hits),
+        htable[rowkey_col] == hits["rowkey"],
+        "left_semi",
+    )

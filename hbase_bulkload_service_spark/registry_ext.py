@@ -772,3 +772,36 @@ def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id long, user_id long, click_ms long, purchase_ms long, "
         "purchase_cents long",
     )
+
+
+# ===========================================================================
+# q61 — secondary-index lookup (index-table pattern)
+# ===========================================================================
+
+from hbase_bulkload_service_spark.operators import table as htable_ops
+
+
+@register(
+    "q61_index_lookup",
+    f"""
+    WITH {HTABLE_CTE}
+    SELECT rowkey, c_name,
+           CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           n_name
+    FROM htable WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q61_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index read path: build the (c_mktsegment → rowkey) index
+    table, resolve the predicate IN THE INDEX, then broadcast-semi-join
+    the rowkey hits back into the primary table — the HBase index-table
+    idiom (native HBase would full-scan for any non-rowkey predicate).
+    Result == the plain filter, which is exactly what the oracle runs."""
+    ht = htable_ops.build_htable(spark, sf_dir, spread=True)
+    idx = htable_ops.build_index(ht, "f2.c_mktsegment")
+    return htable_ops.index_lookup(ht, idx, "BUILDING").select(
+        "rowkey",
+        F.col("f1.c_name").alias("c_name"),
+        cents(F.col("f1.c_acctbal")).alias("acctbal_cents"),
+        F.col("f2.n_name").alias("n_name"),
+    )

@@ -176,3 +176,25 @@ def test_neardup_clusters_raises_on_exhausted_iterations(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_clusters(chain, max_iter=2)
+
+
+def test_index_lookup_is_broadcast_semi_join(spark):
+    from hbase_bulkload_service_spark.operators.table import (
+        build_htable,
+        build_index,
+        index_lookup,
+    )
+
+    ht = build_htable(spark, SF_DIR)
+    idx = build_index(ht, "f2.c_mktsegment")
+    out = index_lookup(ht, idx, "BUILDING")
+    plan = _formatted(out)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # result equality with the plain filter
+    want = sorted(
+        r["rowkey"]
+        for r in ht.filter(F.col("f2.c_mktsegment") == "BUILDING").select("rowkey").collect()
+    )
+    got = sorted(r["rowkey"] for r in out.select("rowkey").collect())
+    assert got == want
