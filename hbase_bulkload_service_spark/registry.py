@@ -502,7 +502,12 @@ def q20_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hbase_bulkload_service_spark.streaming import ops as st
 
-    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
+    ev = load_events(spark, sf_dir, spread=True)
+    # metric_id 0 is the alphabetically-first event_type (the dictionary
+    # ranks by name); filtering the events FIRST lets derive_tsdb_cells
+    # skip the full-corpus dictionary join — same cells, smaller scan
+    min_type = ev.agg(F.min("event_type")).first()[0]
+    cells = tsdb.derive_tsdb_cells(ev.filter(F.col("event_type") == min_type))
     slim = (
         cells.filter(
             (F.col("metric_id") == 0)

@@ -53,7 +53,8 @@ def write_hfiles(
     path: str,
     rollup: bool = False,
     num_partitions: int | None = None,
-) -> dict:
+    manifest: bool = True,
+) -> dict | None:
     """Write the KV stream as one sorted parquet directory per region +
     manifest.json. Input: columns (bucket, key, key_hex, family, qualifier,
     qualifier_hex, value) — e.g. from operators.tsdb.bulkload_kv.
@@ -61,6 +62,10 @@ def write_hfiles(
     Scale: range partitioning on (region, key_hex) keeps each region's data
     in contiguous partitions; the dynamic-partition writer rolls files on
     region change exactly like HadoopOutputFormat2.writeRecord.
+
+    ``manifest=False`` skips the readback pass; a caller that re-reads the
+    output anyway can derive the same stats from its own scan and persist
+    them with :func:`write_manifest` (avoids scanning the data twice).
     """
     regions = assign_region(kv, rollup)
     n = num_partitions or 64
@@ -72,10 +77,33 @@ def write_hfiles(
         .mode("overwrite")
         .parquet(path)
     )
-    manifest = build_manifest(kv.sparkSession, path)
+    if not manifest:
+        return None
+    m = build_manifest(kv.sparkSession, path)
+    write_manifest(path, m)
+    return m
+
+
+def write_manifest(path: str, manifest: dict) -> None:
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    return manifest
+
+
+def manifest_from_region_stats(rows) -> dict:
+    """Build the manifest dict from per-region stats rows carrying
+    ``region``, ``n_cells`` (or ``rows``), ``min_key_hex``, ``max_key_hex``
+    — lets a caller that already aggregated a readback persist the manifest
+    without a second scan."""
+    return {
+        "regions": {
+            str(r["region"]): {
+                "rows": r["n_cells"] if "n_cells" in r else r["rows"],
+                "min_key_hex": r["min_key_hex"],
+                "max_key_hex": r["max_key_hex"],
+            }
+            for r in rows
+        }
+    }
 
 
 def build_manifest(spark, path: str) -> dict:
