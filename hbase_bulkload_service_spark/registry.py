@@ -454,7 +454,15 @@ def q19_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(dt, LongType):  # TIMESTAMP(NANOS) read as long
         ts_evt = F.timestamp_micros(F.expr("ts div 1000"))
     elif isinstance(dt, TimestampNTZType):
-        ts_evt = F.to_utc_timestamp(F.col("ts"), "UTC")
+        # wall-clock-as-UTC via pure wall-clock arithmetic (epoch_millis
+        # convention). to_utc_timestamp(ntz, 'UTC') is NOT that: Spark
+        # first casts NTZ→instant through the SESSION timezone, shifting
+        # every window by the zone offset (caught by the TZ probe).
+        ts_evt = F.timestamp_millis(
+            F.expr(
+                "timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        )
     else:
         ts_evt = F.col("ts")
     rolled = st.streaming_rollup_5m(
