@@ -80,3 +80,25 @@ def test_all_queries_run(spark):
         df = fn(spark, SF_DIR)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_timestamp_queries_are_session_timezone_proof(spark):
+    """Lock in the TZ-probe: timestamp-heavy queries must return identical
+    results under a non-UTC session timezone (all epoch arithmetic is
+    wall-clock-as-UTC by convention; q19's to_utc_timestamp regression is
+    the canonical failure this guards)."""
+    from hbase_bulkload_service_spark import registry
+
+    names = ["q12_hour_range_filter", "q13_rollup_5m", "q19_streaming_rollup"]
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        utc = {
+            n: sorted(map(tuple, registry.QUERIES[n](spark, SF_DIR).collect()))
+            for n in names
+        }
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for n in names:
+            ny = sorted(map(tuple, registry.QUERIES[n](spark, SF_DIR).collect()))
+            assert ny == utc[n], f"{n} drifts with session timezone"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
