@@ -487,3 +487,37 @@ def index_lookup(
         htable[rowkey_col] == hits["rowkey"],
         "left_semi",
     )
+
+
+# ---------------------------------------------------------------------------
+# H4+H5 — mutation-log resolution (HBase read-path semantics)
+# ---------------------------------------------------------------------------
+
+def resolve_mutations(
+    mutations: DataFrame,
+    key_cols: tuple[str, ...],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    put_op: str = "P",
+) -> DataFrame:
+    """Resolve a Put/Delete mutation log to the visible snapshot — HBase's
+    read path: per key the HIGHEST-sequence mutation wins, and a Delete
+    tombstone suppresses the row entirely (HBaseSerde.createPutMutation
+    :119-144 / createDeleteMutation :151-173 produce the log; region
+    compaction applies exactly this resolution).
+
+    ONE hash aggregate keyed on the cell key: ``max_by(payload, seq)``
+    with map-side partial combine — the same shape (and therefore the
+    same salt-spread skew profile) as latest-version dedup (D3). Requires
+    ``seq_col`` to be unique per key (HBase: timestamp + sequence id);
+    ties would make the winner nondeterministic.
+    """
+    payload_cols = [c for c in mutations.columns if c not in key_cols]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    resolved = mutations.groupBy(*key_cols).agg(
+        F.max_by(payload, F.col(seq_col)).alias("__m")
+    )
+    out = resolved.select(
+        *key_cols, *[F.col(f"__m.{c}").alias(c) for c in payload_cols]
+    )
+    return out.filter(F.col(op_col) == put_op).drop(op_col)

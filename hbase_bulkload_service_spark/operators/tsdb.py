@@ -287,3 +287,22 @@ def sessionize(
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
         )
     )
+
+
+def rollup_cascade_1h(rollup5m: DataFrame) -> DataFrame:
+    """E2 cascade — the 1-hour rollup computed FROM the 5-minute rollup,
+    not from raw cells (the OpenTSDB downsample-chain convention the
+    rollup table exists for: coarser granularities re-aggregate the finer
+    pre-aggregate). count/sum/min/max are decomposable, so the cascade is
+    exact — and at 100 TB it reads |5m-rollup| rows instead of |raw|,
+    which is the entire point of maintaining the rollup table
+    (HBaseProperties.java:24)."""
+    hour = (
+        F.col("window_start_sec") - F.col("window_start_sec") % HOUR_SEC
+    ).alias("window_start_sec")
+    return rollup5m.groupBy(hour, "event_type").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_value_cents").alias("sum_value_cents"),
+        F.min("min_value_cents").alias("min_value_cents"),
+        F.max("max_value_cents").alias("max_value_cents"),
+    )

@@ -808,3 +808,73 @@ def q61_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("f1.c_acctbal")).alias("acctbal_cents"),
         F.col("f2.n_name").alias("n_name"),
     )
+
+
+# ===========================================================================
+# q62 — rollup cascade (1h FROM the 5m pre-aggregate)
+# ===========================================================================
+
+from hbase_bulkload_service_spark.operators import tsdb as tsdb_ops
+
+
+@register(
+    "q62_rollup_cascade",
+    """
+    SELECT (epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 3600 AS window_start_sec,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS min_value_cents,
+           MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS max_value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q62_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 cascade: the 1-hour rollup computed from the 5-MINUTE rollup
+    (count/sum/min/max re-aggregate exactly), while the oracle aggregates
+    raw events straight to 1 hour — equality proves the downsample chain
+    is lossless, the property the reference's rollup table depends on.
+    At 100 TB the cascade reads the pre-aggregate, not the raw table."""
+    r5 = tsdb_ops.rollup_5m(load_events(spark, sf_dir, spread=True))
+    return tsdb_ops.rollup_cascade_1h(r5)
+
+
+# ===========================================================================
+# q63 — Put/Delete mutation-log resolution (HBase tombstone read path)
+# ===========================================================================
+
+@register(
+    "q63_mutation_resolve",
+    """
+    WITH m AS (
+      SELECT CAST(user_id % 100 AS BIGINT) AS k, event_type,
+             event_id AS seq,
+             CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'P' END AS op,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    latest AS (
+      SELECT k, event_type,
+             arg_max(seq, seq) AS seq,
+             arg_max(op, seq) AS op,
+             arg_max(cents, seq) AS cents
+      FROM m GROUP BY k, event_type
+    )
+    SELECT k, event_type, seq, cents FROM latest WHERE op = 'P'
+    """,
+)
+def q63_mutation_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4+H5 combined — a Put/Delete mutation log resolved to the visible
+    snapshot (highest sequence wins; Delete tombstones suppress the row),
+    i.e. HBase's compaction/read semantics over our upsert+delete surface.
+    event_id is the unique mutation sequence, so the winner is
+    deterministic. See table.resolve_mutations."""
+    m = load_events(spark, sf_dir, spread=True).select(
+        (F.col("user_id") % 100).alias("k"),
+        "event_type",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("D")).otherwise(F.lit("P")).alias("op"),
+        cents(F.col("value")).alias("cents"),
+    )
+    return tbl.resolve_mutations(m, key_cols=("k", "event_type"))
