@@ -271,19 +271,28 @@ def srp_signature(
     reproducible cross-engine.
     """
     planes = srp_planes(n_planes, dim)
+    # ONE expression looping over a plane-matrix literal (transform over
+    # array<array<double>>) instead of n_planes unrolled fold expressions:
+    # identical arithmetic/order per plane, ~3× faster measured — the
+    # unrolled form's whole-stage codegen blows up with n_planes × dim
+    # literal nodes. Bit weights fold as exact small doubles (2^p < 2^53),
+    # cast to long at the end.
+    w_matrix = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    pow_weights = F.array(*[F.lit(float(1 << p)) for p in range(n_planes)])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bits = []
-    for p in range(n_planes):
-        w = F.array(*[F.lit(planes[p][d]) for d in range(dim)])
-        dot = F.aggregate(
-            F.zip_with(v, w, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
+    dots = F.transform(
+        w_matrix,
+        lambda w: F.aggregate(
+            F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            dots, pow_weights, lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0.0))
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ).cast("long")
     out = embeddings.withColumn("signature", sig)
     from pyspark.sql import Window
 
