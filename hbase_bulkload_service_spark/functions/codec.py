@@ -142,19 +142,24 @@ def decode_boolean(b: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# strings (CHAR/VARCHAR — UTF-8 bytes; null ↔ null-string-literal)
+# strings (CHAR/VARCHAR — charset bytes; null ↔ null-string-literal)
 # ---------------------------------------------------------------------------
 
-def encode_string(v: Column, null_literal: str = NULL_STRING_LITERAL) -> Column:
-    """UTF-8 bytes; SQL NULL encodes as the null-string-literal's bytes
-    (HBaseSerde.java:251-260)."""
-    return F.encode(F.coalesce(v, F.lit(null_literal)), "UTF-8")
+def encode_string(
+    v: Column, null_literal: str = NULL_STRING_LITERAL, charset: str = "UTF-8"
+) -> Column:
+    """Charset bytes (per-table configurable, HBaseTableSchema.java:55,
+    126-128; default UTF-8); SQL NULL encodes as the null-string-literal's
+    bytes (HBaseSerde.java:251-260)."""
+    return F.encode(F.coalesce(v, F.lit(null_literal)), charset)
 
 
-def decode_string(b: Column, null_literal: str = NULL_STRING_LITERAL) -> Column:
+def decode_string(
+    b: Column, null_literal: str = NULL_STRING_LITERAL, charset: str = "UTF-8"
+) -> Column:
     """Inverse: bytes equal to the null literal decode to SQL NULL
     (HBaseSerde.java:365-374)."""
-    s = F.decode(b, "UTF-8")
+    s = F.decode(b, charset)
     return F.when(s == F.lit(null_literal), F.lit(None).cast("string")).otherwise(s)
 
 
@@ -422,3 +427,103 @@ def encode_time_millis(v: Column) -> Column:
 
 def decode_time_millis(b: Column) -> Column:
     return decode_int_be(b, 4).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL (LogicalType codec: INTERVAL_YEAR_MONTH shares the INTEGER
+# encoding — total months as 4-byte BE int, HBaseSerde.java:298-300;
+# INTERVAL_DAY_TIME shares the BIGINT encoding — total millis as 8-byte BE
+# long, HBaseSerde.java:312-313. Decode mirrors :409-411/:423-424.)
+# ---------------------------------------------------------------------------
+
+def interval_ym_months(v: Column) -> Column:
+    """Spark YearMonthIntervalType → total-months int (the codec's domain).
+    Integer columns pass through unchanged."""
+    return v.cast("int")
+
+
+def interval_dt_millis(v: Column) -> Column:
+    """Spark DayTimeIntervalType → total-millis long.
+
+    ``cast(dt AS BIGINT)`` yields whole SECONDS (the interval's end-field
+    unit), losing the fraction — so sum the extracted components instead.
+    ``extract`` returns sign-consistent components for negative intervals,
+    so the sum is exact; sub-millisecond fractions floor (ms-precision
+    codec, same truncation family as encode_timestamp_ms)."""
+    return (
+        F.date_part(F.lit("DAY"), v).cast("long") * F.lit(86400000)
+        + F.date_part(F.lit("HOUR"), v).cast("long") * F.lit(3600000)
+        + F.date_part(F.lit("MINUTE"), v).cast("long") * F.lit(60000)
+        + F.floor(F.date_part(F.lit("SECOND"), v) * F.lit(1000)).cast("long")
+    )
+
+
+def millis_to_interval_dt(millis: Column) -> Column:
+    """total-millis long → Spark DayTimeIntervalType (exact to the ms)."""
+    return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), millis / F.lit(1000.0))
+
+
+def encode_interval_ym(months: Column) -> Column:
+    """INTERVAL_YEAR_MONTH → 4-byte BE int of total months
+    (HBaseSerde.java:300 routes through the INTEGER branch)."""
+    return encode_int_be(months.cast("int"), 4)
+
+
+def decode_interval_ym(b: Column) -> Column:
+    """Inverse → total months int (HBaseSerde.java:411)."""
+    return decode_int_be(b, 4).cast("int")
+
+
+def encode_interval_dt(millis: Column) -> Column:
+    """INTERVAL_DAY_TIME → 8-byte BE long of total millis
+    (HBaseSerde.java:313 routes through the BIGINT branch)."""
+    return encode_int_be(millis.cast("long"), 8)
+
+
+def decode_interval_dt(b: Column) -> Column:
+    """Inverse → total millis long (HBaseSerde.java:424)."""
+    return decode_int_be(b, 8)
+
+
+# ---------------------------------------------------------------------------
+# legacy class-indexed codec variants (HBaseTypeUtils.java:48-118):
+# sql.Date / sql.Time are 8-byte epoch-millis LONGS (type idx 10/11,
+# HBaseTypeUtils.java:70-76) — unlike the LogicalType codec's 4-byte ints
+# above. Exposed as named `*_legacy` codecs; the cell serde selects them
+# via its ``legacy=True`` flag.
+# ---------------------------------------------------------------------------
+
+def encode_date_legacy(v: Column) -> Column:
+    """DATE → 8-byte BE epoch-millis long (midnight UTC of the date —
+    `new Date(long)` semantics, HBaseTypeUtils.java:72)."""
+    days = F.datediff(v, F.lit("1970-01-01"))
+    return encode_int_be((days.cast("long") * F.lit(86400000)), 8)
+
+
+def decode_date_legacy(b: Column) -> Column:
+    millis = decode_int_be(b, 8)
+    return F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.floor(millis / F.lit(86400000)).cast("int"),
+    )
+
+
+def encode_time_legacy(v: Column) -> Column:
+    """TIME (millis-of-day int) → 8-byte BE long (`new Time(long)`
+    semantics, HBaseTypeUtils.java:74-76)."""
+    return encode_int_be(v.cast("long"), 8)
+
+
+def decode_time_legacy(b: Column) -> Column:
+    return decode_int_be(b, 8).cast("int")
+
+
+def encode_timestamp_legacy(v: Column) -> Column:
+    """TIMESTAMP → 8-byte BE epoch-millis long (type idx 9,
+    HBaseTypeUtils.java:70) — same layout as the LogicalType codec's
+    ms-precision encoding, named for parity with the legacy table."""
+    return encode_timestamp_ms(v)
+
+
+def decode_timestamp_legacy(b: Column) -> Column:
+    return decode_timestamp_ms(b)

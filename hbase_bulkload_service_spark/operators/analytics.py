@@ -51,7 +51,17 @@ def group_quantiles(
     is a partition-local sort — the same cost profile as any windowed
     analytic; for extreme cardinality-1 skew use approx_percentile
     instead (sketch-mergeable, but no longer oracle-exact).
+
+    ``ps`` must lie in (0, 1]: rank ``ceil(p*n)`` is 1-based, so p<=0
+    would silently emit no row for that probe — rejected loudly instead.
     """
+    bad = [p for p in ps if not 0.0 < float(p) <= 1.0]
+    if bad:
+        raise ValueError(
+            f"quantile probes must be in (0, 1], got {bad} — p=0 has no "
+            "1-based rank (PERCENTILE_DISC of p→0 is the minimum: use a "
+            "tiny positive p or MIN directly)"
+        )
     w = Window.partitionBy(key_col).orderBy(value_col)
     wall = Window.partitionBy(key_col)
     ranked = df.select(

@@ -36,16 +36,23 @@ VERDICTS = ("lang", "quality", "exact_dup", "near_dup", "kept")
 
 # Caching contract: curate_corpus persists its enriched ledger (read twice —
 # eagerly by the near-dup phase inside the call, lazily by the returned
-# verdict join). The cache is released on the NEXT curate_corpus call, so at
-# most ONE ledger is ever cached; call release_caches() to drop it sooner
-# (e.g. after materializing the result in a long-lived session).
+# verdict join). Each call's cache is scoped to ITS OWN returned frame — a
+# later call never unpersists an earlier call's ledger (that silently forced
+# a full recompute of the earlier result on next use, and was not safe for
+# concurrent pipelines). Callers in long-lived sessions release explicitly:
+# once a returned frame has been materialized (written/collected), call
+# release_caches() to unpersist every outstanding ledger at once.
 _LEDGER_CACHES: list[DataFrame] = []
+_LEDGER_LOCK = __import__("threading").Lock()
 
 
 def release_caches() -> None:
-    """Unpersist any ledger cached by a prior curate_corpus call."""
-    while _LEDGER_CACHES:
-        _LEDGER_CACHES.pop().unpersist()
+    """Unpersist every ledger cached by prior curate_corpus calls. Call
+    after the returned verdict frames have been materialized; using a
+    frame afterwards still yields correct results (it recomputes)."""
+    with _LEDGER_LOCK:
+        while _LEDGER_CACHES:
+            _LEDGER_CACHES.pop().unpersist()
 
 
 def curate_corpus(
@@ -84,11 +91,11 @@ def curate_corpus(
     keeper = F.min(
         F.when(F.col("lang_ok") & F.col("tok_ok"), F.col("doc_id"))
     ).over(Window.partitionBy("content_md5"))
-    release_caches()  # bound the cache to one ledger across invocations
     enriched = enriched.withColumn(
         "exact_ok", F.col("lang_ok") & F.col("tok_ok") & (F.col("doc_id") == keeper)
     ).persist()  # ledger read twice: near-dup input + final verdict join
-    _LEDGER_CACHES.append(enriched)
+    with _LEDGER_LOCK:
+        _LEDGER_CACHES.append(enriched)
 
     survivors = enriched.filter(F.col("exact_ok")).select("doc_id", text_col)
     pairs = minhash_lsh_neardups(

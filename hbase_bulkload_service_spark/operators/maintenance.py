@@ -265,19 +265,38 @@ def execute_backup(table_path: str, regions: list[int], backup_path: str) -> lis
     Crash safety: copy lands in a temp sibling first, then replaces the
     prior backup via rename — a mid-copy failure never destroys the last
     good backup (same atomic-rename pattern as streaming/ops.py's
-    upsert_batch_writer)."""
+    upsert_batch_writer). The two-rename swap itself is NOT crash-atomic:
+    a failure between ``rename(dst, old)`` and ``rename(tmp, dst)``
+    leaves no ``region=N`` dir — so on entry this function first RECOVERS
+    from leftover ``.old`` siblings (renaming them back when ``dst`` is
+    missing) before copying, making a re-run after any crash converge to
+    a good state. Leftover ``.inprogress`` dirs are always discarded."""
+    # crash recovery sweep over the WHOLE backup root, not just the regions
+    # in this call: any `X.old` whose `X` is missing is a backup orphaned
+    # by a crash mid-swap — rename it back so execute_restore sees it
+    if os.path.isdir(backup_path):
+        for entry in os.listdir(backup_path):
+            if entry.endswith(".old"):
+                orphan = os.path.join(backup_path, entry)
+                base = orphan[: -len(".old")]
+                if os.path.isdir(orphan) and not os.path.isdir(base):
+                    os.rename(orphan, base)
     out = []
     for region in regions:
         src = _region_dir(table_path, region)
         dst = _region_dir(backup_path, region)
         tmp = dst + ".inprogress"
+        old = dst + ".old"
+        # per-region recovery (covers a backup_path created this call)
+        if os.path.isdir(old):
+            if not os.path.isdir(dst):
+                os.rename(old, dst)
+            else:
+                shutil.rmtree(old)
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         shutil.copytree(src, tmp)
         if os.path.isdir(dst):
-            old = dst + ".old"
-            if os.path.isdir(old):
-                shutil.rmtree(old)
             os.rename(dst, old)
             os.rename(tmp, dst)
             shutil.rmtree(old)

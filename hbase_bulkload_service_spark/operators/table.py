@@ -24,6 +24,9 @@ from pyspark.sql.types import (
     BooleanType,
     ByteType,
     DataType,
+    DateType,
+    DayTimeIntervalType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -31,6 +34,7 @@ from pyspark.sql.types import (
     ShortType,
     StringType,
     TimestampType,
+    YearMonthIntervalType,
 )
 
 from hbase_bulkload_service_spark.functions import codec
@@ -292,11 +296,18 @@ def upsert_rows(htable: DataFrame, puts: DataFrame, key_col: str = "rowkey") -> 
 # A4/A5 decode + H4 encode — nested rows ↔ long-form cells
 # ---------------------------------------------------------------------------
 
-def _encode_value(col: Column, dtype: DataType) -> Column:
+def _encode_value(
+    col: Column, dtype: DataType, charset: str = "UTF-8", legacy: bool = False
+) -> Column:
+    """Typed value → HBase bytes. ``charset`` applies to strings
+    (HBaseTableSchema.java:55,126-128); ``legacy=True`` selects the
+    class-indexed codec's 8-byte-long Date/Time layouts
+    (HBaseTypeUtils.java:70-76) over the LogicalType codec's 4-byte ints
+    (HBaseSerde.java:302-311)."""
     if isinstance(dtype, BinaryType):
         return col
     if isinstance(dtype, StringType):
-        return codec.encode_string(col)
+        return codec.encode_string(col, charset=charset)
     if isinstance(dtype, ByteType):
         return codec.encode_int_be(col, 1)
     if isinstance(dtype, ShortType):
@@ -313,14 +324,24 @@ def _encode_value(col: Column, dtype: DataType) -> Column:
         return codec.encode_boolean(col)
     if isinstance(dtype, TimestampType):
         return codec.encode_timestamp_ms(col)
+    if isinstance(dtype, DateType):
+        return codec.encode_date_legacy(col) if legacy else codec.encode_date(col)
+    if isinstance(dtype, DecimalType):
+        return codec.encode_decimal_be(col)
+    if isinstance(dtype, YearMonthIntervalType):
+        return codec.encode_interval_ym(codec.interval_ym_months(col))
+    if isinstance(dtype, DayTimeIntervalType):
+        return codec.encode_interval_dt(codec.interval_dt_millis(col))
     raise TypeError(f"no cell codec for {dtype.simpleString()}")
 
 
-def _decode_value(col: Column, dtype: DataType) -> Column:
+def _decode_value(
+    col: Column, dtype: DataType, charset: str = "UTF-8", legacy: bool = False
+) -> Column:
     if isinstance(dtype, BinaryType):
         return col
     if isinstance(dtype, StringType):
-        return codec.decode_string(col)
+        return codec.decode_string(col, charset=charset)
     if isinstance(dtype, ByteType):
         return codec.decode_int_be(col, 1).cast("byte")
     if isinstance(dtype, ShortType):
@@ -337,17 +358,33 @@ def _decode_value(col: Column, dtype: DataType) -> Column:
         return codec.decode_boolean(col)
     if isinstance(dtype, TimestampType):
         return codec.decode_timestamp_ms(col)
+    if isinstance(dtype, DateType):
+        return codec.decode_date_legacy(col) if legacy else codec.decode_date(col)
+    if isinstance(dtype, DecimalType):
+        return codec.decode_decimal_be(col, dtype.precision, dtype.scale)
+    if isinstance(dtype, YearMonthIntervalType):
+        return codec.decode_interval_ym(col).cast(dtype)
+    if isinstance(dtype, DayTimeIntervalType):
+        return codec.millis_to_interval_dt(codec.decode_interval_dt(col)).cast(dtype)
     raise TypeError(f"no cell codec for {dtype.simpleString()}")
 
 
-def encode_htable_cells(htable: DataFrame, schema: HBaseTableSchema) -> DataFrame:
+def encode_htable_cells(
+    htable: DataFrame, schema: HBaseTableSchema, legacy: bool = False
+) -> DataFrame:
     """Nested rows → long-form cells — the Put-mutation serde
     (HBaseSerde.createPutMutation:119-144: every declared qualifier written).
     Zero-length rowkeys are dropped as dirty records
-    (HBaseSerde.java:122-126, B4)."""
+    (HBaseSerde.java:122-126, B4). String cells use ``schema.charset``
+    (HBaseTableSchema.java:55,126-128); ``legacy=True`` selects the
+    class-indexed codec's Date/Time-as-long layouts
+    (HBaseTypeUtils.java:70-76)."""
+    cs = schema.charset
     rk = F.col(schema.rowkey_name)
     rk_bin = (
-        rk if isinstance(schema.rowkey_type, BinaryType) else _encode_value(rk, schema.rowkey_type)
+        rk
+        if isinstance(schema.rowkey_type, BinaryType)
+        else _encode_value(rk, schema.rowkey_type, cs, legacy)
     )
     cell_structs = []
     for fam, quals in schema.families.items():
@@ -356,7 +393,7 @@ def encode_htable_cells(htable: DataFrame, schema: HBaseTableSchema) -> DataFram
                 F.struct(
                     F.lit(fam).alias("family"),
                     F.lit(q).alias("qualifier"),
-                    _encode_value(F.col(f"{fam}.{q}"), dtype).alias("value"),
+                    _encode_value(F.col(f"{fam}.{q}"), dtype, cs, legacy).alias("value"),
                 )
             )
     return (
@@ -366,10 +403,14 @@ def encode_htable_cells(htable: DataFrame, schema: HBaseTableSchema) -> DataFram
     )
 
 
-def decode_cells_htable(cells: DataFrame, schema: HBaseTableSchema) -> DataFrame:
+def decode_cells_htable(
+    cells: DataFrame, schema: HBaseTableSchema, legacy: bool = False
+) -> DataFrame:
     """Long-form cells → nested rows (A4/A5 scan materialization,
     HBaseSerde.convertToRow:217-239). Cells are pivoted back into family
-    structs; missing qualifiers decode to NULL like an absent HBase cell."""
+    structs; missing qualifiers decode to NULL like an absent HBase cell.
+    ``schema.charset`` / ``legacy`` mirror :func:`encode_htable_cells`."""
+    cs = schema.charset
     declared = [f"{fam}:{q}" for fam, quals in schema.families.items() for q in quals]
     pivoted = (
         cells.withColumn("fq", F.concat_ws(":", "family", "qualifier"))
@@ -380,14 +421,14 @@ def decode_cells_htable(cells: DataFrame, schema: HBaseTableSchema) -> DataFrame
     rk = (
         F.col("key")
         if isinstance(schema.rowkey_type, BinaryType)
-        else _decode_value(F.col("key"), schema.rowkey_type)
+        else _decode_value(F.col("key"), schema.rowkey_type, cs, legacy)
     )
     cols = [rk.alias(schema.rowkey_name)]
     for fam, quals in schema.families.items():
         cols.append(
             F.struct(
                 *[
-                    _decode_value(F.col(f"`{fam}:{q}`"), dtype).alias(q)
+                    _decode_value(F.col(f"`{fam}:{q}`"), dtype, cs, legacy).alias(q)
                     for q, dtype in quals.items()
                 ]
             ).alias(fam)
@@ -413,15 +454,19 @@ def salted_join(
     in ONE task.
 
     Result is IDENTICAL to ``probe.join(dim, key, how)``: the probe side
-    computes a deterministic salt from ``salt_source`` (any
-    roughly-uniform column; defaults to the key's own xxhash — only
-    useful if skew is value-level, so pass a unique id), the dim side
-    explodes each row into ``salt_partitions`` copies, and the join keys
-    on ``(key, salt)``. The hot key's rows now spread across
-    ``salt_partitions`` tasks; dim inflation is bounded by
-    |dim| × salt_partitions (keep the factor small — 8-16 splits a hot
-    task 8-16× while only copying the dim side, which is the small side
-    by assumption).
+    computes a deterministic salt from ``salt_source`` (pass a
+    roughly-uniform probe column, e.g. a unique row id — best, cheapest
+    hash). When ``salt_source`` is None the salt hashes the WHOLE probe
+    row (all columns), which spreads a single hot key value across salts
+    as long as its rows differ in any other column; identical duplicate
+    rows still land on one salt. Hashing the join key itself would be
+    useless — every row of the hot key would get the same salt — so that
+    is deliberately NOT the default. The dim side explodes each row into
+    ``salt_partitions`` copies, and the join keys on ``(key, salt)``.
+    The hot key's rows now spread across ``salt_partitions`` tasks; dim
+    inflation is bounded by |dim| × salt_partitions (keep the factor
+    small — 8-16 splits a hot task 8-16× while only copying the dim
+    side, which is the small side by assumption).
 
     Composition with engine config: AQE's skew-join handles *detected*
     skew by splitting partitions post-shuffle; explicit salting is the
@@ -434,9 +479,14 @@ def salted_join(
         # right/full would emit each UNMATCHED dim row once per salt copy —
         # silently wrong; probe-side-preserving joins only
         raise ValueError(f"salted_join supports inner/left semantics, got {how!r}")
-    src = F.col(salt_source) if salt_source else F.col(key)
+    if salt_source:
+        src_cols = [F.col(salt_source)]
+    else:
+        # row-content salt: deterministic (stable under task retry) and
+        # spreads a hot KEY value, unlike hashing the key itself
+        src_cols = [F.col(c) for c in probe.columns]
     p = probe.withColumn(
-        "__salt", F.pmod(F.xxhash64(src), F.lit(salt_partitions)).cast("int")
+        "__salt", F.pmod(F.xxhash64(*src_cols), F.lit(salt_partitions)).cast("int")
     )
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_partitions - 1)))

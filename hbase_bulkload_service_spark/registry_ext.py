@@ -878,3 +878,81 @@ def q63_mutation_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("value")).alias("cents"),
     )
     return tbl.resolve_mutations(m, key_cols=("k", "event_type"))
+
+
+# ===========================================================================
+# q64 — extended cell-serde roundtrip: per-table charset (ISO-8859-1),
+# legacy Date-as-long codec (HBaseTypeUtils.java:70-76), INTERVAL
+# YEAR-MONTH / DAY-TIME codecs (HBaseSerde.java:300,313) and DECIMAL
+# (HBaseSerde.java:338-345) — the q09 family's coverage of the rest of
+# the §1.3 type table.
+# ===========================================================================
+
+@register(
+    "q64_cells_roundtrip_ext",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS rowkey,
+           o_orderpriority || 'é' AS prio_ext,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS odate_days,
+           CAST(CAST((o_orderkey % 4000) * 125 / 1000.0 AS DECIMAL(18,3)) * 1000 AS BIGINT)
+             AS dec_milli,
+           CAST(o_orderkey % 120 AS BIGINT) AS ym_months,
+           CAST((o_orderkey % 90000) * 1500 AS BIGINT) AS dur_ms
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def q64_cells_roundtrip_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 completion — encode→decode roundtrip over the §1.3 types q09
+    doesn't cover: string in a non-UTF-8 per-table charset
+    (HBaseTableSchema.java:55,126-128), DATE through the legacy
+    8-byte-long codec (HBaseTypeUtils.java:72), INTERVAL_YEAR_MONTH /
+    INTERVAL_DAY_TIME (HBaseSerde.java:300,313), and DECIMAL
+    (HBaseSerde.java:338-345). The oracle recomputes the expected values
+    directly — a codec defect surfaces as a value mismatch."""
+    from pyspark.sql.types import (
+        DateType,
+        DayTimeIntervalType,
+        DecimalType,
+        StringType,
+        YearMonthIntervalType,
+    )
+
+    from hbase_bulkload_service_spark.functions import codec
+    from hbase_bulkload_service_spark.schema import HBaseTableSchema
+
+    schema = (
+        HBaseTableSchema(charset="ISO-8859-1")
+        .set_row_key("rowkey", StringType())
+        .add_column("f1", "prio_ext", StringType())
+        .add_column("f1", "odate", DateType())
+        .add_column("f1", "dec", DecimalType(18, 3))
+        .add_column("f2", "ym", YearMonthIntervalType())
+        .add_column("f2", "dur", DayTimeIntervalType())
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    nested = orders.select(
+        F.col("o_orderkey").cast("string").alias("rowkey"),
+        F.struct(
+            F.concat(F.col("o_orderpriority"), F.lit("é")).alias("prio_ext"),
+            F.col("o_orderdate").alias("odate"),
+            ((F.col("o_orderkey") % 4000) * 125 / F.lit(1000.0))
+            .cast(DecimalType(18, 3))
+            .alias("dec"),
+        ).alias("f1"),
+        F.struct(
+            (F.col("o_orderkey") % 120).cast("int").cast(YearMonthIntervalType()).alias("ym"),
+            codec.millis_to_interval_dt((F.col("o_orderkey") % 90000) * 1500)
+            .cast(DayTimeIntervalType())
+            .alias("dur"),
+        ).alias("f2"),
+    )
+    cells = tbl.encode_htable_cells(nested, schema, legacy=True)
+    back = tbl.decode_cells_htable(cells, schema, legacy=True)
+    return back.select(
+        "rowkey",
+        F.col("f1.prio_ext").alias("prio_ext"),
+        F.datediff(F.col("f1.odate"), F.lit("1970-01-01")).cast("long").alias("odate_days"),
+        (F.col("f1.dec") * 1000).cast("long").alias("dec_milli"),
+        codec.interval_ym_months(F.col("f2.ym")).cast("long").alias("ym_months"),
+        codec.interval_dt_millis(F.col("f2.dur")).alias("dur_ms"),
+    )

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     ByteType,
     DataType,
     DateType,
+    DayTimeIntervalType,
     DecimalType,
     DoubleType,
     FloatType,
@@ -39,6 +40,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampType,
+    YearMonthIntervalType,
 )
 
 # §1.3 type whitelist (HBaseTypeUtils.java:134-166 legacy index table +
@@ -56,6 +58,8 @@ _SUPPORTED_ATOMIC: tuple[type, ...] = (
     TimestampType,
     DateType,
     DecimalType,
+    YearMonthIntervalType,  # HBaseSerde.java:300 (int-months encoding)
+    DayTimeIntervalType,  # HBaseSerde.java:313 (long-millis encoding)
 )
 
 

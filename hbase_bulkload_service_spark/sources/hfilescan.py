@@ -142,8 +142,17 @@ class HFileScanDataSource(DataSource):
 
 
 def register(spark) -> None:
-    # A reader that implements pushFilters() hard-fails unless pushdown is
-    # enabled; the flag is runtime-settable, so make registration
-    # self-sufficient in sessions that lack session.py's defaults.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    """Register the ``hfilescan`` DSv2 source.
+
+    Side effect (documented): a reader that implements ``pushFilters()``
+    hard-fails unless ``spark.sql.python.filterPushdown.enabled`` is true,
+    so registration self-provisions the flag in sessions that lack
+    session.py's defaults (the driver imports us into a vanilla session).
+    The flag is only written when currently unset/false — an explicit
+    user ``true`` is left untouched, and we never flip it back, so a
+    user's deliberate setting is only ever widened to what this source
+    requires to function at all."""
+    flag = "spark.sql.python.filterPushdown.enabled"
+    if spark.conf.get(flag, "false").lower() != "true":
+        spark.conf.set(flag, "true")
     spark.dataSource.register(HFileScanDataSource)

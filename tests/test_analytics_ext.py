@@ -198,3 +198,24 @@ def test_index_lookup_is_broadcast_semi_join(spark):
     )
     got = sorted(r["rowkey"] for r in out.select("rowkey").collect())
     assert got == want
+
+
+def test_group_quantiles_rejects_out_of_range_probes(spark, skewed):
+    probe, _dim = skewed
+    for bad in ([0.0], [1.5], [-0.1], [0.5, 0.0]):
+        with pytest.raises(ValueError, match=r"\(0, 1\]"):
+            analytics.group_quantiles(probe, "k", "uid", ps=bad)
+
+
+def test_salted_join_default_salt_spreads_hot_key(spark, skewed):
+    """ADVICE round 2: the default salt must spread a single hot key value
+    (key-hash salting would put every hot-key row on one salt)."""
+    probe, dim = skewed
+    hot = probe.filter(F.col("k") == probe.groupBy("k").count()
+                       .orderBy(F.desc("count")).first()["k"])
+    salted = hot.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(4)).cast("int"),
+    )
+    n_salts = salted.select("__salt").distinct().count()
+    assert n_salts > 1, "hot key rows all landed on one salt"

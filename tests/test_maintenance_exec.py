@@ -67,3 +67,26 @@ def test_restore_is_additive_not_clobbering(spark, table, tmp_path):
     files_before = set(os.listdir(region_dir))
     mnt.execute_restore(backup, table, regions)
     assert files_before <= set(os.listdir(region_dir))
+
+
+def test_backup_recovers_from_crash_orphaned_old(spark, table, tmp_path):
+    """ADVICE round 2: a crash between rename(dst, old) and rename(tmp, dst)
+    leaves only region=N.old; the next execute_backup run must recover it
+    (rename back) for ALL regions in the backup root, then proceed."""
+    backup = str(tmp_path / "bk")
+    regions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(table) if d.startswith("region=")
+    )[:2]
+    ra, rb = regions
+    manifest = mnt.execute_backup(table, regions, backup)
+    assert {m["region"] for m in manifest} == set(regions)
+    # simulate mid-swap crash for rb: dst gone, .old holds the backup
+    db = os.path.join(backup, f"region={rb}")
+    os.rename(db, db + ".old")
+    # recovery sweep runs even when rb is NOT in this call's list
+    mnt.execute_backup(table, [ra], backup)
+    assert os.path.isdir(db), ".old orphan was not recovered"
+    assert not os.path.isdir(db + ".old")
+    # and a subsequent restore sees it
+    restored = mnt.execute_restore(backup, table, [rb])
+    assert restored[0]["n_files"] >= 1

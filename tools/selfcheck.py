@@ -1,0 +1,152 @@
+"""In-repo replica of the driver's correctness gate, covering ALL queries.
+
+The external driver checks only the first 50 entries of
+``__spark_entry__.queries()`` per round (observed: CORRECTNESS_r02.json is
+exactly the first 50 registry entries in registration order).  This replica
+runs the same comparison over *every* registered query so the repo carries
+evidence for the full surface each round:
+
+- vanilla ``SparkSession`` (no session.py tuning — engine code must
+  self-provision, e.g. ``hfilescan.register()`` sets its own conf);
+- oracle side through DuckDB's **pandas** conversion (``.df()``), not
+  ``fetchall()`` — DuckDB promotes SUM(BIGINT) to HUGEINT which pandas
+  renders as float64, so a fetchall-based check can pass while the
+  driver's pandas-path hash fails (this exact drift cost 10 queries in
+  round 1);
+- columns sorted by name, rows canonicalized and sorted, then hashed.
+
+Usage: ``python tools/selfcheck.py [sf_dir] [out_json]``
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(v):
+    if v is None or v is np.nan:
+        return "\x00null"
+    if isinstance(v, (bytes, bytearray)):
+        return "b:" + bytes(v).hex()
+    if isinstance(v, (np.integer,)):
+        return f"i:{int(v)}"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:nan"
+        return f"f:{f!r}"
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, (int,)):
+        return f"i:{v}"
+    if isinstance(v, np.datetime64):
+        return "t:" + str(v)
+    if isinstance(v, datetime.datetime):
+        return "t:" + np.datetime64(v.replace(tzinfo=None)).astype("datetime64[ns]").__str__()
+    if isinstance(v, datetime.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={_canon(v[k])}" for k in sorted(v)) + "}"
+    return "s:" + str(v)
+
+
+def _frame_sig(pdf):
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        "|".join(_canon(row[c]) for c in cols) for _, row in pdf.iterrows()
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return cols, len(rows), h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_SELF.json"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("selfcheck")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    t_all = time.time()
+    for name, fn in qs.items():
+        rec: dict = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        t0 = time.time()
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            s_cols, s_n, s_hash = _frame_sig(spdf)
+            rec["spark_rows"] = s_n
+            if name in oracles:
+                opdf = con.execute(oracles[name]).df()
+                o_cols, o_n, o_hash = _frame_sig(opdf)
+                rec["oracle_rows"] = o_n
+                rec["rows_match"] = s_n == o_n
+                rec["schema_match"] = s_cols == o_cols
+                rec["hash_match"] = s_hash == o_hash
+                if not rec["schema_match"]:
+                    rec["err"] = f"cols {s_cols} vs {o_cols}"
+            else:
+                rec["rows_match"] = s_n >= 0
+                rec["schema_match"] = bool(s_cols)
+                rec["hash_match"] = None
+                rec["err"] = "no-oracle (rows-only check)"
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"{type(e).__name__}: {e}"[:500]
+        rec["sec"] = round(time.time() - t0, 2)
+        results[name] = rec
+        flag = "OK " if rec["hash_match"] else ("??? " if rec["err"] else "FAIL")
+        print(f"{flag} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']} "
+              f"{rec['sec']}s {rec['err'] or ''}", flush=True)
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    n_ok = sum(1 for r in results.values() if r["hash_match"])
+    n_bad = sum(1 for r in results.values() if r["hash_match"] is False)
+    print(f"TOTAL {len(results)} queries, {n_ok} hash-exact, {n_bad} mismatched, "
+          f"{round(time.time() - t_all, 1)}s", flush=True)
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
