@@ -341,3 +341,176 @@ def execute_restore(backup_path: str, table_path: str, regions: list[int]) -> li
                 copied += 1
         out.append({"region": int(region), "n_files": copied})
     return out
+
+
+# ---------------------------------------------------------------------------
+# K2 at catalog scale — distributed plan_merges
+# ---------------------------------------------------------------------------
+
+_PREV_SENTINEL = "\x00PREV"
+_MERGE_WALK_SCHEMA = (
+    "pid int, start_tag string, kind string, seq long, "
+    "a_name string, b_name string, end_tag string, last_name string"
+)
+
+
+def _simulate_merge_walk(rows, start_tag, lower, upper, r_new, r_old):
+    """Run the mergeSmallRegion automaton (plan_merges' exact branch order)
+    over one partition's key-ordered rows from a given entry state.
+
+    The automaton state after ANY processed row is one of three tags —
+    no pending (N), pending-small (PS), pending-big (PB) — plus the
+    pending region's identity, which is always the most recent row that
+    set it. That bounded state is what makes the partition-parallel
+    transfer-function scan in :func:`plan_merges_df` exact."""
+    import pandas as pd
+
+    tag = start_tag
+    pending = _PREV_SENTINEL if start_tag in ("PS", "PB") else None
+    pending_small = start_tag == "PS"
+    merges = []
+    for row in rows:
+        sb, eb = row.start_bucket, row.end_bucket
+        if pd.isna(eb) or (not pd.isna(sb) and int(sb) != int(eb)):
+            tag, pending = "N", None
+            continue
+        if pd.isna(row.end_time_sec):
+            tag = "T"
+            break
+        size = int(row.size_bytes)
+        if pending is None and size < lower:
+            pending, pending_small, tag = row.region_name, True, "PS"
+            continue
+        if pending is not None and pending_small:
+            merges.append((pending, row.region_name))
+            pending, tag = None, "N"
+            continue
+        if (
+            int(row.end_time_sec) * 1000 < r_old
+            or int(row.start_time_sec) * 1000 > r_new
+            or size > upper
+        ):
+            pending, tag = None, "N"
+        else:
+            if pending is None:
+                pending, pending_small, tag = row.region_name, False, "PB"
+            else:
+                merges.append((pending, row.region_name))
+                pending, tag = None, "N"
+    last = pending if (tag in ("PS", "PB") and pending != _PREV_SENTINEL) else None
+    return merges, tag, last
+
+
+def plan_merges_df(
+    regions: DataFrame,
+    now_ms: int,
+    lower_size: int = LOWER_SIZE,
+    upper_size: int = UPPER_SIZE,
+    short_interval_ms: int = SHORT_INTERVAL_MS,
+    long_interval_ms: int = LONG_INTERVAL_MS,
+    order_cols: tuple[str, ...] = ("start_bucket", "start_time_sec", "region_name"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """K2 — :func:`plan_merges` for catalogs too big to collect (a
+    million-region table's catalog is still a DataFrame, not a list).
+
+    The walk is sequential, but its cross-row state is a 3-tag automaton
+    (none / pending-small / pending-big) whose pending region is always
+    the previous row — so it parallelizes as a classic transfer-function
+    scan:
+
+    1. range-partition + sort the catalog on ``order_cols`` (key order,
+       one shuffle);
+    2. each partition simulates the automaton ONCE PER ENTRY TAG (3 runs
+       over metadata rows), emitting its merge pairs per variant and a
+       tiny summary (entry tag → exit tag + pending identity); a merge
+       whose A-side is the carried-in pending region uses a sentinel;
+    3. the driver composes ONLY the per-partition summaries (3 rows per
+       partition — metadata of metadata) to pick each partition's true
+       entry tag and carried pending name;
+    4. a broadcast join selects the matching variant's merge rows and
+       resolves the sentinel.
+
+    Data rows are never collected; the sequential walk in
+    :func:`plan_merges` (kept verbatim) is the unit-test oracle.
+    The reference's walk terminates at a short/empty end key
+    (HBaseManager.java:120-122) — modeled as an absorbing T tag that
+    silences every later partition.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = regions.sparkSession
+    n = num_partitions or min(32, max(1, regions.rdd.getNumPartitions()))
+    r_new = now_ms - short_interval_ms
+    r_old = now_ms - long_interval_ms
+
+    ordered = (
+        regions.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def walk(batches):
+        parts = [b for b in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        pid = int(pdf["pid"].iloc[0])
+        out = []
+        for start_tag in ("N", "PS", "PB"):
+            merges, end_tag, last = _simulate_merge_walk(
+                pdf.itertuples(index=False), start_tag,
+                lower_size, upper_size, r_new, r_old,
+            )
+            for i, (a, b) in enumerate(merges):
+                out.append((pid, start_tag, "m", i, a, b, None, None))
+            out.append((pid, start_tag, "s", -1, None, None, end_tag, last))
+        yield pd.DataFrame(
+            out,
+            columns=["pid", "start_tag", "kind", "seq",
+                     "a_name", "b_name", "end_tag", "last_name"],
+        )
+
+    walked = ordered.mapInPandas(walk, _MERGE_WALK_SCHEMA)
+    # First pass: ONLY the 3-rows-per-partition summaries reach the driver.
+    # The second pass below recomputes the walk for the merge rows — two
+    # metadata-scale scans instead of caching, so the returned frame is
+    # lazy and needs no cache-lifetime contract.
+    summaries = {
+        (r["pid"], r["start_tag"]): r
+        for r in walked.filter(F.col("kind") == "s").collect()
+    }
+    pids = sorted({p for p, _ in summaries})
+    tag, last = "N", None
+    picks = []
+    for pid in pids:
+        picks.append((pid, tag, last))
+        if tag == "T":
+            continue
+        s = summaries[(pid, tag)]
+        tag = s["end_tag"]
+        last = (s["last_name"] or last) if tag in ("PS", "PB") else None
+    picks_df = spark.createDataFrame(
+        picks, "pid int, chosen_tag string, prev_name string"
+    )
+    return (
+        walked.filter(F.col("kind") == "m")
+        .join(
+            F.broadcast(picks_df),
+            (walked["pid"] == picks_df["pid"])
+            & (walked["start_tag"] == picks_df["chosen_tag"]),
+        )
+        .select(
+            walked["pid"],
+            "seq",
+            F.when(F.col("a_name") == _PREV_SENTINEL, F.col("prev_name"))
+            .otherwise(F.col("a_name"))
+            .alias("region_a"),
+            F.col("b_name").alias("region_b"),
+        )
+        .orderBy("pid", "seq")
+        .select("region_a", "region_b")
+    )

@@ -250,6 +250,33 @@ def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def srp_sig_col(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+    """The SRP signature as a Column expression — ONE expression looping
+    over a plane-matrix literal (transform over array<array<double>>)
+    instead of n_planes unrolled fold expressions: identical
+    arithmetic/order per plane, ~3× faster measured — the unrolled form's
+    whole-stage codegen blows up with n_planes × dim literal nodes. Bit
+    weights fold as exact small doubles (2^p < 2^53), cast to long at the
+    end."""
+    planes = srp_planes(n_planes, dim)
+    w_matrix = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    pow_weights = F.array(*[F.lit(float(1 << p)) for p in range(n_planes)])
+    v = F.transform(vec, lambda x: x.cast("double"))
+    dots = F.transform(
+        w_matrix,
+        lambda w: F.aggregate(
+            F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            dots, pow_weights, lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0.0))
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ).cast("long")
+
+
 def srp_signature(
     embeddings: DataFrame,
     n_planes: int = 16,
@@ -270,30 +297,7 @@ def srp_signature(
     product folds left-to-right (F.aggregate), so the float sum is
     reproducible cross-engine.
     """
-    planes = srp_planes(n_planes, dim)
-    # ONE expression looping over a plane-matrix literal (transform over
-    # array<array<double>>) instead of n_planes unrolled fold expressions:
-    # identical arithmetic/order per plane, ~3× faster measured — the
-    # unrolled form's whole-stage codegen blows up with n_planes × dim
-    # literal nodes. Bit weights fold as exact small doubles (2^p < 2^53),
-    # cast to long at the end.
-    w_matrix = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
-    pow_weights = F.array(*[F.lit(float(1 << p)) for p in range(n_planes)])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dots = F.transform(
-        w_matrix,
-        lambda w: F.aggregate(
-            F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        ),
-    )
-    sig = F.aggregate(
-        F.zip_with(
-            dots, pow_weights, lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0.0))
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    ).cast("long")
-    out = embeddings.withColumn("signature", sig)
+    out = embeddings.withColumn("signature", srp_sig_col(F.col(vec_col), n_planes, dim))
     from pyspark.sql import Window
 
     return out.select(
@@ -301,4 +305,70 @@ def srp_signature(
         "label",
         "signature",
         F.count("*").over(Window.partitionBy("signature")).alias("bucket_n"),
+    )
+
+
+def srp_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    k: int = 3,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """SRP-LSH probe-time ANN top-k: candidates are vectors whose bucket
+    signature is within ``max_hamming`` bit flips of the query's (0 = the
+    query's own bucket, 1 = multi-probe over n_planes+1 buckets — the
+    standard recall lever: P[sig match] falls as (1-θ/π)^n_planes, and
+    probing Hamming-1 neighbors recovers most single-bit misses for a
+    (n_planes+1)× candidate cost, still ≪ brute force).
+
+    Scale shape: signatures are a pure map; probing explodes each query
+    into ≤ n_planes+1 signature keys; candidates come from an EQUI-join
+    on the 8-byte signature (keyed shuffle, never a cross join); exact
+    cosine + per-query window top-k rank the survivors. Same output shape
+    and tie-breaking as brute_force_topk / ivf_topk (recall < 1.0 by
+    design — pinned by tests/test_analytics_ext.py).
+    """
+    if not 0 <= max_hamming <= 1:
+        raise ValueError("max_hamming supports 0 (own bucket) or 1 (multi-probe)")
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        srp_sig_col(F.col(vec_col), n_planes, dim).alias("signature"),
+    )
+    qs = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col),
+        srp_sig_col(F.col(qvec_col), n_planes, dim).alias("qsig"),
+    )
+    flips = [F.lit(0)] + (
+        [F.lit(1 << p) for p in range(n_planes)] if max_hamming >= 1 else []
+    )
+    probes = qs.withColumn("flip", F.explode(F.array(*flips))).select(
+        qid_col,
+        qvec_col,
+        F.col("qsig").bitwiseXOR(F.col("flip")).alias("signature"),
+    )
+    scored = (
+        probes.join(corpus, "signature")
+        .filter(F.col(qid_col) != F.col(id_col))
+        .select(
+            qid_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine_micros(F.col(qvec_col), F.col(vec_col)).alias("cos_micros"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_micros").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", "neighbor_id", "cos_micros")
     )

@@ -219,3 +219,33 @@ def test_salted_join_default_salt_spreads_hot_key(spark, skewed):
     )
     n_salts = salted.select("__salt").distinct().count()
     assert n_salts > 1, "hot key rows all landed on one salt"
+
+
+def test_srp_topk_recall_vs_brute_force(spark):
+    """SRP-LSH probe ANN recall bound (mirrors the IVF nprobe recall
+    test): deterministic planes + fixed data ⇒ deterministic recall;
+    the asserted bounds sit well under the measured values. Multi-probe
+    (Hamming-1) must strictly dominate own-bucket probing."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {}
+    for mh in (0, 1):
+        hits = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.srp_topk(
+                emb, queries, n_planes=4, dim=64, k=5, max_hamming=mh
+            ).collect()
+        }
+        got[mh] = len(bf & hits) / len(bf)
+    assert got[1] >= got[0], got
+    assert got[1] >= 0.5, got  # measured 0.60 (deterministic)
