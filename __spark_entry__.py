@@ -41,6 +41,8 @@ PRIORITY = [
     "q62_rollup_cascade",
     "q63_mutation_resolve",
     "q64_cells_roundtrip_ext",  # new in round 3
+    "q65_srp_topk",  # new in round 3
+    "q66_merge_plan_df",  # new in round 3
 ]
 
 

@@ -956,3 +956,90 @@ def q64_cells_roundtrip_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         codec.interval_ym_months(F.col("f2.ym")).cast("long").alias("ym_months"),
         codec.interval_dt_millis(F.col("f2.dur")).alias("dur_ms"),
     )
+
+
+# ===========================================================================
+# q65 — SRP-LSH probe-time ANN (multi-probe Hamming-1) with exact oracle
+# ===========================================================================
+
+_SRP8_PLANES = similarity.srp_planes(8, 64)
+_SRP8_W_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in row) + "]"
+        for row in _SRP8_PLANES
+    )
+    + "]"
+)
+_SRP8_SIG_SQL = " + ".join(
+    f"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform(range(1, 65), d -> (ve[d])::DOUBLE * (w[{p + 1}][d])::DOUBLE)), "
+    f"(acc, x) -> acc + x) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for p in range(8)
+)
+
+
+def _duck_dot65(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), "
+        f"i -> ({a}[i])::DOUBLE * ({b}[i])::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _duck_cos_micros65(a: str, b: str) -> str:
+    return (
+        f"CAST(FLOOR({_duck_dot65(a, b)} / "
+        f"(sqrt({_duck_dot65(a, a)}) * sqrt({_duck_dot65(b, b)})) * 1000000) AS BIGINT)"
+    )
+
+
+@register(
+    "q65_srp_topk",
+    f"""
+    WITH pl AS (SELECT {_SRP8_W_SQL} AS w),
+    s AS (
+      SELECT vec_id, embedding AS ve, {_SRP8_SIG_SQL} AS signature
+      FROM embeddings CROSS JOIN pl
+    ),
+    q AS (
+      SELECT vec_id AS query_id, ve AS qv, signature AS qsig
+      FROM s WHERE vec_id % 50 = 0
+    ),
+    flips AS (
+      SELECT CAST(0 AS BIGINT) AS flip
+      UNION ALL
+      SELECT CAST(1 << p AS BIGINT) FROM range(8) t(p)
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id, q.qv, s.ve
+      FROM q CROSS JOIN flips f
+      JOIN s ON s.signature = xor(q.qsig, f.flip)
+      WHERE s.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_duck_cos_micros65("qv", "ve")} AS cos_micros
+      FROM cand
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_micros FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micros DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q65_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH probe-time ANN through the gate: signature equi-join
+    candidates (own bucket + 8 Hamming-1 flips), exact cosine rank, top-3.
+    The oracle replays plane signatures, bit-flip probing, candidate
+    dedup, and ranking from first principles — any drift in the signature
+    math, the probe expansion, or tie-breaking mismatches."""
+    from hbase_bulkload_service_spark.sources.tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.srp_topk(
+        emb, queries, n_planes=8, dim=64, k=3, max_hamming=1
+    )

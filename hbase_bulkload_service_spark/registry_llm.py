@@ -1021,3 +1021,54 @@ def q49_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce (the IVF/k-means training primitive) as a single keyed hash
     aggregate; integer accumulators keep the oracle exact."""
     return similarity.label_centroids(load(spark, sf_dir, "embeddings", spread=True))
+
+
+# ===========================================================================
+# q66 — the K2 merge walk through the DISTRIBUTED planner (plan_merges_df):
+# same deterministic catalog and the same recursive-CTE oracle as q53, but
+# the walk runs as the partition-parallel transfer-function scan — catalog
+# rows never reach the driver (million-region posture).
+# ===========================================================================
+
+from hbase_bulkload_service_spark import registry as _registry_mod
+
+
+@register(
+    "q66_merge_plan_df",
+    _registry_mod.ORACLE["q53_merge_plan"],
+)
+def q66_merge_plan_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 at catalog scale (HBaseManager.mergeSmallRegion:75-181): the
+    exact walk of q53 executed by maintenance.plan_merges_df — per
+    partition, the 3-tag automaton runs once per possible entry state;
+    the driver composes only 3-rows-per-partition summaries. Matching
+    q53's oracle proves the distributed scan is value-identical to the
+    sequential walk on the driver gate, not just in unit tests."""
+    o = load(spark, sf_dir, "orders")
+    o = o.withColumn("od_ms", epoch_millis(o, "o_orderdate"))
+    catalog = (
+        o.groupBy((F.col("o_custkey") % 64).cast("int").alias("bucket"))
+        .agg(
+            F.expr("min(od_ms) div 1000").alias("start_time_sec"),
+            F.expr("max(od_ms) div 1000").alias("end_time_sec"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.concat(F.lit("r"), F.col("bucket")).alias("region_name"),
+            F.col("bucket").alias("start_bucket"),
+            (
+                F.col("bucket")
+                + F.when(F.col("bucket") % 11 == 5, 1).otherwise(0)
+            ).cast("int").alias("end_bucket"),
+            "start_time_sec",
+            "end_time_sec",
+            F.element_at(
+                F.array(*[F.lit(s) for s in _SIZE_CLASSES]),
+                (F.col("sum_cents") % 3 + 1).cast("int"),
+            ).alias("size_bytes"),
+        )
+    )
+    return mnt.plan_merges_df(
+        catalog, MERGE_NOW_MS,
+        order_cols=("start_bucket",), num_partitions=4,
+    )

@@ -98,7 +98,7 @@ def main() -> int:
                 (F.col("event_id") + F.col("rep") * F.lit(n_ev)).alias("event_id"),
                 (F.col("user_id") + F.col("rep") * F.lit(100000)).alias("user_id"),
                 "event_type",
-                "ts",
+                "ts_ms",  # load_events' normalized epoch-millis column
                 "value",
             )
             .write.mode("overwrite").parquet(ev_amp_path)
@@ -170,7 +170,12 @@ def main() -> int:
         )
         results["bucket_join_rows"] = joined.count()
         results["bucket_join_wall_s"] = round(time.time() - t0, 1)
-        results["bucket_join_n_exchanges"] = plan.count("Exchange")
+        # shuffle exchanges ONLY: a BroadcastExchange of the 64-row dim is
+        # not data movement (phase metrics confirm 0 shuffle bytes)
+        results["bucket_join_n_shuffle_exchanges"] = plan.count(
+            "Exchange hashpartitioning"
+        )
+        results["bucket_join_n_broadcast_exchanges"] = plan.count("BroadcastExchange")
 
         results["phases"] = _phase_metrics(spark)
     finally:
