@@ -43,6 +43,7 @@ PRIORITY = [
     "q64_cells_roundtrip_ext",  # new in round 3
     "q65_srp_topk",  # new in round 3
     "q66_merge_plan_df",  # new in round 3
+    "q67_format_orc",  # new in round 3
 ]
 
 

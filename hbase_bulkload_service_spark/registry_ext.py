@@ -1043,3 +1043,54 @@ def q65_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_topk(
         emb, queries, n_planes=8, dim=64, k=3, max_hamming=1
     )
+
+
+# ===========================================================================
+# q67 — ORC connector round-trip (columnar format breadth beyond parquet)
+# ===========================================================================
+
+@register(
+    "q67_format_orc",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+           epoch_ms(ts) AS ts_ms
+    FROM events WHERE user_id % 50 = 0 AND event_type >= 'p'
+    """,
+)
+def q67_format_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip (Spark's second built-in columnar
+    format): the q27 slice written as ORC, read back with an explicit
+    schema, and filtered on a pushable predicate — `.explain` shows the
+    filter reaching the ORC scan as a pushed filter (ORC carries min/max
+    stripe stats like parquet row groups, so the same pushdown scale
+    notes apply). The oracle recomputes the slice + filter from the
+    source table, so a lossy round-trip or a broken pushdown (wrong
+    rows) both break the hash."""
+    import shutil
+    import tempfile
+
+    sub = (
+        load_events(spark, sf_dir, spread=True)
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            cents(F.col("value")).alias("cents"),
+            "ts_ms",
+        )
+    )
+    schema = "event_id long, user_id long, event_type string, cents long, ts_ms long"
+    d = tempfile.mkdtemp(prefix="q67orc")
+    try:
+        sub.coalesce(4).write.mode("overwrite").orc(f"{d}/o")
+        back = (
+            spark.read.schema(schema)
+            .orc(f"{d}/o")
+            .filter(F.col("event_type") >= "p")
+        )
+        rows = back.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

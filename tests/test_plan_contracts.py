@@ -122,3 +122,21 @@ def test_stratified_sample_has_no_shuffle(spark):
     docs = load(spark, SF_DIR, "documents")
     plan = formatted_plan(stratified_sample(docs, {"en": 250}, 600))
     assert "Exchange" not in plan, plan
+
+
+def test_orc_readback_pushes_filter(spark, tmp_path):
+    """q67's scale contract: the predicate reaches the ORC scan (stripe
+    min/max elision, the ORC twin of parquet row-group pruning)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("event_type")
+    )
+    df.write.mode("overwrite").orc(str(tmp_path / "o"))
+    back = (
+        spark.read.schema("id long, event_type string")
+        .orc(str(tmp_path / "o"))
+        .filter(F.col("event_type") >= "3")
+    )
+    plan = formatted_plan(back)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(event_type,3\)", plan), plan
