@@ -44,6 +44,10 @@ PRIORITY = [
     "q65_srp_topk",  # new in round 3
     "q66_merge_plan_df",  # new in round 3
     "q67_format_orc",  # new in round 3
+    "q68_doc_chunks",  # new in round 3
+    "q69_contamination",  # new in round 3
+    "q70_incremental_rollup",  # new in round 3
+    "q71_ivf_multi_assign",  # new in round 3
 ]
 
 

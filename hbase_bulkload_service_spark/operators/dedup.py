@@ -68,9 +68,19 @@ def shingle_arrays(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_WOR
 
 
 def word_shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_WORDS) -> DataFrame:
-    """Exploded long form of :func:`shingle_arrays` — (doc_id, shingle)."""
+    """Exploded long form of :func:`shingle_arrays` — (doc_id, shingle).
+
+    ``explode_outer`` on purpose: plain ``explode`` lets Catalyst infer a
+    ``size(shingles) > 0`` filter from the Generate and push it below the
+    scan-spreading Exchange — with the whole shingle expression INLINED
+    (projection collapse + no CSE across lambdas), so every element_at
+    re-runs the regex-normalize+split and the entire k-gram construction
+    serializes onto the scan's partitioning (9× slower measured at sf0.1,
+    one task on a single-row-group file). Shingle arrays are non-empty by
+    construction (short docs contribute ``[nt]``), so outer == inner
+    here and the inference is blocked."""
     return shingle_arrays(docs, text_col, k).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+        "doc_id", F.explode_outer("shingles").alias("shingle")
     )
 
 
@@ -451,4 +461,51 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection — the train/eval hygiene op: for
+    each corpus document, the fraction (ppm) of its distinct k-word
+    shingles that appear ANYWHERE in the benchmark set. Directional
+    containment, not symmetric Jaccard: a 10k-token document that embeds
+    a whole 100-token benchmark item scores low on Jaccard but is still
+    contaminated.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination_ppm).
+
+    Scale shape: the corpus shingle stream is generated ONCE and consumed
+    by a single broadcast LEFT join (benchmark sets are tiny next to a
+    training corpus — the distinct benchmark shingles ship to every task,
+    so the 100-TB side is never shuffled for the membership test),
+    followed by ONE doc_id-keyed aggregate computing total and hit counts
+    together. No cross join, no per-pair comparison, no double scan.
+    ``broadcast_benchmark=False`` falls back to a plain equi-join (keyed
+    shuffle, uniform keys — shingles are near-unique) for benchmark sets
+    too large to broadcast.
+    """
+    c = word_shingles(corpus, text_col, k)
+    b = (
+        word_shingles(benchmark, text_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    flagged = c.join(F.broadcast(b) if broadcast_benchmark else b, "shingle", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.expr("(n_contaminated * 1000000) div n_shingles").alias(
+            "contamination_ppm"
+        ),
     )

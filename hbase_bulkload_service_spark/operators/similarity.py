@@ -372,3 +372,35 @@ def srp_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", "neighbor_id", "cos_micros")
     )
+
+
+def ivf_multi_assign(
+    embeddings: DataFrame, centroids: DataFrame, nprobe: int = 2
+) -> DataFrame:
+    """Multi-cell IVF assignment — each vector lands in its ``nprobe``
+    nearest cells (rank 1 = the :func:`ivf_assign` cell). This is the
+    documented recall lever for cell-blocked near-dup search: two vectors
+    straddling a cell boundary meet in SOME common cell with probability
+    rising in nprobe, at an nprobe× index-size cost (the corpus is
+    replicated per assigned cell, never pair-scanned).
+
+    Same plan shape as single assignment: broadcast centroids, one window
+    per vector, rank filter — no extra shuffle."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        cosine_micros(F.col("embedding"), F.col("cvec")).alias("cos_micros"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_micros").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("cell"),
+            F.col("cell_rank").cast("int").alias("cell_rank"),
+            "cos_micros",
+        )
+    )

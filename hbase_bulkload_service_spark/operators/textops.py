@@ -240,3 +240,50 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(clean).alias("scrubbed_md5"),
         F.length(clean).alias("scrubbed_len"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Token-window document chunking with overlap — the standard
+    training-data segmentation op (fixed windows of ``chunk_tokens``
+    whitespace tokens advancing by ``stride``; the last window is short
+    rather than dropped, so every token lands in ≥1 chunk).
+
+    Output: (doc_id, chunk_idx, n_tok, chunk_md5) — the md5 stands in for
+    the chunk text so the result stays hash-compact; slice the token
+    array the same way to materialize text.
+
+    Scale shape: pure map — normalize once, split once, explode
+    ``n_chunks`` index rows per doc, slice per row. No shuffle, no UDF;
+    the token array is bound BEFORE the explode (Catalyst does not CSE
+    across lambda boundaries — same note as dedup.shingle_arrays).
+    """
+    if stride <= 0 or chunk_tokens < stride:
+        raise ValueError("need chunk_tokens >= stride > 0 (overlap = chunk_tokens - stride)")
+    overlap = chunk_tokens - stride
+    base = docs.select(
+        "doc_id", norm_text(F.col(text_col)).alias("nt")
+    ).withColumn("ws", F.split("nt", " "))
+    n = F.size("ws")
+    # integer-exact ceil((n - overlap) / stride), min 1 — identical
+    # arithmetic in DuckDB via (n - overlap + stride - 1) // stride
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(f"(size(ws) - {overlap} + {stride - 1}) div {stride}").cast("int"),
+    )
+    e = base.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -246,6 +246,30 @@ def rollup_5m(events: DataFrame, window_sec: int = 300) -> DataFrame:
     )
 
 
+def merge_rollups(*rollups: DataFrame) -> DataFrame:
+    """Merge partial rollup tables into the rollup of the union — the
+    mergeable-aggregate property that makes 5-minute rollups cheap to
+    MAINTAIN at 100 TB: roll up only the newly-arrived partition, then
+    merge with the standing rollup (count/sum re-sum; min/max re-min/max),
+    instead of recomputing over all history. One keyed hash aggregate over
+    rollup-sized (not event-sized) input; the merge is associative and
+    commutative, so it also parallelizes across any number of partials
+    (the same shape as Spark's own partial-agg → final-agg split).
+
+    Correct because every column of :func:`rollup_5m` is a decomposable
+    aggregate; pinned through the gate by q70 (partial rollups merged ==
+    full rollup, via q13's oracle)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), rollups)
+    return u.groupBy("window_start_sec", "event_type").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_value_cents").alias("sum_value_cents"),
+        F.min("min_value_cents").alias("min_value_cents"),
+        F.max("max_value_cents").alias("max_value_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # J3 extension — session windows (gaps-and-islands)
 # ---------------------------------------------------------------------------

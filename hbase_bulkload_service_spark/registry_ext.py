@@ -1094,3 +1094,73 @@ def q67_format_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ===========================================================================
+# q70 — incremental rollup maintenance (merge partial rollups == full)
+# ===========================================================================
+
+@register(
+    "q70_incremental_rollup",
+    """
+    SELECT (epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 300 AS window_start_sec,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS min_value_cents,
+           MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS max_value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q70_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 maintenance path: the event stream split into a standing corpus
+    (90%) and a newly-arrived delta (10%), each rolled up separately,
+    then MERGED (tsdb.merge_rollups) — matching the full-recompute oracle
+    proves the rollup's decomposability, which is what makes incremental
+    materialized-rollup maintenance valid at 100 TB (aggregate the new
+    partition only, merge with the standing table)."""
+    from hbase_bulkload_service_spark.operators import tsdb as _tsdb
+    from hbase_bulkload_service_spark.sources.tables import load_events as _le
+
+    ev = _le(spark, sf_dir, spread=True)
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    delta = ev.filter(F.col("event_id") % 10 == 0)
+    return _tsdb.merge_rollups(_tsdb.rollup_5m(base), _tsdb.rollup_5m(delta))
+
+
+# ===========================================================================
+# q71 — multi-cell IVF assignment (the recall lever for cell blocking)
+# ===========================================================================
+
+@register(
+    "q71_ivf_multi_assign",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    s AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_duck_cos_micros65("e.embedding", "c.cvec")} AS cos_micros
+      FROM embeddings e, c
+    )
+    SELECT vec_id, centroid_id AS cell, CAST(cell_rank AS INT) AS cell_rank,
+           cos_micros
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_micros DESC, centroid_id) AS cell_rank
+      FROM s
+    ) WHERE cell_rank <= 2
+    """,
+)
+def q71_ivf_multi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each vector assigned to its 2 nearest IVF cells
+    (similarity.ivf_multi_assign) — the boundary-straddle recall lever
+    for q42's cell-blocked near-dup join, through the gate with the same
+    deterministic pseudo-centroids as q39."""
+    from hbase_bulkload_service_spark.sources.tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings", spread=True)
+    cents = similarity.pseudo_centroids(emb, every=50)
+    return similarity.ivf_multi_assign(emb, cents, nprobe=2)

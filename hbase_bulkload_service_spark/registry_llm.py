@@ -1072,3 +1072,75 @@ def q66_merge_plan_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog, MERGE_NOW_MS,
         order_cols=("start_bucket",), num_partitions=4,
     )
+
+
+# ===========================================================================
+# q68/q69 — training-data segmentation + benchmark contamination
+# ===========================================================================
+
+@register(
+    "q68_doc_chunks",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    c AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    x AS (SELECT doc_id, ws, greatest(1, (n - 10 + 39) // 40) AS n_chunks FROM c),
+    e AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_idx FROM x)
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(ws[chunk_idx*40+1 : chunk_idx*40+50]) AS INT) AS n_tok,
+           md5(array_to_string(ws[chunk_idx*40+1 : chunk_idx*40+50], ' ')) AS chunk_md5
+    FROM e
+    """,
+)
+def q68_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (50-token windows, stride 40) over the whole
+    documents table — pure map, no shuffle (textops.chunk_documents). The
+    oracle recomputes windowing, clamped slicing, and the chunk md5 from
+    the same normalization."""
+    return textops.chunk_documents(
+        load(spark, sf_dir, "documents", spread=True),
+        chunk_tokens=50, stride=40,
+    )
+
+
+_SH8 = (
+    "CASE WHEN len(ws) < 8 THEN [nt] ELSE list_transform(range(1, len(ws) - 6), "
+    "i -> " + " || ' ' || ".join(f"ws[i+{j}]" for j in range(8)) + ") END"
+)
+
+
+@register(
+    "q69_contamination",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    cb AS (SELECT * FROM w WHERE doc_id % 97 = 0),
+    cc AS (SELECT * FROM w WHERE doc_id % 97 <> 0),
+    shc AS (
+      SELECT doc_id, unnest(list_distinct({_SH8})) AS shingle FROM cc
+    ),
+    shb AS (
+      SELECT DISTINCT unnest(list_distinct({_SH8})) AS shingle FROM cb
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shc GROUP BY doc_id),
+    hit AS (
+      SELECT shc.doc_id, COUNT(*) AS n_cont
+      FROM shc JOIN shb USING (shingle) GROUP BY shc.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+           CAST((COALESCE(h.n_cont, 0) * 1000000) // t.n_shingles AS BIGINT)
+             AS contamination_ppm
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def q69_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: every 97th document plays the
+    benchmark set; each remaining document reports the ppm of its
+    distinct 8-word shingles found anywhere in the benchmark
+    (dedup.benchmark_contamination — directional containment, ONE
+    shingle-keyed equi-join, never a pair scan)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.benchmark_contamination(corpus, bench, k=8)
