@@ -314,6 +314,31 @@ def register_sql_udfs(spark) -> list[str]:
         "hb_decode_bool", "b BINARY", "BOOLEAN",
         "CASE WHEN length(b)=0 THEN NULL ELSE hex(b) != '00' END",
     )
+    # date / time / interval codecs (LogicalType widths; HBaseSerde.java
+    # :298-313) and the legacy long variants (HBaseTypeUtils.java:70-76)
+    sqlf(
+        "hb_encode_date", "d DATE", "BINARY",
+        "CASE WHEN d IS NULL THEN X'' ELSE "
+        "unhex(substr(lpad(hex(CAST(datediff(d, DATE'1970-01-01') AS BIGINT)), 16, '0'), 9, 8)) END",
+    )
+    sqlf(
+        "hb_decode_date", "b BINARY", "DATE",
+        "CASE WHEN length(b)=0 THEN NULL ELSE "
+        "date_add(DATE'1970-01-01', CAST(hb_decode_int4(b) AS INT)) END",
+    )
+    sqlf(
+        "hb_encode_date_legacy", "d DATE", "BINARY",
+        "hb_encode_int8(CAST(datediff(d, DATE'1970-01-01') AS BIGINT) * 86400000)",
+    )
+    sqlf(
+        "hb_decode_date_legacy", "b BINARY", "DATE",
+        "CASE WHEN length(b)=0 THEN NULL ELSE "
+        "date_add(DATE'1970-01-01', CAST(FLOOR(hb_decode_int8(b) / 86400000) AS INT)) END",
+    )
+    sqlf("hb_encode_interval_ym", "months INT", "BINARY", "hb_encode_int4(CAST(months AS BIGINT))")
+    sqlf("hb_decode_interval_ym", "b BINARY", "INT", "CAST(hb_decode_int4(b) AS INT)")
+    sqlf("hb_encode_interval_dt", "millis BIGINT", "BINARY", "hb_encode_int8(millis)")
+    sqlf("hb_decode_interval_dt", "b BINARY", "BIGINT", "hb_decode_int8(b)")
     sqlf("hb_key_hex", "k BINARY", "STRING", "hex(k)")
     sqlf(
         "hb_key_bucket", "k BINARY", "INT",

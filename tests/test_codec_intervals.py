@@ -200,3 +200,139 @@ def test_htable_cells_charset_and_legacy(spark):
     back = decode_cells_htable(cells, schema, legacy=True).collect()[0]
     assert back["f"]["name"] == "résumé"
     assert back["f"]["d"] == d
+
+
+# ---------------------------------------------------------------------------
+# full-dispatch serde property: EVERY supported type through the cell serde
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_cell_serde_full_type_dispatch_roundtrip(spark, data):
+    """encode_htable_cells → decode_cells_htable is identity across the
+    ENTIRE §1.3 type table in one schema (both codec generations)."""
+    import decimal as dec
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from hbase_bulkload_service_spark.operators.table import (
+        decode_cells_htable,
+        encode_htable_cells,
+    )
+    from hbase_bulkload_service_spark.schema import HBaseTableSchema
+
+    n = data.draw(st.integers(2, 6))
+    rows = []
+    for i in range(n):
+        rows.append(Row(
+            rk=f"k{i:03d}",
+            f=Row(
+                s=data.draw(st.one_of(st.none(), st.text(
+                    alphabet=st.characters(codec="latin-1", exclude_characters="\x00"),
+                    max_size=12).filter(lambda t: t != "null"))),
+                i1=data.draw(st.integers(-128, 127)),
+                i2=data.draw(st.integers(-(2**15), 2**15 - 1)),
+                i4=data.draw(st.integers(-(2**31), 2**31 - 1)),
+                i8=data.draw(st.integers(-(2**63), 2**63 - 1)),
+                fl=float(data.draw(st.integers(-1000, 1000))) / 4,
+                db=float(data.draw(st.integers(-10**9, 10**9))) / 8,
+                bo=data.draw(st.booleans()),
+                ts=datetime.datetime(2020, 1, 1) + datetime.timedelta(
+                    milliseconds=data.draw(st.integers(0, 10**10))),
+                d=data.draw(st.dates(datetime.date(1900, 1, 1),
+                                     datetime.date(2100, 1, 1))),
+                dc=dec.Decimal(data.draw(st.integers(-(10**12), 10**12))).scaleb(-3),
+                ym=data.draw(st.integers(-10000, 10000)),
+                dtm=data.draw(st.integers(-(2**40), 2**40)),
+            ),
+        ))
+    legacy = data.draw(st.booleans())
+    charset = data.draw(st.sampled_from(["UTF-8", "ISO-8859-1"]))
+    schema = (
+        HBaseTableSchema(charset=charset)
+        .set_row_key("rk", StringType())
+        .add_column("f", "s", StringType())
+        .add_column("f", "i1", ByteType())
+        .add_column("f", "i2", ShortType())
+        .add_column("f", "i4", IntegerType())
+        .add_column("f", "i8", LongType())
+        .add_column("f", "fl", FloatType())
+        .add_column("f", "db", DoubleType())
+        .add_column("f", "bo", BooleanType())
+        .add_column("f", "ts", TimestampType())
+        .add_column("f", "d", DateType())
+        .add_column("f", "dc", DecimalType(18, 3))
+        .add_column("f", "ym", YearMonthIntervalType())
+        .add_column("f", "dur", DayTimeIntervalType())
+    )
+    spark_schema = StructType([
+        StructField("rk", StringType()),
+        StructField("f", StructType([
+            StructField("s", StringType()),
+            StructField("i1", ByteType()),
+            StructField("i2", ShortType()),
+            StructField("i4", IntegerType()),
+            StructField("i8", LongType()),
+            StructField("fl", FloatType()),
+            StructField("db", DoubleType()),
+            StructField("bo", BooleanType()),
+            StructField("ts", TimestampType()),
+            StructField("d", DateType()),
+            StructField("dc", DecimalType(18, 3)),
+            StructField("ym", IntegerType()),
+            StructField("dtm", LongType()),
+        ])),
+    ])
+    df = spark.createDataFrame(rows, spark_schema).select(
+        "rk",
+        F.struct(
+            "f.s", "f.i1", "f.i2", "f.i4", "f.i8", "f.fl", "f.db", "f.bo",
+            "f.ts", "f.d", "f.dc",
+            F.col("f.ym").cast(YearMonthIntervalType()).alias("ym"),
+            __import__("hbase_bulkload_service_spark.functions.codec",
+                       fromlist=["codec"]).millis_to_interval_dt(
+                F.col("f.dtm")).cast(DayTimeIntervalType()).alias("dur"),
+        ).alias("f"),
+    )
+    cells = encode_htable_cells(df, schema, legacy=legacy)
+    back = decode_cells_htable(cells, schema, legacy=legacy)
+    from hbase_bulkload_service_spark.functions import codec as _codec
+
+    got = {
+        r["rk"]: r for r in back.select(
+            "rk",
+            F.col("f.s").alias("s"), F.col("f.i1").alias("i1"),
+            F.col("f.i2").alias("i2"), F.col("f.i4").alias("i4"),
+            F.col("f.i8").alias("i8"), F.col("f.fl").alias("fl"),
+            F.col("f.db").alias("db"), F.col("f.bo").alias("bo"),
+            F.col("f.ts").alias("ts"), F.col("f.d").alias("d"),
+            F.col("f.dc").alias("dc"),
+            _codec.interval_ym_months(F.col("f.ym")).alias("ym"),
+            _codec.interval_dt_millis(F.col("f.dur")).alias("dtm"),
+        ).collect()
+    }
+    assert len(got) == n
+    for r in rows:
+        g = got[r.rk]
+        f = r.f
+        assert g["s"] == f.s
+        assert (g["i1"], g["i2"], g["i4"], g["i8"]) == (f.i1, f.i2, f.i4, f.i8)
+        assert g["fl"] == f.fl and g["db"] == f.db and g["bo"] == f.bo
+        assert g["ts"] == f.ts and g["d"] == f.d
+        assert g["dc"] == f.dc
+        assert g["ym"] == f.ym and g["dtm"] == f.dtm

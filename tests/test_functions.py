@@ -278,3 +278,38 @@ def test_ts_at_most_ms_is_session_timezone_proof(spark):
             assert df.filter(ts_at_most_ms(df, "ts", 904694400000)).count() == 1, tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_sql_udf_date_interval_family(spark):
+    """Round-3 L2 additions: date (both codecs) + interval SQL functions
+    match the independent struct layout and round-trip."""
+    import datetime
+    import struct
+
+    from hbase_bulkload_service_spark.functions import codec
+
+    names = codec.register_sql_udfs(spark)
+    assert {
+        "hb_encode_date", "hb_decode_date", "hb_encode_date_legacy",
+        "hb_decode_date_legacy", "hb_encode_interval_ym",
+        "hb_decode_interval_ym", "hb_encode_interval_dt",
+        "hb_decode_interval_dt",
+    } <= set(names)
+    r = spark.sql(
+        """
+        SELECT hex(hb_encode_date(DATE'2020-03-01'))                      AS e4,
+               hb_decode_date(hb_encode_date(DATE'1969-07-20'))           AS d4,
+               hex(hb_encode_date_legacy(DATE'2020-03-01'))               AS e8,
+               hb_decode_date_legacy(hb_encode_date_legacy(DATE'2020-03-01')) AS d8,
+               hex(hb_encode_interval_ym(14))                             AS ym,
+               hb_decode_interval_ym(hb_encode_interval_ym(-14))          AS ymrt,
+               hb_decode_interval_dt(hb_encode_interval_dt(-93781500))   AS dtrt
+        """
+    ).collect()[0]
+    days = (datetime.date(2020, 3, 1) - datetime.date(1970, 1, 1)).days
+    assert r.e4 == struct.pack(">i", days).hex().upper()
+    assert r.d4 == datetime.date(1969, 7, 20)  # negative epoch-days
+    assert r.e8 == struct.pack(">q", days * 86400000).hex().upper()
+    assert r.d8 == datetime.date(2020, 3, 1)
+    assert r.ym == struct.pack(">i", 14).hex().upper()
+    assert r.ymrt == -14 and r.dtrt == -93781500
