@@ -48,6 +48,7 @@ PRIORITY = [
     "q69_contamination",  # new in round 3
     "q70_incremental_rollup",  # new in round 3
     "q71_ivf_multi_assign",  # new in round 3
+    "q72_zorder_key",  # new in round 3
 ]
 
 

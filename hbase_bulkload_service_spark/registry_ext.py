@@ -1164,3 +1164,39 @@ def q71_ivf_multi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings", spread=True)
     cents = similarity.pseudo_centroids(emb, every=50)
     return similarity.ivf_multi_assign(emb, cents, nprobe=2)
+
+
+# ===========================================================================
+# q72 — Z-order (Morton) key for multi-dimensional layout
+# ===========================================================================
+
+_Z_BITS = 10
+_Z_SQL = " | ".join(
+    f"((((user_id % 1024) >> {i}) & 1) << {2 * i}) | "
+    f"((((event_id % 1024) >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@register(
+    "q72_zorder_key",
+    f"""
+    SELECT event_id, user_id,
+           CAST({_Z_SQL} AS BIGINT) AS z
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def q72_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton interleave of (user_id mod 1024, event_id mod 1024) — the
+    key behind layout.write_zordered's multi-dimensional file skipping
+    (per-file bounding boxes compact in BOTH dimensions; locality pinned
+    by tests/test_zorder.py). Pure shift/or codegen chain; the oracle
+    recomputes the interleave bit-by-bit."""
+    from hbase_bulkload_service_spark.sources.layout import zorder_key
+
+    ev = load_events(spark, sf_dir, spread=True).filter(F.col("event_id") % 20 == 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        zorder_key(F.col("user_id") % 1024, F.col("event_id") % 1024, _Z_BITS).alias("z"),
+    )

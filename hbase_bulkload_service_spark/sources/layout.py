@@ -72,3 +72,59 @@ def scan_time_partitioned(
         (F.col("ts_part") >= F.lit(lo)) & (F.col("ts_part") <= F.lit(hi))
     )
     return hour_range_filter(df, start_ms, end_ms, ts_sec_col=ts_sec_col)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout — multi-dimensional file skipping
+# ---------------------------------------------------------------------------
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns into one
+    long: bit i of ``c1`` lands at position 2i, bit i of ``c2`` at 2i+1.
+
+    Why: a layout sorted on ``(bucket, hour)`` clusters perfectly for
+    bucket predicates but scatters any hour-only range across EVERY
+    bucket run; sorting on the z-value bounds BOTH dimensions per file —
+    parquet row-group min/max stats then skip on either predicate (the
+    same trick Delta/Iceberg OPTIMIZE ZORDER applies). Pure shift/or
+    expression chain — whole-stage codegen, no UDF, no shuffle beyond
+    the layout write's own range partition.
+
+    ``bits`` bounds the domain (values ≥ 2^bits fold into the top bits'
+    order, keeping the key monotone but losing interleave quality —
+    clamp or rescale inputs to the bit budget)."""
+    a = c1.cast("long")
+    b = c2.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    c1: str,
+    c2: str,
+    bits: int = 16,
+    num_files: int = 32,
+) -> None:
+    """Write ``df`` range-partitioned + sorted by the z-value of
+    ``(c1, c2)`` — each output file covers a compact rectangle in the
+    (c1, c2) plane, so row-group stats prune on either column alone.
+    The z column is dropped from the files (recomputable)."""
+    z = zorder_key(F.col(c1), F.col(c2), bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
