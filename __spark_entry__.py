@@ -49,6 +49,23 @@ PRIORITY = [
     "q70_incremental_rollup",  # new in round 3
     "q71_ivf_multi_assign",  # new in round 3
     "q72_zorder_key",  # new in round 3
+    "q73_sketch_profile",  # new in round 3 (no oracle — sketch states)
+    "q74_repetition_signals",  # new in round 3
+    "q75_format_csv",  # new in round 3
+    "q76_format_json",  # new in round 3
+    "q77_gap_fill",  # new in round 3
+    "q78_scd2_history",  # new in round 3
+    "q79_anomaly_zscore",  # new in round 3
+    "q80_semi_anti_returns",  # new in round 3
+    "q81_json_props",  # new in round 3
+    "q82_market_share",  # new in round 3
+    "q83_pit_join",  # new in round 3
+    "q84_topk_per_group",  # new in round 3
+    "q85_pivot_metrics",  # new in round 3
+    "q86_unpivot_metrics",  # new in round 3
+    "q87_set_ops",  # new in round 3
+    "q88_rolling_window",  # new in round 3
+    "q89_ntile_splits",  # new in round 3
 ]
 
 

@@ -105,3 +105,192 @@ def running_user_stats(
         (F.col(ts_col) - F.lag(ts_col).over(w)).alias("gap_ms"),
         F.row_number().over(w).alias("seq"),
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Per-key forward fill (gap fill): each null in ``value_col`` takes
+    the most recent non-null value earlier in the key's ordered series;
+    leading nulls stay null.
+
+    ``last(ignorenulls)`` over a running frame — ONE keyed shuffle plus a
+    partition-local sort, exactly the D2 cost profile. No state beyond
+    the frame's single carried value, so the fill streams through 100 TB
+    of series data without per-key materialization. ``order_cols`` must
+    be a per-key unique ordering (pass a tiebreaker column) or the fill
+    is nondeterministic.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def scd2_history(
+    updates: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 interval build: an append-only
+    update log (key, ts, attrs) becomes one validity interval per update
+    with ``valid_from = ts`` and ``valid_to = next update's ts`` (open
+    interval, NULL = still current).
+
+    The training-data-lineage primitive: "what did this record look like
+    when the snapshot was taken" becomes a range join against these
+    intervals. ONE keyed shuffle (lead window); the interval build never
+    compares rows across keys, so key-hash partitioning scales linearly.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    nxt = F.lead(ts_col).over(w)
+    return updates.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group z-score anomaly flagging: rows where
+    ``|x - mean(group)| > threshold * stddev_samp(group)``.
+
+    Two-pass shape: a tiny per-group stats aggregate (one keyed shuffle,
+    output = #groups rows) broadcast-joined back onto the stream — the
+    scan side is touched exactly twice and never shuffled on the join.
+    The comparison is kept in the multiplied form (no division) so
+    zero-variance groups flag nothing instead of dividing by zero.
+    """
+    stats = df.groupBy(key_col).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_samp(value_col).alias("_sigma"),
+    )
+    joined = df.join(F.broadcast(stats), key_col)
+    return (
+        joined.filter(
+            F.abs(F.col(value_col) - F.col("_mu"))
+            > F.lit(float(threshold)) * F.col("_sigma")
+        )
+        .select(key_col, *id_cols, value_col)
+    )
+
+
+def sketch_profile(
+    df: DataFrame,
+    key_col: str,
+    distinct_col: str,
+    value_col: str,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Sketch-based per-group profile: HyperLogLog++ distinct count
+    (``approx_count_distinct``, relative sd ``rsd``) and a GK quantile
+    sketch median (``percentile_approx``) beside the exact row count.
+
+    The 100 TB path for cardinality/quantile profiling: both sketches are
+    bounded-size and merge associatively, so the plan is a partial
+    aggregate per partition + one tiny keyed shuffle of sketch states —
+    no sort, no second pass, unlike exact distinct-count (full shuffle of
+    the distinct column) or exact quantiles (per-group sort). Sketch
+    outputs are deterministic for a given input but NOT portable across
+    engines — correctness is bounded by tests against the exact
+    aggregates (±rsd), not by the cross-engine hash oracle.
+    """
+    return df.groupBy(key_col).agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct(distinct_col, rsd).alias("approx_distinct"),
+        F.percentile_approx(value_col, 0.5, 10000).alias("approx_median"),
+    )
+
+
+def pit_join(
+    probes: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    probe_ts_col: str,
+) -> DataFrame:
+    """Point-in-time join: each probe row picks up the SCD-2 interval
+    (from ``scd2_history``) covering its timestamp —
+    ``probe_ts ∈ [valid_from, valid_to)`` with NULL valid_to = open.
+
+    The lineage probe: "the record as of snapshot time", with no risk of
+    the future leaking into training features. Plans as an equi-join on
+    ``key_col`` with the range bounds as a post-join filter — both sides
+    hash-partition on the key, no broadcast of the (large) history
+    needed, and each key's intervals are disjoint by construction so the
+    match is at most one per probe (inner: probes before the first
+    interval drop out).
+    """
+    h = history.select(
+        F.col(key_col).alias("__k"),
+        *[c for c in history.columns if c not in (key_col,)],
+    )
+    cond = (
+        (probes[key_col] == h["__k"])
+        & (probes[probe_ts_col] >= h["valid_from"])
+        & (h["valid_to"].isNull() | (probes[probe_ts_col] < h["valid_to"]))
+    )
+    return probes.join(h, cond, "inner").drop("__k")
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group (row_number ≤ k over a deterministic total
+    order — pass a unique tiebreaker in ``order_cols`` or ranks are
+    nondeterministic).
+
+    One keyed shuffle; Spark's WindowGroupLimit pushes the k-limit into
+    the partition-local sort (each task keeps a k-heap per group rather
+    than fully sorting), so per-group state is O(k) even on skewed
+    groups — the grouped analog of G4's global top-k.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def ntile_split(
+    df: DataFrame,
+    strat_col: str,
+    order_col: str,
+    n: int = 10,
+    holdout_folds: tuple[int, int] = (9, 10),
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment via NTILE:
+    within each stratum (ordered by a unique key so the assignment is
+    reproducible), fold ≤ holdout_folds[0]-1 → train, holdout_folds[0]
+    → val, holdout_folds[1] → test. Equal-sized folds per stratum —
+    unlike hash-mod sampling (curation.stratified_sample) the split
+    fractions are exact, at the cost of one keyed shuffle + sort.
+    """
+    val_fold, test_fold = holdout_folds
+    w = Window.partitionBy(strat_col).orderBy(order_col)
+    fold = F.ntile(n).over(w)
+    return df.withColumn("fold", fold).withColumn(
+        "split",
+        F.when(F.col("fold") == test_fold, F.lit("test"))
+        .when(F.col("fold") == val_fold, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -287,3 +287,57 @@ def chunk_documents(
         F.size(chunk).cast("int").alias("n_tok"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters):
+    duplicate-word fraction and the count of the most-repeated bigram.
+    Heavily repetitive documents (boilerplate, keyword stuffing, scraper
+    loops) score high on both and get culled before training.
+
+    Output: (doc_id, n_words, dup_word_ppm, top_bigram_cnt) where
+    ``dup_word_ppm = (n_words - n_distinct_words) * 1e6 // n_words``
+    (integer ppm — cross-engine exact) and ``top_bigram_cnt`` is the
+    occurrence count of the modal adjacent word pair (0 for <2 words).
+
+    Scale shape: the unigram stats are a pure map (array_distinct on the
+    bound token array — no shuffle). The bigram mode is two hash
+    aggregates: count per (doc, bigram) — partial aggregation collapses
+    repeated bigrams map-side so the first exchange moves ~distinct
+    pairs, not raw bigrams — then max per doc over the already-collapsed
+    pairs (a second, much smaller exchange). State is bounded by per-doc
+    vocabulary, never corpus-wide.
+    The token array is bound before the explode (no CSE across lambda
+    boundaries — same trap as shingle_arrays, see SCALE.md).
+    """
+    base = docs.select("doc_id", words_of(F.col(text_col)).alias("ws"))
+    uni = base.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.expr(
+            "CAST((size(ws) - size(array_distinct(ws))) * 1000000L"
+            " div size(ws) AS BIGINT)"
+        ).alias("dup_word_ppm"),
+    )
+    pairs = base.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode_outer(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    top = (
+        pairs.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    return uni.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_ppm",
+        F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+    )

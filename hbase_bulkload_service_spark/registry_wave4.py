@@ -1,0 +1,694 @@
+"""Registry wave 4 — pipeline-lineage analytics (gap fill, SCD-2,
+anomaly flagging), quality-repetition signals, sketch profiling, the
+remaining built-in format round-trips (CSV, JSON), semi/anti-join and
+multi-dimension join coverage, and semi-structured JSON extraction.
+
+Same portability rules as registry.py / registry_llm.py: integer cents,
+epoch-millis timestamps, identical aliases both sides, DuckDB SUMs cast
+back to BIGINT (the pandas fetch path renders HUGEINT as float64 and
+breaks the value hash otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.operators import analytics, textops
+from hbase_bulkload_service_spark.registry import cents, register
+from hbase_bulkload_service_spark.registry_llm import DOCS_NORM_CTE
+from hbase_bulkload_service_spark.sources.tables import load, load_events
+
+CENTS_SQL = "CAST(FLOOR(value * 100) AS BIGINT)"
+
+
+# ===========================================================================
+# q73 — sketch-based profile (HLL++ distinct, GK quantile) — NO SQL oracle:
+# sketch states are engine-specific by nature; bounded against the exact
+# aggregates in tests/test_wave4.py instead (rows-only driver check).
+# ===========================================================================
+
+@register("q73_sketch_profile")
+def q73_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3-adjacent sketch surface: per event_type HyperLogLog++ distinct
+    users + GK-sketch median cents beside the exact row count. The 100 TB
+    profiling path — fixed-size mergeable sketch states, one tiny keyed
+    shuffle, no sort (see analytics.sketch_profile). Deliberately has no
+    cross-engine oracle (sketches are engine-specific); accuracy vs the
+    exact aggregates is pinned in tests/test_wave4.py (±5% rsd)."""
+    ev = load_events(spark, sf_dir, spread=True).withColumn(
+        "cents", cents(F.col("value"))
+    )
+    return analytics.sketch_profile(ev, "event_type", "user_id", "cents")
+
+
+# ===========================================================================
+# q74 — within-document repetition signals (Gopher-style quality filter)
+# ===========================================================================
+
+@register(
+    "q74_repetition_signals",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    uni AS (
+      SELECT doc_id, len(ws) AS n_words,
+             CAST((len(ws) - len(list_distinct(ws))) * 1000000 // len(ws)
+                  AS BIGINT) AS dup_word_ppm, ws
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM uni WHERE len(ws) >= 2
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_cnt
+      FROM (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT uni.doc_id, uni.n_words, uni.dup_word_ppm,
+           COALESCE(top.top_bigram_cnt, 0) AS top_bigram_cnt
+    FROM uni LEFT JOIN top USING (doc_id)
+    """,
+)
+def q74_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_stats(load(spark, sf_dir, "documents", spread=True))
+
+
+# ===========================================================================
+# q75 / q76 — CSV and JSON round-trips (the remaining built-in formats
+# after parquet everywhere and ORC in q67)
+# ===========================================================================
+
+_FMT_ORACLE = f"""
+    SELECT event_id, user_id, event_type,
+           {CENTS_SQL} AS cents, epoch_ms(ts) AS ts_ms
+    FROM events WHERE user_id % 37 = 0 AND event_type <> 'error'
+"""
+
+
+def _fmt_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_events(spark, sf_dir, spread=True)
+        .filter(F.col("user_id") % 37 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            cents(F.col("value")).alias("cents"),
+            "ts_ms",
+        )
+    )
+
+
+_FMT_SCHEMA = "event_id long, user_id long, event_type string, cents long, ts_ms long"
+
+
+@register("q75_format_csv", _FMT_ORACLE)
+def q75_format_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip with an explicit read schema (no
+    inference pass — schema inference is a full extra scan at 100 TB and
+    is banned on the scale path). CSV has no column stats, so the
+    post-read filter runs engine-side; the pre-written slice is already
+    column-pruned. Lossless because every written column is integral or
+    a clean string — doubles are kept out of text formats by converting
+    to cents BEFORE the sink (float text round-trip is shortest-repr
+    exact in Spark but not portable to every reader)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="q75csv")
+    try:
+        _fmt_slice(spark, sf_dir).coalesce(4).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(f"{d}/c")
+        back = (
+            spark.read.schema(_FMT_SCHEMA)
+            .option("header", "true")
+            .csv(f"{d}/c")
+            .filter(F.col("event_type") != "error")
+        )
+        rows = back.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, _FMT_SCHEMA)
+
+
+@register("q76_format_json", _FMT_ORACLE)
+def q76_format_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip carrying a NESTED struct
+    (meta.event_type / meta.cents) — exercises schema'd nested decode,
+    which parquet gets for free but JSON must parse. Explicit schema on
+    read (same no-inference rule as q75); the nested field is projected
+    back out flat so the oracle is shared with q75. Spark prunes unread
+    JSON fields under schema'd reads, mirroring nested-schema pruning on
+    columnar formats."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="q76json")
+    nested = _fmt_slice(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.struct("event_type", "cents").alias("meta"),
+    )
+    rschema = "event_id long, user_id long, ts_ms long, meta struct<event_type:string, cents:long>"
+    try:
+        nested.coalesce(4).write.mode("overwrite").json(f"{d}/j")
+        back = (
+            spark.read.schema(rschema)
+            .json(f"{d}/j")
+            .filter(F.col("meta.event_type") != "error")
+            .select(
+                "event_id",
+                "user_id",
+                F.col("meta.event_type").alias("event_type"),
+                F.col("meta.cents").alias("cents"),
+                "ts_ms",
+            )
+        )
+        rows = back.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, _FMT_SCHEMA)
+
+
+# ===========================================================================
+# q77 — per-key forward fill (time-series gap fill)
+# ===========================================================================
+
+@register(
+    "q77_gap_fill",
+    f"""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           last_value(CASE WHEN event_id % 3 = 0 THEN {CENTS_SQL} END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_cents
+    FROM events
+    """,
+)
+def q77_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-adjacent series repair: a sparse reading stream (2/3 of values
+    nulled) forward-filled per user — the TSDB "carry last observation
+    forward" op. One keyed shuffle (analytics.forward_fill); leading
+    nulls survive as nulls, proving the fill doesn't invent data."""
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.when(F.col("event_id") % 3 == 0, cents(F.col("value"))).alias("v"),
+    )
+    filled = analytics.forward_fill(
+        ev, "user_id", ["ts_ms", "event_id"], "v", "filled_cents"
+    )
+    return filled.select("event_id", "user_id", "ts_ms", "filled_cents")
+
+
+# ===========================================================================
+# q78 — SCD type-2 validity intervals from an update log
+# ===========================================================================
+
+@register(
+    "q78_scd2_history",
+    f"""
+    SELECT user_id, event_type, {CENTS_SQL} AS cents,
+           epoch_ms(ts) AS valid_from,
+           lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts), event_id)
+             AS valid_to,
+           CASE WHEN lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY epoch_ms(ts), event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def q78_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data lineage: the event log treated as per-user attribute
+    updates, compiled into SCD-2 validity intervals (valid_from/valid_to/
+    is_current) — the structure point-in-time joins range-probe to
+    reconstruct "the record as of snapshot time". One keyed shuffle
+    (analytics.scd2_history)."""
+    ev = load_events(spark, sf_dir, spread=True).withColumn(
+        "cents", cents(F.col("value"))
+    )
+    return analytics.scd2_history(
+        ev, "user_id", "ts_ms", "event_id", ["event_type", "cents"]
+    )
+
+
+# ===========================================================================
+# q79 — per-group z-score anomaly flagging
+# ===========================================================================
+
+@register(
+    "q79_anomaly_zscore",
+    f"""
+    WITH c AS (SELECT event_id, event_type, {CENTS_SQL} AS cents FROM events),
+    s AS (SELECT event_type, AVG(cents) AS mu,
+                 stddev_samp(cents) AS sigma
+          FROM c GROUP BY 1)
+    SELECT c.event_id, c.event_type, c.cents
+    FROM c JOIN s USING (event_type)
+    WHERE ABS(c.cents - s.mu) > 3.0 * s.sigma
+    """,
+)
+def q79_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for metric streams: flag rows > 3 sample-stddevs from
+    their group mean. Two-pass scale shape — a #groups-row stats
+    aggregate broadcast back onto the stream, no stream-side shuffle
+    (analytics.zscore_outliers keeps the test multiplied-out, so
+    zero-variance groups flag nothing rather than dividing by zero)."""
+    ev = load_events(spark, sf_dir, spread=True).withColumn(
+        "cents", cents(F.col("value"))
+    )
+    return analytics.zscore_outliers(
+        ev, "event_type", "cents", 3.0, id_cols=["event_id"]
+    )
+
+
+# ===========================================================================
+# q80 — semi/anti-join coverage (EXISTS / NOT EXISTS shape)
+# ===========================================================================
+
+@register(
+    "q80_semi_anti_returns",
+    """
+    WITH r AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT 'has_returns' AS tag, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM r)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'no_returns' AS tag, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM r)
+    GROUP BY 2
+    """,
+)
+def q80_semi_anti_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 coverage for LEFT SEMI / LEFT ANTI physical joins (the EXISTS /
+    NOT EXISTS shapes the reference's SQL surface delegates to the
+    engine): orders partitioned into has-a-returned-line vs not, counted
+    by priority. Semi/anti joins never materialize probe-side matches —
+    at 100 TB the build side reduces to distinct orderkeys and both
+    passes share one keyed shuffle pair; Catalyst plans the filter below
+    the join and AQE picks broadcast when the build side shrinks enough."""
+    o = load(spark, sf_dir, "orders", spread=True)
+    ret = (
+        load(spark, sf_dir, "lineitem", spread=True)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    cond = o["o_orderkey"] == ret["l_orderkey"]
+    semi = o.join(ret, cond, "left_semi").withColumn("tag", F.lit("has_returns"))
+    anti = o.join(ret, cond, "left_anti").withColumn("tag", F.lit("no_returns"))
+    return (
+        semi.unionByName(anti)
+        .groupBy("tag", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ===========================================================================
+# q81 — semi-structured JSON property extraction + aggregation
+# ===========================================================================
+
+@register(
+    "q81_json_props",
+    """
+    WITH k AS (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+               FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(kv) AS BIGINT) AS sum_k,
+           MIN(kv) AS min_k, MAX(kv) AS max_k,
+           COUNT(DISTINCT kv) AS distinct_k
+    FROM k GROUP BY 1
+    """,
+)
+def q81_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: events.props is a JSON string;
+    extract $.k (get_json_object — JVM-side Jackson path eval, no UDF)
+    and aggregate per event_type. At 100 TB the extraction is a pure
+    codegen'd map fused into the scan; for repeated multi-key access
+    from_json with an explicit schema amortizes the parse — single-key
+    access keeps the cheaper path used here."""
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("kv"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("kv").alias("sum_k"),
+        F.min("kv").alias("min_k"),
+        F.max("kv").alias("max_k"),
+        F.countDistinct("kv").alias("distinct_k"),
+    )
+
+
+# ===========================================================================
+# q82 — multi-dimension join: regional brand market share by year
+# ===========================================================================
+
+@register(
+    "q82_market_share",
+    """
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rev_cents,
+             p.p_brand
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN p_brand = 'Brand#4' THEN rev_cents ELSE 0 END)
+                AS BIGINT) AS brand_cents,
+           CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN p_brand = 'Brand#4' THEN rev_cents ELSE 0 END)
+                * 1000000 // SUM(rev_cents) AS BIGINT) AS share_ppm
+    FROM rev GROUP BY 1
+    """,
+)
+def q82_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped snowflake join (6 dims + fact): Brand#4's share of
+    ASIA-supplied revenue per order year. The dimension chain
+    (part/supplier/nation/region) broadcasts — only lineitem⋈orders
+    shuffles, on the fact keys; the region filter prunes the supplier
+    build side BEFORE broadcast. Share is integer ppm of integer cents
+    (numerator * 1e6 stays under int64 through ~sf1000 of revenue), so
+    the division is exact across engines."""
+    li = load(spark, sf_dir, "lineitem", spread=True)
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    asia_sup = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "ASIA"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year(F.col("o_orderdate")).alias("o_year"),
+            rev_cents.alias("rev_cents"),
+            "p_brand",
+        )
+    )
+    brand = F.sum(
+        F.when(F.col("p_brand") == "Brand#4", F.col("rev_cents")).otherwise(0)
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            brand.alias("brand_cents"),
+            F.sum("rev_cents").alias("total_cents"),
+        )
+        .withColumn(
+            "share_ppm",
+            F.expr("brand_cents * 1000000L div total_cents"),
+        )
+    )
+
+
+# ===========================================================================
+# q83 — point-in-time join against SCD-2 intervals (lineage probe)
+# ===========================================================================
+
+@register(
+    "q83_pit_join",
+    f"""
+    WITH p AS (
+      SELECT user_id, {CENTS_SQL} AS cents, epoch_ms(ts) AS valid_from,
+             lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ms(ts), event_id)
+               AS valid_to
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS probe_id, user_id, epoch_ms(ts) AS probe_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.probe_id, c.user_id, c.probe_ts,
+           p.cents AS state_cents, p.valid_from
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND c.probe_ts >= p.valid_from
+     AND (p.valid_to IS NULL OR c.probe_ts < p.valid_to)
+    """,
+)
+def q83_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q78 lineage structure actually probed: every click event
+    retrieves the user's purchase state AS OF the click time (no future
+    leakage — the defining property of point-in-time training features).
+    Equi-join on user_id + interval filter (analytics.pit_join); both
+    sides key-partition, intervals are disjoint per key so ≤1 match per
+    probe; clicks before a user's first purchase drop out (inner)."""
+    ev = load_events(spark, sf_dir, spread=True)
+    hist = analytics.scd2_history(
+        ev.filter(F.col("event_type") == "purchase").withColumn(
+            "cents", cents(F.col("value"))
+        ),
+        "user_id",
+        "ts_ms",
+        "event_id",
+        ["cents"],
+    ).drop("is_current")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        F.col("ts_ms").alias("probe_ts"),
+    )
+    out = analytics.pit_join(probes, hist, "user_id", "probe_ts")
+    return out.select(
+        "probe_id",
+        "user_id",
+        "probe_ts",
+        F.col("cents").alias("state_cents"),
+        "valid_from",
+    )
+
+
+# ===========================================================================
+# q84 — top-k per group (WindowGroupLimit path)
+# ===========================================================================
+
+@register(
+    "q84_topk_per_group",
+    """
+    SELECT lang, source, doc_id, n_chars, rk FROM (
+      SELECT lang, source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang, source
+                                     ORDER BY n_chars DESC, doc_id)
+                  AS INT) AS rk
+      FROM documents
+    ) WHERE rk <= 3
+    """,
+)
+def q84_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 generalized: 3 longest documents per (lang, source) via
+    analytics.topk_per_group. Spark's WindowGroupLimit rewrite keeps an
+    O(k) heap per group inside the partition-local sort instead of fully
+    sorting each group — the per-group analog of TakeOrderedAndProject;
+    doc_id tiebreak makes ranks deterministic."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    out = analytics.topk_per_group(
+        docs,
+        ["lang", "source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        3,
+    )
+    return out.select("lang", "source", "doc_id", "n_chars", "rk")
+
+
+# ===========================================================================
+# q85 / q86 — pivot to wide metrics, unpivot back (round-trip pair)
+# ===========================================================================
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+    SELECT user_id % 10 AS decile,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN {{c}} ELSE 0 END)"
+               f" AS BIGINT) AS {t}" for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY 1
+""".format(c=CENTS_SQL)
+
+
+def _pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir, spread=True).select(
+        (F.col("user_id") % 10).alias("decile"),
+        "event_type",
+        cents(F.col("value")).alias("c"),
+    )
+    wide = ev.groupBy("decile").pivot("event_type", _EVENT_TYPES).agg(
+        F.sum("c")
+    )
+    return wide.select(
+        "decile", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register("q85_pivot_metrics", _PIVOT_ORACLE)
+def q85_pivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format metric matrix: revenue cents per user decile × event
+    type via groupBy().pivot() with an EXPLICIT value list — omitting it
+    costs an extra distinct-scan job at 100 TB and risks unbounded
+    column explosion; pinning the list keeps the plan a single hash
+    aggregate whose key includes the pivot column. Absent cells coalesce
+    to 0 so the oracle's CASE-sum shape matches exactly."""
+    return _pivoted(spark, sf_dir)
+
+
+@register(
+    "q86_unpivot_metrics",
+    f"""
+    WITH agg AS ({_PIVOT_ORACLE})
+    SELECT decile, event_type, cents_sum FROM agg
+    UNPIVOT (cents_sum FOR event_type IN ({", ".join(_EVENT_TYPES)}))
+    """,
+)
+def q86_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse direction (melt): the q85 wide matrix back to long
+    form via DataFrame.unpivot — a zero-shuffle Expand (one output row
+    per id × value column, projected map-side). Pivot→unpivot round-trip
+    equals the long-form aggregate, pinned by the shared oracle CTE."""
+    wide = _pivoted(spark, sf_dir)
+    return wide.unpivot(
+        ["decile"], _EVENT_TYPES, "event_type", "cents_sum"
+    )
+
+
+# ===========================================================================
+# q87 — set operations (INTERSECT / EXCEPT physical coverage)
+# ===========================================================================
+
+@register(
+    "q87_set_ops",
+    """
+    SELECT 'both' AS tag, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'click_only' AS tag, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def q87_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: users who both clicked and purchased
+    vs clicked only. Spark compiles both to aggregate + left-semi/anti
+    join on the full row — the same physical machinery as q80, reached
+    through the set-operator API; distinct semantics built in."""
+    ev = load_events(spark, sf_dir, spread=True)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        clicks.intersect(buys)
+        .withColumn("tag", F.lit("both"))
+        .unionByName(clicks.subtract(buys).withColumn("tag", F.lit("click_only")))
+        .select("tag", "user_id")
+    )
+
+
+# ===========================================================================
+# q88 — bounded rolling-frame analytics
+# ===========================================================================
+
+@register(
+    "q88_rolling_window",
+    f"""
+    WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+                      {CENTS_SQL} AS cents FROM events)
+    SELECT event_id, user_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum_cents,
+           CAST(SUM(cents) OVER w // COUNT(*) OVER w AS BIGINT)
+             AS roll_avg_cents
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q88_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding-frame analytics (5-event rolling revenue sum and
+    floor-mean per user) — the rolling-metric primitive TSDB dashboards
+    downsample with. A ROWS frame carries O(frame) state per key (vs the
+    unbounded running frame of q29); both window functions share one
+    keyed shuffle + sort. Mean kept integer (sum div count) for the
+    cross-engine hash."""
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_id", "user_id", "ts_ms", cents(F.col("value")).alias("cents")
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    s = F.sum("cents").over(w)
+    c = F.count(F.lit(1)).over(w)
+    # floor(s/c) over doubles is exact here: s, c << 2^26 so the true
+    # rational quotient is never within one ulp of an integer unless it
+    # IS that integer — identical to BIGINT // in the oracle
+    return ev.select(
+        "event_id",
+        "user_id",
+        s.alias("roll_sum_cents"),
+        F.floor(s / c).cast("long").alias("roll_avg_cents"),
+    )
+
+
+# ===========================================================================
+# q89 — deterministic stratified train/val/test split (NTILE)
+# ===========================================================================
+
+@register(
+    "q89_ntile_splits",
+    """
+    SELECT doc_id, lang,
+           CAST(ntile(10) OVER (PARTITION BY lang ORDER BY doc_id) AS INT)
+             AS fold,
+           CASE CAST(ntile(10) OVER (PARTITION BY lang ORDER BY doc_id) AS INT)
+             WHEN 10 THEN 'test' WHEN 9 THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q89_ntile_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fraction stratified split assignment: NTILE(10) within each
+    language (ordered by doc_id for reproducibility) → folds 1-8 train,
+    9 val, 10 test. Complements q47's hash-mod sampler: hash-mod is
+    zero-shuffle but only approximately proportioned; NTILE pays one
+    keyed shuffle + sort for exactly-equal folds per stratum
+    (analytics.ntile_split)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return analytics.ntile_split(docs, "lang", "doc_id", 10, (9, 10)).select(
+        "doc_id", "lang", F.col("fold").cast("int").alias("fold"), "split"
+    )

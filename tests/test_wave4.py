@@ -1,0 +1,212 @@
+"""Wave-4 operator unit tests: sketch accuracy bounds, gap fill, SCD-2
+invariants, z-score flagging, repetition signals, and the semi/anti +
+snowflake join queries' structural invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.operators import analytics, textops
+from hbase_bulkload_service_spark.sources.tables import load, load_events
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# sketch_profile — accuracy vs exact aggregates (no cross-engine oracle)
+# ---------------------------------------------------------------------------
+
+def test_sketch_profile_bounds(spark):
+    ev = load_events(spark, SF_DIR).withColumn("cents", F.floor(F.col("value") * 100).cast("long"))
+    prof = {
+        r["event_type"]: r
+        for r in analytics.sketch_profile(ev, "event_type", "user_id", "cents").collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("nd"),
+            F.expr("percentile(cents, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    assert set(prof) == set(exact)
+    for et, e in exact.items():
+        p = prof[et]
+        assert p["n_rows"] == e["n_rows"]  # exact count is exact
+        assert abs(p["approx_distinct"] - e["nd"]) <= max(2, 0.05 * e["nd"])
+        # GK sketch with accuracy 10000 on small groups is near-exact
+        assert abs(p["approx_median"] - e["med"]) <= max(2, 0.01 * abs(e["med"]))
+
+
+# ---------------------------------------------------------------------------
+# forward_fill
+# ---------------------------------------------------------------------------
+
+def test_forward_fill_semantics(spark):
+    rows = [
+        ("a", 1, None),
+        ("a", 2, 10),
+        ("a", 3, None),
+        ("a", 4, None),
+        ("a", 5, 20),
+        ("b", 1, None),  # key with only-leading nulls stays all-null
+        ("b", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, v int")
+    out = {
+        (r["k"], r["seq"]): r["filled"]
+        for r in analytics.forward_fill(df, "k", ["seq"], "v", "filled").collect()
+    }
+    assert out[("a", 1)] is None  # leading null not invented
+    assert out[("a", 2)] == 10
+    assert out[("a", 3)] == 10 and out[("a", 4)] == 10  # carried forward
+    assert out[("a", 5)] == 20  # new observation replaces carry
+    assert out[("b", 1)] is None and out[("b", 2)] is None
+
+
+# ---------------------------------------------------------------------------
+# scd2_history — interval chain invariants on real data
+# ---------------------------------------------------------------------------
+
+def test_scd2_invariants(spark):
+    ev = load_events(spark, SF_DIR).withColumn("cents", F.floor(F.col("value") * 100).cast("long"))
+    hist = analytics.scd2_history(ev, "user_id", "ts_ms", "event_id", ["cents"])
+    # exactly one current row per user
+    cur = hist.groupBy("user_id").agg(F.sum("is_current").alias("nc"))
+    assert cur.filter(F.col("nc") != 1).count() == 0
+    # intervals chain: every non-current valid_to equals a later valid_from
+    # of the same user, and valid_to > valid_from never inverts
+    bad = hist.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") < F.col("valid_from"))
+    ).count()
+    assert bad == 0
+    # row conservation: one interval per update
+    assert hist.count() == ev.count()
+
+
+# ---------------------------------------------------------------------------
+# zscore_outliers
+# ---------------------------------------------------------------------------
+
+def test_zscore_flags_planted_outlier(spark):
+    base = [("g", i, 100) for i in range(50)] + [("g", 99, 100000)]
+    df = spark.createDataFrame(base, "k string, id int, v int")
+    out = analytics.zscore_outliers(df, "k", "v", 3.0, id_cols=["id"]).collect()
+    assert [r["id"] for r in out] == [99]
+
+
+def test_zscore_zero_variance_flags_nothing(spark):
+    df = spark.createDataFrame([("g", i, 7) for i in range(10)], "k string, id int, v int")
+    assert analytics.zscore_outliers(df, "k", "v", 3.0, id_cols=["id"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # 5 words, 2 distinct; top bigram 'a b' x2
+            (2, "x"),  # single word: no bigram
+            (3, "u v w"),  # all distinct; every bigram unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.repetition_stats(docs).collect()}
+    assert out[1]["n_words"] == 5
+    assert out[1]["dup_word_ppm"] == (5 - 2) * 1000000 // 5
+    assert out[1]["top_bigram_cnt"] == 2
+    assert out[2]["top_bigram_cnt"] == 0 and out[2]["dup_word_ppm"] == 0
+    assert out[3]["dup_word_ppm"] == 0 and out[3]["top_bigram_cnt"] == 1
+
+
+# ---------------------------------------------------------------------------
+# q80 / q82 structural invariants
+# ---------------------------------------------------------------------------
+
+def test_semi_anti_partition_orders(spark):
+    from hbase_bulkload_service_spark.registry_wave4 import q80_semi_anti_returns
+
+    out = q80_semi_anti_returns(spark, SF_DIR)
+    total = out.agg(F.sum("n_orders")).collect()[0][0]
+    assert total == load(spark, SF_DIR, "orders").count()
+
+
+def test_market_share_bounds(spark):
+    from hbase_bulkload_service_spark.registry_wave4 import q82_market_share
+
+    for r in q82_market_share(spark, SF_DIR).collect():
+        assert 0 <= r["brand_cents"] <= r["total_cents"]
+        assert 0 <= r["share_ppm"] <= 1000000
+
+
+def test_group_quantile_probe_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError):
+        analytics.group_quantiles(df, "k", "v", ps=[0.0])
+
+
+# ---------------------------------------------------------------------------
+# wave-5: pit_join / topk_per_group / ntile_split
+# ---------------------------------------------------------------------------
+
+def test_pit_join_no_future_leak(spark):
+    hist_src = spark.createDataFrame(
+        [("u", 100, 1, 10), ("u", 200, 2, 20), ("u", 300, 3, 30)],
+        "k string, ts long, id int, v int",
+    )
+    hist = analytics.scd2_history(hist_src, "k", "ts", "id", ["v"])
+    probes = spark.createDataFrame(
+        [("u", 50), ("u", 100), ("u", 250), ("u", 9999)],
+        "k string, pts long",
+    )
+    got = {
+        r["pts"]: r["v"] for r in analytics.pit_join(probes, hist, "k", "pts").collect()
+    }
+    assert 50 not in got            # before first interval: dropped
+    assert got[100] == 10           # inclusive at valid_from
+    assert got[250] == 20           # mid-interval: state as-of, not latest
+    assert got[9999] == 30          # open current interval
+
+
+def test_topk_per_group_determinism_and_k(spark):
+    df = spark.createDataFrame(
+        [("g", i, i % 3) for i in range(10)], "grp string, id int, v int"
+    )
+    out = analytics.topk_per_group(
+        df, ["grp"], [F.col("v").desc(), F.col("id")], 4
+    ).collect()
+    assert len(out) == 4
+    assert [(r["v"], r["id"]) for r in sorted(out, key=lambda r: r["rk"])] == [
+        (2, 2), (2, 5), (2, 8), (1, 1)
+    ]
+
+
+def test_ntile_split_exact_fractions(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(50)],
+        "lang string, doc_id int",
+    )
+    out = analytics.ntile_split(df, "lang", "doc_id", 10, (9, 10))
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[("a", "train")] == 80
+    assert counts[("a", "val")] == 10 and counts[("a", "test")] == 10
+    assert counts[("b", "train")] == 40
+    assert counts[("b", "val")] == 5 and counts[("b", "test")] == 5
+    # deterministic: same input → same assignment
+    first = {r["doc_id"]: r["split"] for r in out.filter(F.col("lang") == "a").collect()}
+    again = {
+        r["doc_id"]: r["split"]
+        for r in analytics.ntile_split(df, "lang", "doc_id", 10, (9, 10))
+        .filter(F.col("lang") == "a")
+        .collect()
+    }
+    assert first == again
