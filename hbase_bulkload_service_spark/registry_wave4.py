@@ -692,3 +692,82 @@ def q89_ntile_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.ntile_split(docs, "lang", "doc_id", 10, (9, 10)).select(
         "doc_id", "lang", F.col("fold").cast("int").alias("fold"), "split"
     )
+
+
+# ===========================================================================
+# q90 — dynamic partition pruning: hot-partition scan via a stats dim
+# ===========================================================================
+
+@register(
+    "q90_dpp_hot_hours",
+    """
+    WITH part AS (
+      SELECT (epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 3600 AS ts_part,
+             event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    h AS (SELECT ts_part,
+                 COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_err
+          FROM part GROUP BY 1),
+    t AS (SELECT COUNT(*) AS nh, CAST(SUM(n_err) AS BIGINT) AS se FROM h),
+    sel AS (SELECT ts_part FROM h, t WHERE n_err * nh > se)
+    SELECT p.ts_part, COUNT(*) AS n_events,
+           CAST(SUM(p.cents) AS BIGINT) AS sum_cents
+    FROM part p JOIN sel USING (ts_part)
+    GROUP BY 1
+    """,
+)
+def q90_dpp_hot_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime (dynamic) partition pruning — the missing third member of
+    the pruning family after static partition pruning (q12/layout) and
+    rowgroup/stripe pushdown (q67): events land in an hour-partitioned
+    layout plus a tiny per-hour error-count stats table; the query scans
+    ONLY hours whose error count is strictly above average, a predicate
+    unknowable at compile time. The fact scan carries
+    ``dynamicpruningexpression(ts_part IN ...)`` — partitions are pruned
+    at RUNTIME from the broadcast dim result (pinned in test_wave4), so
+    at 100 TB the hot-hour probe touches hot partitions only and never
+    lists the rest. The threshold is bound as a LITERAL from the 1-row
+    stats aggregate (bounded metadata, same class as q53's region
+    catalog) because Catalyst only plants a DPP subquery for
+    literal-comparison dim filters — a filter on a derived column defeats
+    the selectivity heuristic."""
+    import shutil
+    import tempfile
+
+    from hbase_bulkload_service_spark.sources import layout
+
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_id",
+        "event_type",
+        cents(F.col("value")).alias("cents"),
+        F.expr("ts_ms div 1000").alias("ts_sec"),
+    )
+    d = tempfile.mkdtemp(prefix="q90dpp")
+    try:
+        layout.write_time_partitioned(ev, f"{d}/fact", granularity="hour")
+        fact = spark.read.parquet(f"{d}/fact")
+        h = fact.groupBy("ts_part").agg(
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err")
+        )
+        h.coalesce(1).write.mode("overwrite").parquet(f"{d}/dim")
+        nh, se = h.agg(F.count("*"), F.sum("n_err")).collect()[0]
+        dim = (
+            spark.read.parquet(f"{d}/dim")
+            .filter(F.col("n_err") * F.lit(int(nh)) > F.lit(int(se)))
+            .select("ts_part")
+        )
+        out = (
+            fact.join(F.broadcast(dim), "ts_part")
+            .groupBy(F.col("ts_part").cast("long").alias("ts_part"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "ts_part long, n_events long, sum_cents long"
+    )

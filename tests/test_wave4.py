@@ -210,3 +210,44 @@ def test_ntile_split_exact_fractions(spark):
         .collect()
     }
     assert first == again
+
+
+# ---------------------------------------------------------------------------
+# q90 — dynamic partition pruning plan contract
+# ---------------------------------------------------------------------------
+
+def test_dpp_fires_on_hot_hour_scan(spark, tmp_path):
+    from hbase_bulkload_service_spark.sources import layout
+
+    ev = load_events(spark, SF_DIR).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("ts_ms div 1000").alias("ts_sec"),
+    )
+    layout.write_time_partitioned(ev, str(tmp_path / "fact"), granularity="hour")
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    h = fact.groupBy("ts_part").agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err")
+    )
+    h.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    nh, se = h.agg(F.count("*"), F.sum("n_err")).collect()[0]
+    dim = (
+        spark.read.parquet(str(tmp_path / "dim"))
+        .filter(F.col("n_err") * F.lit(int(nh)) > F.lit(int(se)))
+        .select("ts_part")
+    )
+    out = fact.join(F.broadcast(dim), "ts_part").groupBy("ts_part").agg(
+        F.count("*").alias("n_events")
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the fact scan must be pruned at RUNTIME (no static filter exists on
+    # ts_part — the predicate lives on the dim's n_err column)
+    assert "dynamicpruningexpression" in plan
+    # and the result is the above-average subset, non-trivial both ways
+    hot = {r["ts_part"] for r in dim.collect()}
+    got = {r["ts_part"] for r in out.collect()}
+    assert got == {h for h in hot if h in got}  # pruned scan loses no hot hour
+    assert 0 < len(got) < fact.select("ts_part").distinct().count()

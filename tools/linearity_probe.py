@@ -1,0 +1,171 @@
+"""Wave-4/5 scale-linearity probe: run representative new queries at 1×
+(sf0.1) and K× (amplified in /tmp; the read-only testdata tree is never
+touched) and record wall time + shuffle bytes per query, proving the
+claimed scale shapes hold beyond the bench scale — linear data growth
+must produce ~linear shuffle growth and no super-linear wall blowup.
+
+Amplification keeps the SHAPE of the data honest:
+- events / documents / orders+lineitem replicate with SHIFTED primary
+  keys (event_id, doc_id, orderkey) so key cardinality grows linearly
+  and joins stay 1:N, not N:N;
+- user_id is shifted too (window/gap-fill state per key stays constant,
+  key count grows — the 100 TB regime);
+- dimension tables (part/supplier/nation/region/customer) stay fixed —
+  exactly how dims behave at scale.
+
+Usage: python tools/linearity_probe.py [amplification] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+
+PROBE_QUERIES = [
+    "q74_repetition_signals",  # two doc-keyed hash aggs over exploded bigrams
+    "q77_gap_fill",            # running-frame window, one keyed shuffle
+    "q80_semi_anti_returns",   # semi+anti joins on the fact keys
+    "q82_market_share",        # snowflake: fixed dims broadcast, fact shuffle
+    "q83_pit_join",            # equi+range interval join
+    "q85_pivot_metrics",       # pivot hash agg (explicit values)
+    "q88_rolling_window",      # bounded-frame window
+]
+
+
+def _api(spark, path):
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def _group_metrics(spark):
+    app = _api(spark, "applications")[0]["id"]
+    jobs = _api(spark, f"applications/{app}/jobs?status=succeeded")
+    stages = {
+        s["stageId"]: s
+        for s in _api(spark, f"applications/{app}/stages?status=COMPLETE")
+    }
+    out: dict[str, dict] = {}
+    for j in jobs:
+        g = j.get("jobGroup") or "ungrouped"
+        p = out.setdefault(
+            g, {"shuffle_write_mb": 0.0, "shuffle_read_mb": 0.0, "input_mb": 0.0}
+        )
+        for sid in j["stageIds"]:
+            s = stages.pop(sid, None)
+            if s is None:
+                continue
+            p["shuffle_write_mb"] += s["shuffleWriteBytes"] / 1e6
+            p["shuffle_read_mb"] += s["shuffleReadBytes"] / 1e6
+            p["input_mb"] += s["inputBytes"] / 1e6
+    return {g: {k: round(v, 2) for k, v in p.items()} for g, p in out.items()}
+
+
+def _amplify(spark, work: str, amp: int) -> str:
+    """Build an amplified sf directory; returns its path."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.sources.tables import TABLES, load
+
+    dst = os.path.join(work, f"sf_amp{amp}")
+    os.makedirs(dst, exist_ok=True)
+    reps = spark.range(amp).select(F.col("id").alias("rep"))
+
+    def shifted(name: str, key_shifts: dict[str, int]):
+        df = load(spark, SF_DIR, name)
+        amped = df.crossJoin(reps)
+        cols = []
+        for c in df.columns:
+            if c in key_shifts:
+                cols.append(
+                    (F.col(c) + F.col("rep") * F.lit(key_shifts[c])).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        amped.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{name}.parquet")
+        )
+
+    n_ev = load(spark, SF_DIR, "events").count()
+    n_doc = load(spark, SF_DIR, "documents").count()
+    max_ok = load(spark, SF_DIR, "orders").agg(
+        F.max("o_orderkey")
+    ).collect()[0][0]
+    shifted("events", {"event_id": n_ev, "user_id": 1_000_000})
+    shifted("documents", {"doc_id": n_doc})
+    shifted("orders", {"o_orderkey": max_ok + 1})
+    shifted("lineitem", {"l_orderkey": max_ok + 1})
+    for t in TABLES:
+        p = os.path.join(dst, f"{t}.parquet")
+        if not os.path.exists(p):
+            shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"), p)
+    return dst
+
+
+def main() -> int:
+    amp = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/linearity_probe.json"
+
+    from pyspark.sql import SparkSession
+
+    from hbase_bulkload_service_spark import registry
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("linearity-probe")
+        .config("spark.ui.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "64")
+        .getOrCreate()
+    )
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="linprobe")
+    results: dict = {"amplification": amp, "queries": {}}
+    try:
+        sc.setJobGroup("amplify", "build amplified inputs")
+        amp_dir = _amplify(spark, work, amp)
+
+        for name in PROBE_QUERIES:
+            fn = registry.QUERIES[name]
+            walls = {}
+            for tag, d in (("x1", SF_DIR), (f"x{amp}", amp_dir)):
+                sc.setJobGroup(f"{name}:{tag}", name)
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                walls[tag] = round(time.time() - t0, 2)
+            results["queries"][name] = {"wall_s": walls}
+
+        groups = _group_metrics(spark)
+        for name, rec in results["queries"].items():
+            for tag in ("x1", f"x{amp}"):
+                g = groups.get(f"{name}:{tag}", {})
+                rec[tag] = g
+            w1, wk = rec["wall_s"]["x1"], rec["wall_s"][f"x{amp}"]
+            s1 = rec["x1"].get("shuffle_write_mb", 0.0)
+            sk = rec[f"x{amp}"].get("shuffle_write_mb", 0.0)
+            rec["wall_ratio"] = round(wk / w1, 2) if w1 else None
+            rec["shuffle_ratio"] = round(sk / s1, 2) if s1 else None
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
