@@ -67,6 +67,9 @@ PRIORITY = [
     "q88_rolling_window",  # new in round 3
     "q89_ntile_splits",  # new in round 3
     "q90_dpp_hot_hours",  # new in round 3
+    "q91_sliding_rollup",  # new in round 3
+    "q92_funnel_conversion",  # new in round 3
+    "q93_retention_cohorts",  # new in round 3
 ]
 
 

@@ -294,3 +294,79 @@ def ntile_split(
         .when(F.col("fold") == val_fold, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    first_step: str,
+    second_step: str,
+    within_ms: int,
+) -> DataFrame:
+    """Two-step funnel: for each key that performed ``first_step``, find
+    the earliest ``second_step`` strictly AFTER the first step's earliest
+    occurrence and flag conversion within ``within_ms``.
+
+    Plan shape: one keyed aggregate for the first step (output =
+    converting-key count, small), re-joined onto the second-step stream
+    on the key — both sides hash-partition on the key, the post-join
+    ordering filter (`ts > t_first`) runs map-side, and a second keyed
+    aggregate takes the min. Strictly-after semantics prevent the
+    same-timestamp ambiguity from counting a purchase that raced the
+    click.
+    """
+    firsts = (
+        events.filter(F.col(type_col) == first_step)
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("t_first"))
+    )
+    seconds = (
+        events.filter(F.col(type_col) == second_step)
+        .join(firsts, key_col)
+        .filter(F.col(ts_col) > F.col("t_first"))
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("t_second"))
+    )
+    return firsts.join(seconds, key_col, "left").select(
+        key_col,
+        "t_first",
+        "t_second",
+        F.when(
+            F.col("t_second").isNotNull()
+            & (F.col("t_second") - F.col("t_first") <= within_ms),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("converted"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_ms: int = 7 * 24 * 3600 * 1000,
+) -> DataFrame:
+    """Cohort retention matrix: each key's cohort is its first-activity
+    time bucket; output counts distinct keys per (cohort, offset) where
+    offset = activity bucket - cohort bucket.
+
+    Three keyed shuffles, all on ``key_col`` or the (small) output key:
+    first-activity aggregate, distinct (key, bucket) activity pairs, and
+    the final (cohort, offset) count — the cohort table joins back on
+    the SAME key partitioning, so Catalyst reuses the exchange rather
+    than re-shuffling. No broadcast hint: at 100 TB the key dimension is
+    itself large; AQE may still choose broadcast when it measures small.
+    """
+    bucket = (F.col(ts_col) / F.lit(bucket_ms)).cast("long")
+    firsts = events.groupBy(key_col).agg(F.min(bucket).alias("cohort"))
+    activity = events.select(key_col, bucket.alias("bucket")).distinct()
+    return (
+        activity.join(firsts, key_col)
+        .groupBy(
+            "cohort", (F.col("bucket") - F.col("cohort")).alias("offset")
+        )
+        .agg(F.count_distinct(F.col(key_col)).alias("n_keys"))
+    )

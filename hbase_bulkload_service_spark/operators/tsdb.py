@@ -330,3 +330,33 @@ def rollup_cascade_1h(rollup5m: DataFrame) -> DataFrame:
         F.min("min_value_cents").alias("min_value_cents"),
         F.max("max_value_cents").alias("max_value_cents"),
     )
+
+
+def rollup_sliding(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """Sliding-window downsample via Spark's built-in ``window()`` with a
+    slide — each event lands in ``width/slide`` overlapping windows (the
+    J3 window family's remaining member after tumbling q13 and session
+    q18). ``window()`` plans an Expand (one replica per overlap — pure
+    map) + a single keyed hash aggregate; state is output-sized, and the
+    epoch-aligned boundaries make the result timezone-proof
+    (``timestamp_millis`` input is epoch-based, never NTZ-cast — the q19
+    trap). Requires ``ts_ms`` + ``cents`` columns.
+    """
+    w = F.window(F.timestamp_millis(F.col("ts_ms")), width, slide)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            F.expr("unix_millis(w.start) div 1000").alias("window_start_sec"),
+            "event_type",
+            "cnt",
+            "sum_cents",
+        )
+    )

@@ -771,3 +771,95 @@ def q90_dpp_hot_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "ts_part long, n_events long, sum_cents long"
     )
+
+
+# ===========================================================================
+# q91 — sliding-window rollup (the remaining J3 window family member)
+# ===========================================================================
+
+@register(
+    "q91_sliding_rollup",
+    f"""
+    WITH c AS (SELECT epoch_ms(ts) // 1000 AS tsec, event_type,
+                      {CENTS_SQL} AS cents FROM events),
+    e AS (SELECT tsec - tsec % 300 - k * 300 AS window_start_sec,
+                 event_type, cents
+          FROM c, (VALUES (0), (1)) t(k))
+    SELECT window_start_sec, event_type, COUNT(*) AS cnt,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q91_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute width, 5-minute slide) through Spark's
+    built-in window() — every event contributes to exactly two
+    overlapping windows. The oracle derives both window starts
+    arithmetically (t - t%slide - k*slide for k in 0..w/s-1), proving
+    the built-in's epoch-aligned boundary convention. See
+    tsdb.rollup_sliding for the Expand + single-hash-agg plan shape."""
+    from hbase_bulkload_service_spark.operators import tsdb as _tsdb
+
+    ev = load_events(spark, sf_dir, spread=True).withColumn(
+        "cents", cents(F.col("value"))
+    )
+    return _tsdb.rollup_sliding(ev, "10 minutes", "5 minutes")
+
+
+# ===========================================================================
+# q92 — two-step funnel conversion (click → purchase within 1 h)
+# ===========================================================================
+
+@register(
+    "q92_funnel_conversion",
+    """
+    WITH c AS (SELECT user_id, MIN(epoch_ms(ts)) AS t_first
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_second
+          FROM events e JOIN c ON e.user_id = c.user_id
+                               AND epoch_ms(e.ts) > c.t_first
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT c.user_id, c.t_first, p.t_second,
+           CASE WHEN p.t_second IS NOT NULL
+                 AND p.t_second - c.t_first <= 3600000
+                THEN 1 ELSE 0 END AS converted
+    FROM c LEFT JOIN p USING (user_id)
+    """,
+)
+def q92_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral funnel: earliest click per user, earliest purchase
+    STRICTLY after it, converted iff within one hour
+    (analytics.funnel_conversion). All joins/aggregates key on user_id —
+    one partitioning carried through; strictly-after ordering excludes
+    purchase-races-click ties deterministically on both engines."""
+    ev = load_events(spark, sf_dir, spread=True)
+    return analytics.funnel_conversion(
+        ev, "user_id", "ts_ms", "event_type", "click", "purchase", 3600000
+    )
+
+
+# ===========================================================================
+# q93 — weekly retention cohorts
+# ===========================================================================
+
+@register(
+    "q93_retention_cohorts",
+    """
+    WITH b AS (SELECT user_id, epoch_ms(ts) // 604800000 AS bucket
+               FROM events),
+    f AS (SELECT user_id, MIN(bucket) AS cohort FROM b GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, bucket FROM b)
+    SELECT f.cohort, a.bucket - f.cohort AS offset,
+           COUNT(DISTINCT a.user_id) AS n_keys
+    FROM a JOIN f USING (user_id) GROUP BY 1, 2
+    """,
+)
+def q93_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (weekly buckets): users grouped by
+    first-activity week, counted per week offset
+    (analytics.retention_cohorts). The first-activity aggregate,
+    activity-dedup, and re-join all share user_id partitioning — the
+    exchange is planned once; no broadcast hint because the user
+    dimension is unbounded at 100 TB (AQE may still pick broadcast when
+    the measured cohort table is small)."""
+    ev = load_events(spark, sf_dir, spread=True)
+    return analytics.retention_cohorts(ev, "user_id", "ts_ms")

@@ -251,3 +251,56 @@ def test_dpp_fires_on_hot_hour_scan(spark, tmp_path):
     got = {r["ts_part"] for r in out.collect()}
     assert got == {h for h in hot if h in got}  # pruned scan loses no hot hour
     assert 0 < len(got) < fact.select("ts_part").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# q91–q93: sliding rollup / funnel / retention
+# ---------------------------------------------------------------------------
+
+def test_sliding_rollup_double_counts(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    ev = load_events(spark, SF_DIR).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    out = tsdb.rollup_sliding(ev, "10 minutes", "5 minutes")
+    # every event lands in exactly 2 overlapping windows
+    assert out.agg(F.sum("cnt")).collect()[0][0] == 2 * ev.count()
+    # window starts are slide-aligned
+    assert out.filter(F.col("window_start_sec") % 300 != 0).count() == 0
+
+
+def test_funnel_strictly_after(spark):
+    rows = [
+        ("u1", 100, "click"), ("u1", 100, "purchase"),  # race: NOT converted
+        ("u1", 500, "purchase"),                          # later one counts
+        ("u2", 100, "click"), ("u2", 99, "purchase"),    # purchase BEFORE click
+        ("u3", 100, "click"),                             # no purchase at all
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts_ms long, event_type string")
+    out = {
+        r["user_id"]: r
+        for r in analytics.funnel_conversion(
+            ev, "user_id", "ts_ms", "event_type", "click", "purchase", 1000
+        ).collect()
+    }
+    assert out["u1"]["t_second"] == 500 and out["u1"]["converted"] == 1
+    assert out["u2"]["t_second"] is None and out["u2"]["converted"] == 0
+    assert out["u3"]["t_second"] is None and out["u3"]["converted"] == 0
+
+
+def test_retention_cohort_invariants(spark):
+    ev = load_events(spark, SF_DIR)
+    out = analytics.retention_cohorts(ev, "user_id", "ts_ms")
+    rows = out.collect()
+    # offset 0 exists for every cohort and equals the cohort's size
+    firsts = ev.groupBy("user_id").agg(
+        F.min((F.col("ts_ms") / 604800000).cast("long")).alias("cohort")
+    )
+    sizes = {
+        r["cohort"]: r["n"]
+        for r in firsts.groupBy("cohort").agg(F.count("*").alias("n")).collect()
+    }
+    zero = {r["cohort"]: r["n_keys"] for r in rows if r["offset"] == 0}
+    assert zero == sizes
+    assert all(r["offset"] >= 0 for r in rows)  # no activity before cohort
