@@ -66,7 +66,7 @@ PRIORITY = [
     "q87_set_ops",  # new in round 3
     "q88_rolling_window",  # new in round 3
     "q89_ntile_splits",  # new in round 3
-    "q90_dpp_hot_hours",  # new in round 3
+    "q90_dpp_hot_days",  # new in round 3
     "q91_sliding_rollup",  # new in round 3
     "q92_funnel_conversion",  # new in round 3
     "q93_retention_cohorts",  # new in round 3

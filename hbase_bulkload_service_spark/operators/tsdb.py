@@ -173,6 +173,7 @@ def latest_version_dedup(
     key_cols: tuple[str, ...] = ("rowkey", "qualifier"),
     value_col: str = "value",
     version_col: str = "version_ts",
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Keep only the newest version per cell: ``max_by(value, version_ts)``.
 
@@ -180,9 +181,20 @@ def latest_version_dedup(
     element (TsdbBulkload.java:135-136); the Spark-first equivalent is a
     hash aggregate with map-side combine — one shuffle keyed on the cell.
     Also keeps the max version_ts for auditability.
+
+    ``max_by`` on version alone is non-deterministic when two rows carry
+    the SAME version: pass ``tie_col`` to order by
+    ``struct(version, tie)`` so same-version collisions resolve to the
+    max tie value in the SAME aggregate — one shuffle where a separate
+    pre-collapse groupBy would cost a second.
     """
+    order = (
+        F.struct(F.col(version_col), F.col(tie_col))
+        if tie_col
+        else F.col(version_col)
+    )
     return cells.groupBy(*key_cols).agg(
-        F.max_by(value_col, version_col).alias(value_col),
+        F.max_by(value_col, order).alias(value_col),
         F.max(version_col).alias(version_col),
     )
 
@@ -196,6 +208,7 @@ def bulkload_kv(
     bucket_count: int = DEFAULT_BUCKET_COUNT,
     family: bytes = DEFAULT_FAMILY,
     num_partitions: int | None = None,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Full flagship pipeline: salt → dedup-to-latest → (key, family,
     qualifier, value) sorted per bucket range — the stream H1-H3 write.
@@ -203,10 +216,16 @@ def bulkload_kv(
     Upgrade over the reference (SURVEY.md §4.2): ``repartitionByRange`` on
     (bucket, key_hex, qualifier_hex) makes files globally non-overlapping
     and totally ordered across partitions, not just within one.
+
+    ``tie_col`` is forwarded to :func:`latest_version_dedup` so callers
+    with same-version collisions get a deterministic winner without a
+    separate pre-collapse shuffle.
     """
     salted = with_salt(cells, bucket_count)
     deduped = latest_version_dedup(
-        salted, key_cols=("bucket", "salted_key", "salted_key_hex", "qualifier")
+        salted,
+        key_cols=("bucket", "salted_key", "salted_key_hex", "qualifier"),
+        tie_col=tie_col,
     )
     kv = deduped.select(
         F.col("bucket"),

@@ -445,20 +445,19 @@ def q56_bulkload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's createInputSplits analog), so A1/A2 sit inside the
     correctness gate too, not just unit tests.
 
-    Same-version collisions collapse to MAX(dvalue) first (as q11) so the
-    max_by tie is deterministic cross-engine."""
+    Same-version collisions resolve to MAX(dvalue) via the dedup's
+    struct(version, dvalue) ordering (as q11's collapse-first oracle) so
+    the max_by tie is deterministic cross-engine."""
     import shutil
     import tempfile
 
     cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
-    c1 = cells.groupBy("rowkey", "qualifier", "version_ts").agg(
-        F.max("dvalue").alias("dvalue"),
-        F.max("metric_id").alias("metric_id"),
-        F.max("ts_hour").alias("ts_hour"),
-        F.max("tags").alias("tags"),
-    )
-    c1 = c1.withColumn("value", tsdb.encode_double_be(F.col("dvalue")))
-    kv = tsdb.bulkload_kv(c1, num_partitions=16)
+    # Same-version collisions resolve to MAX(dvalue) INSIDE the dedup
+    # aggregate (tie_col orders by struct(version_ts, dvalue)) — one
+    # shuffle where a separate pre-collapse groupBy would cost a second;
+    # bit-identical to collapsing first and max_by'ing after.
+    c1 = cells.withColumn("value", tsdb.encode_double_be(F.col("dvalue")))
+    kv = tsdb.bulkload_kv(c1, num_partitions=16, tie_col="dvalue")
     schema = (
         "src string, region int, n_cells long, n_keys long, "
         "min_key_hex string, max_key_hex string, sum_value_cents long"

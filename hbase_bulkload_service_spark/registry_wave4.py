@@ -699,10 +699,10 @@ def q89_ntile_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
-    "q90_dpp_hot_hours",
+    "q90_dpp_hot_days",
     """
     WITH part AS (
-      SELECT (epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 3600 AS ts_part,
+      SELECT (epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 86400 AS ts_part,
              event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
       FROM events
     ),
@@ -717,21 +717,25 @@ def q89_ntile_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def q90_dpp_hot_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q90_dpp_hot_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime (dynamic) partition pruning — the missing third member of
     the pruning family after static partition pruning (q12/layout) and
-    rowgroup/stripe pushdown (q67): events land in an hour-partitioned
-    layout plus a tiny per-hour error-count stats table; the query scans
-    ONLY hours whose error count is strictly above average, a predicate
+    rowgroup/stripe pushdown (q67): events land in a day-partitioned
+    layout plus a tiny per-day error-count stats table; the query scans
+    ONLY days whose error count is strictly above average, a predicate
     unknowable at compile time. The fact scan carries
     ``dynamicpruningexpression(ts_part IN ...)`` — partitions are pruned
-    at RUNTIME from the broadcast dim result (pinned in test_wave4), so
-    at 100 TB the hot-hour probe touches hot partitions only and never
-    lists the rest. The threshold is bound as a LITERAL from the 1-row
-    stats aggregate (bounded metadata, same class as q53's region
-    catalog) because Catalyst only plants a DPP subquery for
-    literal-comparison dim filters — a filter on a derived column defeats
-    the selectivity heuristic."""
+    at RUNTIME from the broadcast dim result (pinned in test_wave4 with
+    the hour layout), so at 100 TB the hot-partition probe touches hot
+    partitions only and never lists the rest. Day granularity here
+    because the bench pays the partitioned-write setup per call and a
+    720-dir hour commit is 24× the metadata cost for the same pruning
+    mechanics (hour granularity is exercised by test_wave4 + q12). The
+    threshold is bound as a LITERAL from the 1-row stats aggregate
+    (bounded metadata, same class as q53's region catalog) because
+    Catalyst only plants a DPP subquery for literal-comparison dim
+    filters — a filter on a derived column defeats the selectivity
+    heuristic."""
     import shutil
     import tempfile
 
@@ -745,7 +749,7 @@ def q90_dpp_hot_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = tempfile.mkdtemp(prefix="q90dpp")
     try:
-        layout.write_time_partitioned(ev, f"{d}/fact", granularity="hour")
+        layout.write_time_partitioned(ev, f"{d}/fact", granularity="day")
         fact = spark.read.parquet(f"{d}/fact")
         h = fact.groupBy("ts_part").agg(
             F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err")
