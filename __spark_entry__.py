@@ -70,6 +70,11 @@ PRIORITY = [
     "q91_sliding_rollup",  # new in round 3
     "q92_funnel_conversion",  # new in round 3
     "q93_retention_cohorts",  # new in round 3
+    "q94_cube_grouping",  # new in round 3
+    "q95_bloom_dim_join",  # new in round 3
+    "q96_counter_deltas",  # new in round 3
+    "q97_value_histogram",  # new in round 3
+    "q98_schema_evolution",  # new in round 3
 ]
 
 

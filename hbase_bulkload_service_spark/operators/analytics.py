@@ -370,3 +370,36 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(F.col(key_col)).alias("n_keys"))
     )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Per-key fixed-width histogram over an integer value column:
+    bucket i covers ``[lo + i*w, lo + (i+1)*w)`` with
+    ``w = ceil((hi - lo) / n_buckets)``; values outside [lo, hi) clamp
+    into the edge buckets (so counts always total the row count — the
+    profiling convention, no silent drops).
+
+    Pure integer arithmetic → ONE keyed hash aggregate with map-side
+    combine; output is n_buckets rows per key regardless of input size,
+    which is the 100 TB histogram shape (no sort, no sampling). For
+    unknown value ranges run a min/max pass first or use the GK sketch
+    (sketch_profile) instead.
+    """
+    if n_buckets <= 0 or hi <= lo:
+        raise ValueError("need n_buckets > 0 and hi > lo")
+    w = -((hi - lo) // -n_buckets)  # ceil division
+    raw = ((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
+    bucket = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
+    return (
+        df.groupBy(F.col(key_col), bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("bucket_lo", F.lit(lo) + F.col("bucket") * F.lit(w))
+        .withColumn("bucket_hi", F.lit(lo) + (F.col("bucket") + 1) * F.lit(w))
+    )

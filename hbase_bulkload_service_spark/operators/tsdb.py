@@ -379,3 +379,42 @@ def rollup_sliding(
             "sum_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Counter → rate conversion (the OpenTSDB `rate`/`delta` read-path operator;
+# the reference loads counters (TsdbBulkload.java value stream) and leaves
+# rate conversion to the TSDB query layer — here it is a first-class op)
+# ---------------------------------------------------------------------------
+
+def counter_deltas(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type", "user_id"),
+    ts_col: str = "ts_ms",
+    cents_col: str = "cents",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-series delta between consecutive samples: for each key the
+    time-ordered ``lag`` of value and timestamp, emitting
+    ``(delta_cents, dt_ms)`` per interior sample (the first sample of a
+    series has no predecessor and is dropped). Rate is then
+    ``delta/dt`` — left to the caller so the gate output stays
+    integer-exact.
+
+    ONE keyed shuffle + partition-local sort (the two lags share a
+    single Window), identical cost profile to D2's per-partition sort.
+    ``(ts, tiebreak)`` must be unique per key for a deterministic
+    predecessor — event_id serves here.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    return (
+        events.select(
+            *key_cols,
+            tiebreak_col,
+            F.col(ts_col),
+            F.col(cents_col),
+            (F.col(cents_col) - F.lag(cents_col).over(w)).alias("delta_cents"),
+            (F.col(ts_col) - F.lag(ts_col).over(w)).alias("dt_ms"),
+        )
+        .filter(F.col("dt_ms").isNotNull())
+    )

@@ -867,3 +867,234 @@ def q93_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measured cohort table is small)."""
     ev = load_events(spark, sf_dir, spread=True)
     return analytics.retention_cohorts(ev, "user_id", "ts_ms")
+
+
+# ===========================================================================
+# q94 — CUBE grouping sets with GROUPING ids (the cube half of E3's
+# grouping-set surface; the rollup half gates as q25)
+# ===========================================================================
+
+@register(
+    "q94_cube_grouping",
+    f"""
+    WITH c AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             {CENTS_SQL} AS cents
+      FROM events
+    )
+    SELECT event_type, day,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(day) AS INT) AS g_day,
+           COUNT(*) AS cnt,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM c GROUP BY CUBE (event_type, day)
+    """,
+)
+def q94_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day) with GROUPING flags — all four
+    grouping sets in ONE Expand + single keyed hash aggregate (see
+    analytics.rollup_cube: the Expand replicates rows map-side, partial
+    aggregation collapses before the exchange, so the shuffle stays
+    ~output-sized at 100 TB — never one job per set). GROUPING() flags
+    disambiguate a rolled-up NULL from a data NULL, pinned cross-engine
+    here."""
+    ev = (
+        load_events(spark, sf_dir, spread=True)
+        .withColumn("cents", cents(F.col("value")))
+        .withColumn("day", F.expr("ts_ms div 86400000"))
+    )
+    return analytics.rollup_cube(
+        ev,
+        ["event_type", "day"],
+        [
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count("*").alias("cnt"),
+            F.sum("cents").alias("sum_cents"),
+        ],
+        cube=True,
+    )
+
+
+# ===========================================================================
+# q95 — selective-dim fact join (runtime bloom-filter pruning surface)
+# ===========================================================================
+
+@register(
+    "q95_bloom_dim_join",
+    """
+    SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS INT)
+             AS ship_month,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def q95_bloom_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ selectively-filtered dim — the row-level runtime-filter
+    sibling of q90's partition-level DPP: with
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (default on) and
+    a shuffle join, Catalyst plants ``might_contain(bloom_agg(o_orderkey))``
+    on the FACT scan so ~80% of lineitem rows drop before the exchange
+    instead of after the join. At bench scale the application-side scan
+    sits under ``applicationSideScanSizeThreshold`` (10 GB) so Spark
+    correctly declines the filter (and AQE broadcasts the dim — also
+    correct at this size); the injection itself is pinned in
+    test_wave4 with the thresholds lowered. The MERGE hint is NOT used
+    here: the right plan at this size is the broadcast."""
+    li = load(spark, sf_dir, "lineitem", spread=True)
+    orders = (
+        load(spark, sf_dir, "orders", spread=True)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    ship_month = (
+        F.year("l_shipdate") * 100 + F.month("l_shipdate")
+    ).cast("int")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(ship_month.alias("ship_month"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+# ===========================================================================
+# q96 — counter → delta/rate conversion (OpenTSDB read-path `rate` op)
+# ===========================================================================
+
+@register(
+    "q96_counter_deltas",
+    f"""
+    WITH c AS (
+      SELECT event_type, user_id, event_id, epoch_ms(ts) AS ts_ms,
+             {CENTS_SQL} AS cents
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, user_id, event_id, ts_ms, cents,
+             cents - LAG(cents) OVER w AS delta_cents,
+             ts_ms - LAG(ts_ms) OVER w AS dt_ms
+      FROM c
+      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts_ms, event_id)
+    )
+    SELECT * FROM d WHERE dt_ms IS NOT NULL
+    """,
+)
+def q96_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series consecutive-sample deltas (tsdb.counter_deltas) — the
+    OpenTSDB ``rate``/``delta`` read-path operator the reference's
+    counter bulkload feeds. One keyed shuffle + partition-local sort;
+    both lags share a single Window operator."""
+    from hbase_bulkload_service_spark.operators import tsdb as _tsdb
+
+    ev = load_events(spark, sf_dir, spread=True).withColumn(
+        "cents", cents(F.col("value"))
+    )
+    return _tsdb.counter_deltas(ev).select(
+        "event_type", "user_id", "event_id", "ts_ms", "cents",
+        "delta_cents", "dt_ms",
+    )
+
+
+# ===========================================================================
+# q97 — fixed-width histogram profile
+# ===========================================================================
+
+_HIST_LO, _HIST_HI, _HIST_NB = 0, 40000, 16  # cents ∈ [1, 49002]: top clamps
+
+
+@register(
+    "q97_value_histogram",
+    f"""
+    WITH c AS (SELECT event_type, {CENTS_SQL} AS cents FROM events),
+    b AS (
+      SELECT event_type,
+             LEAST({_HIST_NB - 1},
+                   GREATEST(0, (cents - {_HIST_LO}) // 2500)) AS bucket
+      FROM c
+    )
+    SELECT event_type, bucket, COUNT(*) AS cnt,
+           {_HIST_LO} + bucket * 2500 AS bucket_lo,
+           {_HIST_LO} + (bucket + 1) * 2500 AS bucket_hi
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q97_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric fixed-width histogram (analytics.fixed_width_histogram):
+    pure integer bucketing → ONE keyed hash aggregate, output size
+    n_buckets × keys regardless of input — the 100 TB distribution
+    profile (no sort, no sampling; out-of-range values clamp into edge
+    buckets so counts always total the scan). The top bucket's clamp is
+    live here (cents range exceeds hi)."""
+    ev = load_events(spark, sf_dir, spread=True).withColumn(
+        "cents", cents(F.col("value"))
+    )
+    return analytics.fixed_width_histogram(
+        ev, "event_type", "cents", _HIST_LO, _HIST_HI, _HIST_NB
+    )
+
+
+# ===========================================================================
+# q98 — parquet schema evolution (mergeSchema read over drifted batches)
+# ===========================================================================
+
+@register(
+    "q98_schema_evolution",
+    f"""
+    WITH c AS (SELECT event_id, event_type, {CENTS_SQL} AS cents FROM events)
+    SELECT event_type, COUNT(*) AS cnt,
+           COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS cnt_flagged,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM c GROUP BY 1
+    """,
+)
+def q98_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across ingest batches — the 100 TB reality that later
+    batches carry columns earlier ones lack: batch 1 writes
+    (event_id, event_type, cents), batch 2 adds ``src_flag``;
+    ``mergeSchema`` unions the footers at plan time and back-fills NULL
+    for the missing column (count(src_flag) therefore counts batch-2
+    rows exactly). Per-file schema stays pruned at scan — merging is a
+    footer/planning operation, not a data rewrite. (Default stays OFF at
+    scale: footer-merge lists every file's schema; enable per-read as
+    here, or maintain the union schema in a catalog.)"""
+    import shutil
+    import tempfile
+
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_id", "event_type", cents(F.col("value")).alias("cents")
+    )
+    d = tempfile.mkdtemp(prefix="q98evolve")
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{d}/batch=1"
+        )
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "src_flag", (F.col("event_id") % 10).cast("int")
+        ).write.mode("overwrite").parquet(f"{d}/batch=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{d}/batch=1", f"{d}/batch=2"
+        )
+        rows = (
+            merged.groupBy("event_type")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.count("src_flag").alias("cnt_flagged"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, cnt long, cnt_flagged long, sum_cents long"
+    )

@@ -304,3 +304,144 @@ def test_retention_cohort_invariants(spark):
     zero = {r["cohort"]: r["n_keys"] for r in rows if r["offset"] == 0}
     assert zero == sizes
     assert all(r["offset"] >= 0 for r in rows)  # no activity before cohort
+
+
+# ---------------------------------------------------------------------------
+# q94–q98 wave: cube grouping, bloom-filter injection, counter deltas,
+# histogram, schema evolution
+# ---------------------------------------------------------------------------
+
+def test_cube_grouping_flags_match_nullness(spark):
+    ev = (
+        load_events(spark, SF_DIR)
+        .withColumn("cents", F.floor(F.col("value") * 100).cast("long"))
+        .withColumn("day", F.expr("ts_ms div 86400000"))
+    )
+    out = analytics.rollup_cube(
+        ev,
+        ["event_type", "day"],
+        [
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count("*").alias("cnt"),
+        ],
+        cube=True,
+    ).collect()
+    # all four grouping sets present; flags agree with rolled-up nulls
+    assert {(r["g_type"], r["g_day"]) for r in out} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    for r in out:
+        assert (r["event_type"] is None) == (r["g_type"] == 1)
+        assert (r["day"] is None) == (r["g_day"] == 1)
+    grand = [r for r in out if r["g_type"] == 1 and r["g_day"] == 1]
+    total = load_events(spark, SF_DIR).count()
+    assert len(grand) == 1 and grand[0]["cnt"] == total
+
+
+def test_runtime_bloom_filter_injects_on_fact_scan(spark):
+    """With the size thresholds lowered and broadcast off, Catalyst must
+    plant a bloom-filter runtime filter (might_contain over a bloom agg of
+    the dim keys) on the FACT side of the shuffle join — q95's scale
+    mechanism, which at 100 TB drops non-matching fact rows before the
+    exchange."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_DIR, "lineitem")
+        orders = (
+            load(spark, SF_DIR, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        out = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "l_returnflag"
+        ).count()
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan or "bloomfilter" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_counter_deltas_telescope(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    ev = load_events(spark, SF_DIR).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    d = tsdb.counter_deltas(ev)
+    # telescoping: per series the deltas sum to last - first
+    sums = {
+        (r["event_type"], r["user_id"]): r
+        for r in d.groupBy("event_type", "user_id")
+        .agg(F.sum("delta_cents").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    w_first_last = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.min_by("cents", F.struct("ts_ms", "event_id")).alias("first_c"),
+            F.max_by("cents", F.struct("ts_ms", "event_id")).alias("last_c"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    for r in w_first_last:
+        k = (r["event_type"], r["user_id"])
+        if r["n"] == 1:
+            assert k not in sums  # singleton series emit nothing
+        else:
+            assert sums[k]["s"] == r["last_c"] - r["first_c"]
+            assert sums[k]["n"] == r["n"] - 1
+    assert d.filter(F.col("dt_ms") < 0).count() == 0
+
+
+def test_histogram_totals_and_clamp(spark):
+    ev = load_events(spark, SF_DIR).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    h = analytics.fixed_width_histogram(ev, "event_type", "cents", 0, 40000, 16)
+    assert h.agg(F.sum("cnt")).collect()[0][0] == ev.count()  # no drops
+    rows = h.collect()
+    assert all(0 <= r["bucket"] <= 15 for r in rows)
+    assert all(r["bucket_hi"] - r["bucket_lo"] == 2500 for r in rows)
+    # out-of-range values land in the top bucket (cents max ~49002 > hi)
+    n_over = ev.filter(F.col("cents") >= 40000).count()
+    if n_over:
+        top = sum(r["cnt"] for r in rows if r["bucket"] == 15)
+        n_top_band = ev.filter(F.col("cents") >= 37500).count()
+        assert top == n_top_band  # clamp merged the overflow into bucket 15
+    with pytest.raises(ValueError):
+        analytics.fixed_width_histogram(ev, "event_type", "cents", 10, 10, 4)
+
+
+def test_merge_schema_backfills_missing_column(spark, tmp_path):
+    ev = load_events(spark, SF_DIR).select(
+        "event_id", "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(str(tmp_path / "b1"))
+    ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "src_flag", (F.col("event_id") % 10).cast("int")
+    ).write.parquet(str(tmp_path / "b2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "b1"), str(tmp_path / "b2")
+    )
+    assert "src_flag" in merged.columns
+    assert merged.count() == ev.count()
+    # every batch-1 row back-fills NULL; every batch-2 row carries a value
+    assert merged.filter(F.col("event_id") % 2 == 0).filter(
+        F.col("src_flag").isNotNull()
+    ).count() == 0
+    assert merged.filter(F.col("event_id") % 2 == 1).filter(
+        F.col("src_flag").isNull()
+    ).count() == 0
