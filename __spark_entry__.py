@@ -75,6 +75,8 @@ PRIORITY = [
     "q96_counter_deltas",  # new in round 3
     "q97_value_histogram",  # new in round 3
     "q98_schema_evolution",  # new in round 3
+    "q99_compaction",  # new in round 3
+    "q100_retention_audit",  # new in round 3
 ]
 
 

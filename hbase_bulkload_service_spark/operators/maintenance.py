@@ -171,31 +171,48 @@ def compact_small_partitions(
     target_bytes: int = 128 * 1024 * 1024,
     lower_bytes: int = LOWER_SIZE,
 ) -> list[str]:
-    """K2 executor analog for parquet layouts: rewrite partition directories
-    whose total size is under ``lower_bytes`` into max(1, size/target)
-    files. Returns the rewritten partition dirs."""
+    """K2 executor analog for parquet layouts — the small-file compaction
+    pass (HBase minor compaction's file-count job, HBaseManager.java
+    merge walk's file-level sibling): rewrite partition directories whose
+    total size is under ``lower_bytes`` into ``ceil(size/target)`` files.
+    Returns the rewritten partition dirs.
+
+    The directory walk is driver-side bounded metadata (one entry per
+    partition dir, same class as the region catalog); each rewrite is a
+    distributed read→coalesce→write. Crash recovery mirrors
+    execute_backup: a leftover ``*_old`` dir from a crash between the
+    two renames is restored on entry before any new rewrite, so no
+    partition is ever lost to a mid-swap failure.
+    """
     import os
+    import shutil
+
+    # recover partitions orphaned by a crash between rename(full, _old)
+    # and rename(_compact, full): the _old dir is the authoritative copy.
+    for d in sorted(os.listdir(path)):
+        if d.endswith("_old"):
+            orig = os.path.join(path, d[: -len("_old")])
+            if not os.path.exists(orig):
+                os.rename(os.path.join(path, d), orig)
+            else:
+                shutil.rmtree(os.path.join(path, d))
+        elif d.endswith("_compact"):
+            shutil.rmtree(os.path.join(path, d))
 
     rewritten = []
     for d in sorted(os.listdir(path)):
         full = os.path.join(path, d)
         if not (os.path.isdir(full) and "=" in d):
             continue
-        size = sum(
-            os.path.getsize(os.path.join(full, f))
-            for f in os.listdir(full)
-            if f.endswith(".parquet")
-        )
-        nfiles = len([f for f in os.listdir(full) if f.endswith(".parquet")])
-        if size < lower_bytes and nfiles > 1:
+        files = [f for f in os.listdir(full) if f.endswith(".parquet")]
+        size = sum(os.path.getsize(os.path.join(full, f)) for f in files)
+        if size < lower_bytes and len(files) > 1:
             df = spark.read.parquet(full)
-            n = max(1, size // target_bytes + 1)
+            n = max(1, -(size // -target_bytes))  # ceil
             df.coalesce(int(n)).write.mode("overwrite").parquet(full + "_compact")
-            # atomic-ish swap
+            # two-rename swap; a crash in between is recovered on re-entry
             os.rename(full, full + "_old")
             os.rename(full + "_compact", full)
-            import shutil
-
             shutil.rmtree(full + "_old")
             rewritten.append(d)
     return rewritten
@@ -514,3 +531,57 @@ def plan_merges_df(
         .orderBy("pid", "seq")
         .select("region_a", "region_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cell retention: maxVersions + TTL (the reference pins maxVersions=1 on
+# its column family, HBaseManager.java:380; HBase applies both knobs at
+# compaction/read — here they are one explicit flagging operator)
+# ---------------------------------------------------------------------------
+
+def retention_flags(
+    cells: DataFrame,
+    key_cols: tuple[str, ...] = ("rowkey", "qualifier"),
+    version_col: str = "version_ts",
+    max_versions: int = 1,
+    ttl_ms: int | None = None,
+    now_ms: int | None = None,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """HBase column-family retention semantics as a flagging pass: per
+    cell, newest ``max_versions`` versions survive; anything older than
+    ``now_ms - ttl_ms`` expires regardless of rank (HBase evaluates TTL
+    before version counting — an in-TTL-window older version does NOT
+    inherit an expired newer one's slot, mirrored here by ranking ALL
+    versions and filtering independently).
+
+    Adds ``version_rank`` (1 = newest) and ``retain_state`` in
+    {'kept', 'ttl_expired', 'version_evicted'}; callers filter
+    ``retain_state = 'kept'`` for the compacted view or aggregate the
+    states for a retention audit. ONE keyed shuffle + partition-local
+    sort (the rank window), same cost profile as latest_version_dedup —
+    which stays the cheaper plan for the max_versions=1/no-TTL case (hash
+    agg, no sort). ``tiebreak_cols`` must make the ordering unique per
+    cell or ranks are nondeterministic.
+    """
+    if max_versions < 1:
+        raise ValueError("max_versions must be >= 1")
+    from pyspark.sql import Window
+
+    order = [F.col(version_col).desc()] + [
+        F.col(c).desc() for c in tiebreak_cols
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    ranked = cells.withColumn("version_rank", F.row_number().over(w))
+    if ttl_ms is not None:
+        if now_ms is None:
+            raise ValueError("ttl_ms requires now_ms")
+        expired = F.col(version_col) < F.lit(int(now_ms) - int(ttl_ms))
+    else:
+        expired = F.lit(False)
+    state = (
+        F.when(expired, F.lit("ttl_expired"))
+        .when(F.col("version_rank") > max_versions, F.lit("version_evicted"))
+        .otherwise(F.lit("kept"))
+    )
+    return ranked.withColumn("retain_state", state)

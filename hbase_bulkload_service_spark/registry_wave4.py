@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.operators import analytics, textops
-from hbase_bulkload_service_spark.registry import cents, register
+from hbase_bulkload_service_spark.registry import TSDB_CELLS_CTE, cents, register
 from hbase_bulkload_service_spark.registry_llm import DOCS_NORM_CTE
 from hbase_bulkload_service_spark.sources.tables import load, load_events
 
@@ -1097,4 +1097,146 @@ def q98_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(
         rows, "event_type string, cnt long, cnt_flagged long, sum_cents long"
+    )
+
+
+# ===========================================================================
+# q99 — small-file compaction executor (K2's file-level sibling), through
+# the gate: fragment → compact → readback
+# ===========================================================================
+
+@register(
+    "q99_compaction",
+    f"""
+    WITH c AS (
+      SELECT CAST(event_id % 12 AS INT) AS region, {CENTS_SQL} AS cents
+      FROM events
+    )
+    SELECT region, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           1 AS n_files
+    FROM c GROUP BY 1
+    """,
+)
+def q99_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end (maintenance.compact_small_
+    partitions — the HBase minor-compaction/file-count job, K2's
+    file-level sibling): a deliberately fragmented layout (8 writer tasks
+    × 12 region dirs = 8 files per region) is compacted to
+    ``ceil(size/target)`` = 1 file per region, then read back. The gate
+    pins BOTH content (count/sum per region unchanged by the rewrite)
+    and layout (``n_files`` counted via input_file_name == 1). The
+    driver-side dir walk is bounded metadata (one entry per partition);
+    each rewrite is a distributed read→write. Crash-recovery of the
+    two-rename swap is pinned in test_maintenance_exec."""
+    import shutil
+    import tempfile
+
+    from hbase_bulkload_service_spark.operators import maintenance
+
+    ev = load_events(spark, sf_dir, spread=True).select(
+        (F.col("event_id") % 12).cast("int").alias("region"),
+        cents(F.col("value")).alias("cents"),
+    )
+    d = tempfile.mkdtemp(prefix="q99compact")
+    try:
+        ev.repartition(8).write.mode("overwrite").partitionBy("region").parquet(d)
+        maintenance.compact_small_partitions(spark, d)
+        back = spark.read.parquet(d).select(
+            F.col("region").cast("int").alias("region"),
+            "cents",
+            F.input_file_name().alias("fn"),
+        )
+        rows = (
+            back.groupBy("region")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("cents").alias("sum_cents"),
+                F.countDistinct("fn").cast("int").alias("n_files"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "region int, cnt long, sum_cents long, n_files int"
+    )
+
+
+# ===========================================================================
+# q100 — column-family retention audit: maxVersions + TTL
+# (the reference pins maxVersions=1 at table create, HBaseManager.java:380)
+# ===========================================================================
+
+_TTL_DAYS = 15
+
+
+@register(
+    "q100_retention_audit",
+    f"""
+    WITH {TSDB_CELLS_CTE},
+    cut AS (SELECT MAX(version_ts) - {_TTL_DAYS} * 86400000 AS cutoff
+            FROM cells),
+    r AS (
+      SELECT metric_id, version_ts, dvalue,
+             row_number() OVER (
+               PARTITION BY metric_id, ts_hour, tags, offset_sec
+               ORDER BY version_ts DESC, dvalue DESC, event_id DESC
+             ) AS rn
+      FROM cells
+    ),
+    s AS (
+      SELECT metric_id, dvalue,
+             CASE WHEN version_ts < (SELECT cutoff FROM cut)
+                    THEN 'ttl_expired'
+                  WHEN rn > 1 THEN 'version_evicted'
+                  ELSE 'kept' END AS retain_state
+      FROM r
+    )
+    SELECT metric_id,
+           COUNT(*) AS n_versions,
+           COUNT(CASE WHEN retain_state = 'kept' THEN 1 END) AS n_kept,
+           COUNT(CASE WHEN retain_state = 'ttl_expired' THEN 1 END) AS n_ttl,
+           COUNT(CASE WHEN retain_state = 'version_evicted' THEN 1 END)
+             AS n_evicted,
+           CAST(SUM(CASE WHEN retain_state = 'kept'
+                    THEN CAST(FLOOR(dvalue * 100) AS BIGINT) END) AS BIGINT)
+             AS sum_kept_cents
+    FROM s GROUP BY 1
+    """,
+)
+def q100_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase CF retention knobs as an auditable pass
+    (maintenance.retention_flags): maxVersions=1 (exactly the reference's
+    family config, HBaseManager.java:380) plus a 15-day TTL against the
+    corpus's max version — each cell version labeled kept / ttl_expired /
+    version_evicted, aggregated per metric. TTL precedence over version
+    eviction (HBase evaluates TTL first) is part of the pinned contract.
+    The now-cutoff is a 1-row bounded-metadata collect, same class as
+    q53's catalog."""
+    from hbase_bulkload_service_spark.operators import maintenance, tsdb as _tsdb
+
+    cells = _tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
+    now_ms = cells.agg(F.max("version_ts")).collect()[0][0]
+    flagged = maintenance.retention_flags(
+        cells,
+        key_cols=("metric_id", "ts_hour", "tags", "offset_sec"),
+        version_col="version_ts",
+        max_versions=1,
+        ttl_ms=_TTL_DAYS * 86400000,
+        now_ms=now_ms,
+        tiebreak_cols=("dvalue", "event_id"),
+    )
+    return flagged.groupBy("metric_id").agg(
+        F.count("*").alias("n_versions"),
+        F.count(F.when(F.col("retain_state") == "kept", 1)).alias("n_kept"),
+        F.count(F.when(F.col("retain_state") == "ttl_expired", 1)).alias("n_ttl"),
+        F.count(F.when(F.col("retain_state") == "version_evicted", 1)).alias(
+            "n_evicted"
+        ),
+        F.sum(
+            F.when(
+                F.col("retain_state") == "kept",
+                F.floor(F.col("dvalue") * 100).cast("long"),
+            )
+        ).alias("sum_kept_cents"),
     )
