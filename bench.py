@@ -69,9 +69,41 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # hardware calibration: fixed deterministic work, so wall
+                # times from different rounds/VMs can be normalized before
+                # comparison (round-3 observation: identical code measured
+                # ~1.4x slower than the recorded round-2 figures on a
+                # different VM placement; these probes make that visible).
+                "calibration": _calibration(spark, int(cpus)),
             }
         )
     )
+
+
+def _calibration(spark, cpus: int) -> dict:
+    """Two fixed-size probes: a single-core pure-Python loop (driver CPU
+    speed) and a Spark shuffle round (JVM + scheduler + exchange path).
+    Deterministic work — differences across runs measure the machine,
+    not the engine."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    py_ms = round((time.perf_counter() - t0) * 1000, 1)
+
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 2_000_000, numPartitions=cpus)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .agg(F.sum("id"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    shuffle_ms = round((time.perf_counter() - t0) * 1000, 1)
+    return {"py_loop_ms": py_ms, "spark_shuffle_ms": shuffle_ms}
 
 
 if __name__ == "__main__":

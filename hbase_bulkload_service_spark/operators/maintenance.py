@@ -170,6 +170,7 @@ def compact_small_partitions(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     lower_bytes: int = LOWER_SIZE,
+    max_concurrent: int = 8,
 ) -> list[str]:
     """K2 executor analog for parquet layouts — the small-file compaction
     pass (HBase minor compaction's file-count job, HBaseManager.java
@@ -179,13 +180,18 @@ def compact_small_partitions(
 
     The directory walk is driver-side bounded metadata (one entry per
     partition dir, same class as the region catalog); each rewrite is a
-    distributed read→coalesce→write. Crash recovery mirrors
-    execute_backup: a leftover ``*_old`` dir from a crash between the
-    two renames is restored on entry before any new rewrite, so no
-    partition is ever lost to a mid-swap failure.
+    distributed read→coalesce→write. Rewrites run CONCURRENTLY
+    (``max_concurrent`` driver threads submitting independent Spark
+    jobs — a small compaction job uses few task slots, so serial
+    submission leaves the cluster idle; HBase likewise compacts regions
+    in parallel). Partitions are independent, so concurrency does not
+    change the crash contract: a leftover ``*_old`` dir from a crash
+    between a partition's two renames is restored on entry before any
+    new rewrite, and no partition is ever lost to a mid-swap failure.
     """
     import os
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     # recover partitions orphaned by a crash between rename(full, _old)
     # and rename(_compact, full): the _old dir is the authoritative copy.
@@ -199,23 +205,29 @@ def compact_small_partitions(
         elif d.endswith("_compact"):
             shutil.rmtree(os.path.join(path, d))
 
-    rewritten = []
-    for d in sorted(os.listdir(path)):
+    def rewrite(d: str) -> str | None:
         full = os.path.join(path, d)
-        if not (os.path.isdir(full) and "=" in d):
-            continue
         files = [f for f in os.listdir(full) if f.endswith(".parquet")]
         size = sum(os.path.getsize(os.path.join(full, f)) for f in files)
-        if size < lower_bytes and len(files) > 1:
-            df = spark.read.parquet(full)
-            n = max(1, -(size // -target_bytes))  # ceil
-            df.coalesce(int(n)).write.mode("overwrite").parquet(full + "_compact")
-            # two-rename swap; a crash in between is recovered on re-entry
-            os.rename(full, full + "_old")
-            os.rename(full + "_compact", full)
-            shutil.rmtree(full + "_old")
-            rewritten.append(d)
-    return rewritten
+        if size >= lower_bytes or len(files) <= 1:
+            return None
+        df = spark.read.parquet(full)
+        n = max(1, -(size // -target_bytes))  # ceil
+        df.coalesce(int(n)).write.mode("overwrite").parquet(full + "_compact")
+        # two-rename swap; a crash in between is recovered on re-entry
+        os.rename(full, full + "_old")
+        os.rename(full + "_compact", full)
+        shutil.rmtree(full + "_old")
+        return d
+
+    dirs = [
+        d
+        for d in sorted(os.listdir(path))
+        if os.path.isdir(os.path.join(path, d)) and "=" in d
+    ]
+    with ThreadPoolExecutor(max_workers=max(1, max_concurrent)) as pool:
+        done = list(pool.map(rewrite, dirs))
+    return [d for d in done if d is not None]
 
 
 def create_bucketed_table(

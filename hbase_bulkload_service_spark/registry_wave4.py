@@ -1215,28 +1215,57 @@ def q100_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     q53's catalog."""
     from hbase_bulkload_service_spark.operators import maintenance, tsdb as _tsdb
 
-    cells = _tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
-    now_ms = cells.agg(F.max("version_ts")).collect()[0][0]
-    flagged = maintenance.retention_flags(
-        cells,
-        key_cols=("metric_id", "ts_hour", "tags", "offset_sec"),
-        version_col="version_ts",
-        max_versions=1,
-        ttl_ms=_TTL_DAYS * 86400000,
-        now_ms=now_ms,
-        tiebreak_cols=("dvalue", "event_id"),
+    # cache the derived cells for the duration of the call: the cutoff
+    # aggregate and the retention pass both consume them, and without the
+    # cache the derivation runs twice. Project to the retention columns
+    # BEFORE persisting — a cache materializes its full schema, so caching
+    # raw cells would force the binary rowkey/qualifier/value encodes
+    # (the expensive part of the derivation) that retention never reads;
+    # the pruned projection lets Catalyst drop them upstream of the
+    # cache. Scoped — materialized result collected, cache released.
+    cells = (
+        _tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
+        .select(
+            "metric_id", "ts_hour", "tags", "offset_sec",
+            "version_ts", "dvalue", "event_id",
+        )
+        .persist()
     )
-    return flagged.groupBy("metric_id").agg(
-        F.count("*").alias("n_versions"),
-        F.count(F.when(F.col("retain_state") == "kept", 1)).alias("n_kept"),
-        F.count(F.when(F.col("retain_state") == "ttl_expired", 1)).alias("n_ttl"),
-        F.count(F.when(F.col("retain_state") == "version_evicted", 1)).alias(
-            "n_evicted"
-        ),
-        F.sum(
-            F.when(
-                F.col("retain_state") == "kept",
-                F.floor(F.col("dvalue") * 100).cast("long"),
+    try:
+        now_ms = cells.agg(F.max("version_ts")).collect()[0][0]
+        flagged = maintenance.retention_flags(
+            cells,
+            key_cols=("metric_id", "ts_hour", "tags", "offset_sec"),
+            version_col="version_ts",
+            max_versions=1,
+            ttl_ms=_TTL_DAYS * 86400000,
+            now_ms=now_ms,
+            tiebreak_cols=("dvalue", "event_id"),
+        )
+        rows = (
+            flagged.groupBy("metric_id")
+            .agg(
+                F.count("*").alias("n_versions"),
+                F.count(F.when(F.col("retain_state") == "kept", 1)).alias("n_kept"),
+                F.count(F.when(F.col("retain_state") == "ttl_expired", 1)).alias(
+                    "n_ttl"
+                ),
+                F.count(
+                    F.when(F.col("retain_state") == "version_evicted", 1)
+                ).alias("n_evicted"),
+                F.sum(
+                    F.when(
+                        F.col("retain_state") == "kept",
+                        F.floor(F.col("dvalue") * 100).cast("long"),
+                    )
+                ).alias("sum_kept_cents"),
             )
-        ).alias("sum_kept_cents"),
+            .collect()
+        )
+    finally:
+        cells.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "metric_id int, n_versions long, n_kept long, n_ttl long, "
+        "n_evicted long, sum_kept_cents long",
     )
