@@ -1,7 +1,11 @@
-"""Registry wave 4 — pipeline-lineage analytics (gap fill, SCD-2,
-anomaly flagging), quality-repetition signals, sketch profiling, the
-remaining built-in format round-trips (CSV, JSON), semi/anti-join and
-multi-dimension join coverage, and semi-structured JSON extraction.
+"""Registry waves 4-6 (q73-q100) — pipeline-lineage analytics (gap fill,
+SCD-2, anomaly flagging), quality-repetition signals, sketch profiling,
+the remaining built-in format round-trips (CSV, JSON) plus schema
+evolution, semi/anti-join and multi-dimension join coverage,
+semi-structured JSON extraction, window families (sliding rollup, funnel,
+retention cohorts), CUBE grouping sets, runtime bloom-filter pruning,
+counter deltas, histograms, dynamic partition pruning, small-file
+compaction, and maxVersions+TTL retention.
 
 Same portability rules as registry.py / registry_llm.py: integer cents,
 epoch-millis timestamps, identical aliases both sides, DuckDB SUMs cast
