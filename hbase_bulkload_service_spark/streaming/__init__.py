@@ -10,6 +10,8 @@ input with watermarks and state.
 
 from hbase_bulkload_service_spark.streaming.ops import (  # noqa: F401
     CELL_SCHEMA,
+    SAMPLE_SCHEMA,
+    streaming_counter_deltas,
     streaming_first_seen_dedup,
     streaming_latest_version,
     streaming_lookup_join,

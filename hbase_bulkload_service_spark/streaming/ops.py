@@ -292,3 +292,73 @@ def stream_stream_interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within_ms} MILLISECONDS"))
     )
     return lw.join(rw, cond, "inner")
+
+
+# ---------------------------------------------------------------------------
+# Streaming counter → delta (the live twin of tsdb.counter_deltas)
+# ---------------------------------------------------------------------------
+
+SAMPLE_SCHEMA = "event_type string, user_id long, event_id long, ts_ms long, cents long"
+_DELTA_OUT_SCHEMA = (
+    "event_type string, user_id long, event_id long, ts_ms long, cents long, "
+    "delta_cents long, dt_ms long"
+)
+_DELTA_STATE_SCHEMA = "last_ts long, last_event_id long, last_cents long"
+
+
+def _delta_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-series streaming delta: carry (last_ts, last_event_id,
+    last_cents); each in-order sample emits (delta_cents, dt_ms) vs the
+    carried predecessor. A sample at or before the carried position
+    (late arrival across batches) is DROPPED — monotonic-state rate
+    semantics; within a batch, rows are sorted so intra-batch disorder
+    costs nothing."""
+    if state.exists:
+        last_ts, last_eid, last_cents = state.get
+    else:
+        last_ts, last_eid, last_cents = None, None, None
+    out = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts_ms", "event_id"])
+        for r in pdf.itertuples(index=False):
+            ts, eid, cents = int(r.ts_ms), int(r.event_id), int(r.cents)
+            if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
+                continue  # late/duplicate sample — state stays monotonic
+            if last_ts is not None:
+                out.append(
+                    (key[0], key[1], eid, ts, cents, cents - last_cents, ts - last_ts)
+                )
+            last_ts, last_eid, last_cents = ts, eid, cents
+    if last_ts is not None:
+        state.update((last_ts, last_eid, last_cents))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "user_id", "event_id", "ts_ms", "cents",
+                "delta_cents", "dt_ms",
+            ],
+        )
+
+
+def streaming_counter_deltas(samples):
+    """Streaming twin of ``tsdb.counter_deltas`` (the OpenTSDB ``rate``
+    read op as a LIVE derivative): per (event_type, user_id) series the
+    state is one carried sample — O(1) per key, watermark-free (state
+    never grows with history). Replaying a corpus in one availableNow
+    batch reproduces the batch operator exactly (pinned in
+    test_streaming); across micro-batches the boundary delta is carried
+    by state, and late samples are dropped rather than re-ordering
+    emitted history (a batch recompute is the repair path, as with any
+    streaming changelog)."""
+    return samples.groupBy("event_type", "user_id").applyInPandasWithState(
+        _delta_fn,
+        outputStructType=_DELTA_OUT_SCHEMA,
+        stateStructType=_DELTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

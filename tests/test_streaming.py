@@ -253,3 +253,65 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     st.await_finite(q, 120)
     got = [(r["lv"], r["rv"]) for r in spark.table("ssj_mem").collect()]
     assert got == [(100, 7)]
+
+
+# ---------------------------------------------------------------------------
+# streaming_counter_deltas — live twin of tsdb.counter_deltas
+# ---------------------------------------------------------------------------
+
+def test_streaming_counter_deltas_matches_batch(spark, tmp_path):
+    """One availableNow replay of the corpus == the batch operator."""
+    from hbase_bulkload_service_spark.operators import tsdb
+    from hbase_bulkload_service_spark.sources.tables import load_events
+
+    d = str(tmp_path / "samples")
+    ev = load_events(spark, "/root/testdata/sf0.001").select(
+        "event_type", "user_id", "event_id", "ts_ms",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(st.SAMPLE_SCHEMA).parquet(d)
+    out = st.streaming_counter_deltas(stream)
+    _run_to_memory(out, "stream_deltas", "append")
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM stream_deltas").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            tsdb.counter_deltas(ev)
+            .select(
+                "event_type", "user_id", "event_id", "ts_ms", "cents",
+                "delta_cents", "dt_ms",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_counter_deltas_carries_state_across_batches(spark, tmp_path):
+    d = str(tmp_path / "samples2")
+    b1 = [("m", 1, 1, 100, 10), ("m", 1, 2, 200, 30)]
+    b2 = [
+        ("m", 1, 3, 300, 25),   # boundary delta vs (200, 30) via state
+        ("m", 1, 4, 150, 99),   # LATE (ts < carried 300) — dropped
+    ]
+    spark.createDataFrame(b1, st.SAMPLE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(b2, st.SAMPLE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema(st.SAMPLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = st.streaming_counter_deltas(stream)
+    _run_to_memory(out, "stream_deltas2", "append")
+    rows = {
+        r.event_id: (r.delta_cents, r.dt_ms)
+        for r in spark.sql("SELECT * FROM stream_deltas2").collect()
+    }
+    assert rows == {2: (20, 100), 3: (-5, 100)}  # late event 4 dropped
