@@ -42,7 +42,14 @@ VERDICTS = ("lang", "quality", "exact_dup", "near_dup", "kept")
 # concurrent pipelines). Callers in long-lived sessions release explicitly:
 # once a returned frame has been materialized (written/collected), call
 # release_caches() to unpersist every outstanding ledger at once.
+#
+# Unreleased ledgers are additionally BOUNDED: a new call evicts (unpersists)
+# all but the most recent _LEDGER_KEEP ledgers, so a service loop that never
+# calls release_caches() cannot grow executor storage without limit. An
+# evicted ledger's verdict frame stays CORRECT — it just recomputes on next
+# use — so the bound trades old-frame reuse speed for a hard memory cap.
 _LEDGER_CACHES: list[DataFrame] = []
+_LEDGER_KEEP = 4
 _LEDGER_LOCK = __import__("threading").Lock()
 
 
@@ -96,6 +103,8 @@ def curate_corpus(
     ).persist()  # ledger read twice: near-dup input + final verdict join
     with _LEDGER_LOCK:
         _LEDGER_CACHES.append(enriched)
+        while len(_LEDGER_CACHES) > _LEDGER_KEEP:
+            _LEDGER_CACHES.pop(0).unpersist()
 
     survivors = enriched.filter(F.col("exact_ok")).select("doc_id", text_col)
     pairs = minhash_lsh_neardups(

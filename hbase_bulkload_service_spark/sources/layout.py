@@ -90,11 +90,23 @@ def zorder_key(c1, c2, bits: int = 16):
     expression chain — whole-stage codegen, no UDF, no shuffle beyond
     the layout write's own range partition.
 
-    ``bits`` bounds the domain (values ≥ 2^bits fold into the top bits'
-    order, keeping the key monotone but losing interleave quality —
-    clamp or rescale inputs to the bit budget)."""
+    ``bits`` bounds the domain HARD: only bits 0..bits-1 of each input
+    are interleaved, so a value ≥ 2^bits would silently collide with
+    ``value mod 2^bits`` and destroy the layout's clustering (epoch
+    timestamps against the default 16 bits being the classic misuse).
+    Out-of-range values therefore raise at execution time — rescale or
+    bucket inputs into [0, 2^bits) first (e.g. ``ts_sec div 3600`` hour
+    numbers relative to the table's min, or a modulo bucket that IS the
+    intended key)."""
+    lim = F.lit(1 << bits).cast("long")
+    oob = (
+        "zorder_key: input exceeds the %d-bit budget; rescale or bucket "
+        "into [0, 2^bits) first" % bits
+    )
     a = c1.cast("long")
     b = c2.cast("long")
+    a = F.when((a < 0) | (a >= lim), F.raise_error(F.lit(oob))).otherwise(a)
+    b = F.when((b < 0) | (b >= lim), F.raise_error(F.lit(oob))).otherwise(b)
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import glob
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.sources.layout import write_zordered, zorder_key
@@ -60,3 +62,15 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     assert len(glob.glob(f"{zpath}/*.parquet")) > 4
     assert z_ext < x_ext / 2, (z_ext, x_ext)
     assert z_ext <= 32, z_ext  # compact rectangles, not full-range stripes
+
+
+def test_zorder_key_rejects_out_of_budget_values(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from hbase_bulkload_service_spark.sources import layout
+
+    df = spark.createDataFrame([(1 << 20, 3)], "a long, b long")
+    out = df.select(layout.zorder_key(F.col("a"), F.col("b"), bits=16).alias("z"))
+    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)):
+        out.collect()
