@@ -140,3 +140,47 @@ def test_orc_readback_pushes_filter(spark, tmp_path):
     )
     plan = formatted_plan(back)
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(event_type,3\)", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# q94/q96/q97 plan shapes: one Expand for the cube, one Window (single
+# sort+shuffle) for the deltas, one hash-aggregate pair for the histogram
+# ---------------------------------------------------------------------------
+
+def test_cube_plans_one_expand_one_aggregate(spark):
+    df = registry.QUERIES["q94_cube_grouping"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # all 4 grouping sets share one Expand node (formatted output prints
+    # each node twice: tree line + detail header — count the headers)
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    # one partial + one final hash aggregate, not one job per grouping set
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
+def test_counter_deltas_single_window_exchange(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+    from hbase_bulkload_service_spark.sources.tables import load_events
+
+    ev = load_events(spark, SF_DIR).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    plan = formatted_plan(tsdb.counter_deltas(ev))
+    # both lags share ONE Window operator over one keyed exchange + sort
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(event_type" in plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+
+
+def test_histogram_is_one_aggregate_no_sort(spark):
+    from hbase_bulkload_service_spark.operators import analytics
+    from hbase_bulkload_service_spark.sources.tables import load_events
+
+    ev = load_events(spark, SF_DIR).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    plan = formatted_plan(
+        analytics.fixed_width_histogram(ev, "event_type", "cents", 0, 40000, 16)
+    )
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial+final
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 0  # never sorts
