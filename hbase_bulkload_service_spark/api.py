@@ -103,8 +103,17 @@ class BulkloadService:
         return hfile.build_manifest(self.spark, path)
 
     # -- maintenance crons (:126-154 → manager/HBaseManager.java) ----------
-    def merge_small_regions(self, regions: DataFrame) -> DataFrame:
-        return maintenance.plan_merges(regions)
+    def merge_small_regions(self, regions: DataFrame, now_ms: int) -> DataFrame:
+        """K2 cron: merge plan over the region-catalog DataFrame via the
+        partition-parallel walk (plan_merges_df; the list-based
+        plan_merges is the unit-test twin for bounded catalogs)."""
+        return maintenance.plan_merges_df(regions, now_ms)
+
+    def compact_table(self, path: str, **kwargs) -> list[str]:
+        """K2 file-level cron: small-file compaction over a partitioned
+        table dir (compact_small_partitions; crash-safe two-rename
+        swap). Returns rewritten partition dirs."""
+        return maintenance.compact_small_partitions(self.spark, path, **kwargs)
 
     def backup_hfiles(self, regions: DataFrame, now_ms: int) -> DataFrame:
         return maintenance.backup_candidates(regions, now_ms)

@@ -63,3 +63,48 @@ def test_request_validation():
         BulkloadRequest("s", "t", END, START).validate()
     with pytest.raises(ValueError):
         BulkloadRequest("s", "t", START, END, parallelism=0).validate()
+
+
+def test_merge_cron_routes_to_df_walk(service, spark):
+    """The facade's K2 cron must accept the catalog as a DataFrame and
+    agree with the sequential reference walk."""
+    from hbase_bulkload_service_spark.operators import maintenance as mnt
+
+    rows = [
+        ("r1", 0, 0, 100, 200, 10 * 1024 * 1024),
+        ("r2", 0, 0, 200, 300, 20 * 1024 * 1024),
+        ("r3", 1, 1, 100, 200, 10 * 1024 * 1024),
+        ("r4", 1, 1, 200, 300, 6 * 1024**3),
+    ]
+    schema = (
+        "region_name string, start_bucket int, end_bucket int, "
+        "start_time_sec long, end_time_sec long, size_bytes long"
+    )
+    catalog = spark.createDataFrame(rows, schema)
+    now = 300_000 + mnt.LONG_INTERVAL_MS  # every region inside the window
+    got = sorted(
+        (r["region_a"], r["region_b"])
+        for r in service.merge_small_regions(catalog, now).collect()
+    )
+    want = mnt.plan_merges(
+        [mnt.Region(*r) for r in rows], now
+    )
+    assert got == sorted(want)
+
+
+def test_compact_cron_rewrites_partition_dirs(service, spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "table")
+    load_events(spark, "/root/testdata/sf0.001").select(
+        (F.col("event_id") % 3).cast("int").alias("region"), "event_id"
+    ).repartition(4).write.partitionBy("region").parquet(d)
+    rewritten = service.compact_table(d)
+    assert sorted(rewritten) == ["region=0", "region=1", "region=2"]
+    for sub in rewritten:
+        files = [
+            f for f in os.listdir(os.path.join(d, sub)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
