@@ -341,3 +341,76 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "dup_word_ppm",
         F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — bin chunks into fixed-token training sequences
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int,
+    id_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+    tokens_col: str = "n_tok",
+    num_shards: int = 64,
+) -> DataFrame:
+    """Greedy sequence packing: assign every chunk to a training sequence
+    ("bin") of capacity ``seq_len`` tokens, the standard pretraining move
+    that turns ragged documents into dense fixed-length batches instead
+    of padding each chunk to ``seq_len``.
+
+    Distributed shape: chunks are sharded by a hash of the id
+    (``num_shards`` groups, one keyed shuffle), and each shard runs
+    first-fit-decreasing LOCALLY in an Arrow-batched ``applyInPandas``.
+    Packing quality is therefore per-shard, not global — FFD's guarantee
+    (every bin except at most one is > half full) holds per shard, so
+    total waste is bounded by ``num_shards * seq_len / 2`` tokens — noise
+    at corpus scale, and the price removes any global coordination: no
+    driver state, shards scale with the corpus. Deterministic: shard by
+    hash, order by (tokens desc, id) inside the shard.
+
+    Output: one row per chunk — id_cols, tokens, ``bin_id`` (globally
+    unique: shard * 2^40 + local index) and ``bin_fill`` (the bin's total
+    tokens, repeated on each member). Chunks larger than ``seq_len``
+    raise: chunk first (chunk_documents) with a window ≤ seq_len.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    import pandas as pd
+
+    out_schema = (
+        ", ".join(f"{c} long" for c in id_cols)
+        + f", {tokens_col} long, bin_id long, bin_fill long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iloc[0])
+        big = pdf[pdf[tokens_col] > seq_len]
+        if len(big):
+            raise ValueError(
+                f"pack_sequences: {len(big)} chunk(s) exceed seq_len={seq_len}; "
+                "chunk with a window <= seq_len first"
+            )
+        pdf = pdf.sort_values(
+            [tokens_col, *id_cols], ascending=[False] + [True] * len(id_cols)
+        )
+        fills: list[int] = []  # token fill per open bin
+        assign: list[int] = []
+        for t in pdf[tokens_col].astype(int):
+            for i, f in enumerate(fills):  # first fit
+                if f + t <= seq_len:
+                    fills[i] = f + t
+                    assign.append(i)
+                    break
+            else:
+                fills.append(t)
+                assign.append(len(fills) - 1)
+        out = pdf[[*id_cols, tokens_col]].copy()
+        out["bin_id"] = [shard * (1 << 40) + a for a in assign]
+        out["bin_fill"] = [fills[a] for a in assign]
+        return out
+
+    sharded = chunks.withColumn(
+        "_shard", F.abs(F.hash(*[F.col(c) for c in id_cols])) % num_shards
+    )
+    return sharded.groupBy("_shard").applyInPandas(pack, out_schema)

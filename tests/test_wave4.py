@@ -445,3 +445,57 @@ def test_merge_schema_backfills_missing_column(spark, tmp_path):
     assert merged.filter(F.col("event_id") % 2 == 1).filter(
         F.col("src_flag").isNull()
     ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — greedy training-sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_partitions_and_bounds(spark):
+    from hbase_bulkload_service_spark.operators.textops import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    chunks = chunk_documents(
+        load(spark, SF_DIR, "documents"), chunk_tokens=50, stride=40
+    ).select("doc_id", "chunk_idx", "n_tok")
+    n_chunks = chunks.count()
+    total_tokens = chunks.agg(F.sum("n_tok")).collect()[0][0]
+    packed = pack_sequences(chunks, seq_len=128, num_shards=8)
+    rows = packed.collect()
+    # every chunk assigned exactly once
+    assert len(rows) == n_chunks
+    assert len({(r["doc_id"], r["chunk_idx"]) for r in rows}) == n_chunks
+    # capacity respected, bin_fill consistent
+    import collections
+
+    fills = collections.defaultdict(int)
+    for r in rows:
+        fills[r["bin_id"]] += r["n_tok"]
+    assert all(f <= 128 for f in fills.values())
+    for r in rows:
+        assert fills[r["bin_id"]] == r["bin_fill"]
+    # FFD waste bound: all bins except <= num_shards are > half full
+    under_half = sum(1 for f in fills.values() if f <= 64)
+    assert under_half <= 8
+    # dense packing beats one-chunk-per-sequence by construction
+    assert len(fills) < n_chunks
+    assert sum(fills.values()) == total_tokens
+
+
+def test_pack_sequences_rejects_oversized_and_is_deterministic(spark):
+    from hbase_bulkload_service_spark.operators.textops import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 0, 200), (2, 0, 50)], "doc_id long, chunk_idx long, n_tok long"
+    )
+    with pytest.raises(Exception):  # oversized chunk surfaces loudly
+        pack_sequences(df, seq_len=128).collect()
+    ok = spark.createDataFrame(
+        [(i, 0, 30 + (i * 7) % 60) for i in range(40)],
+        "doc_id long, chunk_idx long, n_tok long",
+    )
+    a = sorted(map(tuple, pack_sequences(ok, seq_len=100, num_shards=4).collect()))
+    b = sorted(map(tuple, pack_sequences(ok, seq_len=100, num_shards=4).collect()))
+    assert a == b  # hash-shard + in-shard ordering => deterministic
