@@ -176,3 +176,45 @@ def stratified_sample(
         F.lit(default_permille),
     )
     return docs.where(hash_bucket(F.col(key_col)) < rate)
+
+
+def mix_corpora(
+    parts: list[tuple[DataFrame, float]],
+    key_col: str = "doc_id",
+    tag_col: str = "corpus",
+) -> DataFrame:
+    """Deterministic weighted corpus mixing — the pretraining data-mix op:
+    combine N corpora so their row counts in the output are proportional
+    to the given weights, downsampling only (never duplicating).
+
+    The bottleneck corpus (smallest ``n_i / w_i``) is kept WHOLE and
+    fixes the achievable mixture size; every other corpus is hash-mod
+    downsampled (``hash_bucket`` — stable across runs/engines/retries,
+    unlike ``rand()``) to its proportional share. Corpus sizes come from
+    one count per part — bounded metadata aggregates, the same class as
+    q53's catalog. Output rows carry ``tag_col`` = the part's index.
+    Proportions are exact in expectation (hash sampling, ±O(1/sqrt(n))
+    realized); weights must be positive.
+
+    Scale shape: per-corpus map-side filter + unionByName — ZERO
+    shuffles; the mix decision is row-local in each scan stage.
+    """
+    if not parts:
+        raise ValueError("mix_corpora needs at least one (df, weight) part")
+    if any(w <= 0 for _, w in parts):
+        raise ValueError("weights must be positive")
+    sizes = [df.count() for df, _ in parts]
+    if any(n == 0 for n in sizes):
+        raise ValueError("every corpus must be non-empty")
+    # bottleneck: the part with the least rows per unit weight
+    c = min(n / w for n, (_, w) in zip(sizes, parts))
+    out = None
+    for idx, ((df, w), n) in enumerate(zip(parts, sizes)):
+        keep_permille = int(round(c * w / n * 1000))
+        piece = df.withColumn(tag_col, F.lit(idx))
+        if keep_permille < 1000:
+            piece = piece.where(
+                hash_bucket(F.col(key_col)) < F.lit(keep_permille)
+            )
+        out = piece if out is None else out.unionByName(piece)
+    return out

@@ -499,3 +499,28 @@ def test_pack_sequences_rejects_oversized_and_is_deterministic(spark):
     a = sorted(map(tuple, pack_sequences(ok, seq_len=100, num_shards=4).collect()))
     b = sorted(map(tuple, pack_sequences(ok, seq_len=100, num_shards=4).collect()))
     assert a == b  # hash-shard + in-shard ordering => deterministic
+
+
+def test_mix_corpora_proportions_and_determinism(spark):
+    from hbase_bulkload_service_spark.operators.curation import mix_corpora
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    a = docs.filter(F.col("doc_id") % 2 == 0)   # ~250 rows
+    b = docs.filter(F.col("doc_id") % 2 == 1)   # ~250 rows
+    # ask for a 3:1 mix — b is the bottleneck at weight 1? a/3 vs b/1:
+    # a≈250/3≈83 < b≈250/1 → a is bottleneck, kept whole; b sampled to a/3
+    mixed = mix_corpora([(a, 3.0), (b, 1.0)], key_col="doc_id")
+    counts = {
+        r["corpus"]: r["cnt"]
+        for r in mixed.groupBy("corpus").agg(F.count("*").alias("cnt")).collect()
+    }
+    na, nb = a.count(), b.count()
+    assert counts[0] == na  # bottleneck corpus kept whole
+    want_b = na / 3.0
+    assert abs(counts[1] - want_b) <= max(10, 0.25 * want_b)  # hash-sample noise
+    again = mix_corpora([(a, 3.0), (b, 1.0)], key_col="doc_id")
+    assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError):
+        mix_corpora([(a, 0.0)])
+    with pytest.raises(ValueError):
+        mix_corpora([])
