@@ -11,6 +11,9 @@ input with watermarks and state.
 from hbase_bulkload_service_spark.streaming.ops import (  # noqa: F401
     CELL_SCHEMA,
     SAMPLE_SCHEMA,
+    await_finite,
+    stream_stream_interval_join,
+    streaming_bulkload,
     streaming_counter_deltas,
     streaming_first_seen_dedup,
     streaming_latest_version,
