@@ -218,3 +218,39 @@ def mix_corpora(
             )
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic pseudo-random global ordering — the training-order
+    shuffle: every epoch's example order must be (a) uniformly random with
+    respect to any corpus ordering (source, crawl date, length), (b) bitwise
+    reproducible across reruns/retried tasks, and (c) producible without a
+    global sort through one coordinator. rand()-based orderings fail (b):
+    a retried task re-rolls and the epoch silently changes.
+
+    Adds (shard, pos): shard = md5-bucket of (seed, key) in [0, n_shards);
+    pos = rank of the md5 ordering key within the shard. The total order
+    (shard, pos) — or any fixed interleave of shards, e.g. round-robin by
+    pos for n_shards parallel readers — is a uniform permutation because
+    the md5 keys are i.i.d. uniform in both coordinates. A new seed is a
+    fresh, unrelated permutation (per-epoch reshuffle).
+
+    Scale shape: ONE hash exchange on shard + a per-shard sort (each shard
+    sorts independently — n_shards-way parallel, no global coordination,
+    no single-partition window). Shard sizes are near-equal (multinomial),
+    so the sorts are balanced; pick n_shards ~ executors x a small factor.
+    """
+    ord_key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
+    )
+    out = df.withColumn("__ord", ord_key).withColumn(
+        "shard",
+        F.conv(F.substring("__ord", 1, 8), 16, 10).cast("long") % n_shards,
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__ord"), F.col(key_col))
+    return out.withColumn("pos", F.row_number().over(w)).drop("__ord")

@@ -511,3 +511,164 @@ def benchmark_contamination(
             "contamination_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (corpus-internal repeated spans)
+# ---------------------------------------------------------------------------
+
+def positional_spans(
+    docs: DataFrame, text_col: str = "text", k: int = SHINGLE_WORDS
+) -> DataFrame:
+    """Every k-word span occurrence per document — (doc_id, span), NOT
+    distinct: exact substring dedup counts occurrences, so a span repeated
+    inside one document is as duplicated as one repeated across documents.
+    Documents shorter than k words contribute their whole normalized text.
+
+    Same construction discipline as :func:`shingle_arrays`: the normalized
+    text and word array are bound columns before the lambda (no CSE across
+    lambda boundaries), and the explode is ``explode_outer`` to block the
+    ``size(..) > 0`` inference that would inline + serialize the span
+    expression below the scan-spreading Exchange (see word_shingles)."""
+    base = docs.select(
+        "doc_id", norm_text(F.col(text_col)).alias("nt")
+    ).withColumn("ws", F.split("nt", " "))
+    n = F.size("ws")
+    w = F.col("ws")
+    spans = F.when(n < k, F.array(F.col("nt"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+        )
+    )
+    return base.select("doc_id", F.explode_outer(spans).alias("span"))
+
+
+def span_dup_stats(
+    docs: DataFrame, text_col: str = "text", k: int = SHINGLE_WORDS
+) -> DataFrame:
+    """Exact substring-span dedup signals — the corpus-internal twin of
+    benchmark contamination, after the ExactSubstr dedup of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): a span is *duplicated* when the same k-word window
+    occurs at least twice anywhere in the corpus (other documents or the
+    same one). Reported per document so a curation pass can cull or trim
+    high-duplication docs.
+
+    Output: (doc_id, n_spans, dup_spans, dup_span_ppm) where dup_spans
+    counts this document's span occurrences whose text occurs >= 2 times
+    corpus-wide and dup_span_ppm = dup_spans * 1e6 div n_spans.
+
+    Scale shape — three linear keyed exchanges, no pair join anywhere:
+    (1) per-(doc, span-hash) occurrence counts (partial agg collapses
+    within-doc repeats map-side); (2) corpus totals per span-hash over the
+    already-collapsed per-doc counts; (3) the per-doc rollup. Spans are
+    md5-hashed before the first exchange so shuffle rows carry a fixed
+    32-byte key instead of the span text. Suffix-array ExactSubstr finds
+    *maximal* repeats; fixed-k windows are its shuffle-friendly
+    approximation (any repeat of length >= k words is detected)."""
+    per = (
+        positional_spans(docs, text_col, k)
+        .groupBy("doc_id", F.md5("span").alias("h"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = per.groupBy("h").agg(F.sum("c").alias("tot"))
+    return (
+        per.join(tot, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("tot") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_spans"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            F.expr("(dup_spans * 1000000) div n_spans").alias("dup_span_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    jaccard_ppm: int = 500_000,
+    k: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against the EXISTING corpus — the shape
+    every production crawl pipeline actually runs (dedup today's batch
+    against yesterday's 100 TB, not the corpus against itself):
+
+    1. exact layer — content-md5 left join against the corpus hash set;
+       a hit is an ``exact_dup`` (match_doc = smallest matching corpus
+       doc);
+    2. near layer, exact-survivors only — MinHash-LSH band buckets of the
+       batch joined against the corpus bucket index, candidates verified
+       with exact shingle Jaccard; ``inter * 1e6 >= jaccard_ppm *
+       union_n`` (integer algebra — no float crosses the verdict) makes
+       it a ``near_dup`` (match_doc = smallest verified corpus doc);
+    3. everything else is a ``keep``.
+
+    Output: one row per new-batch doc — (doc_id, verdict, match_doc),
+    verdict in {'exact_dup', 'near_dup', 'keep'}; match_doc NULL for
+    keeps. Directional on purpose: batch-internal duplicates are the
+    self-dedup operators' job (exact_dedup_groups / minhash_lsh_neardups)
+    and flagging them here would double-drop.
+
+    Scale shape: the corpus side never rescans raw text in steady state —
+    the hash set, signatures, and band buckets are exactly the artifacts
+    an ingest pipeline persists and appends to batch over batch (compute
+    them here only because the operator takes raw frames); the joins are
+    all keyed equi-joins (hash, then band+bucket, then shingle verify
+    restricted to candidates). The batch side is small next to the
+    corpus, so every per-batch structure broadcasts or shuffles cheaply.
+    """
+    nh = new_docs.select("doc_id", F.md5(norm_text(F.col(text_col))).alias("h"))
+    ch = (
+        corpus.select(
+            F.md5(norm_text(F.col(text_col))).alias("h"),
+            F.col("doc_id").alias("c_id"),
+        )
+        .groupBy("h")
+        .agg(F.min("c_id").alias("exact_match"))
+    )
+    ex = nh.join(ch, "h", "left").select("doc_id", "exact_match")
+    survivors = ex.filter(F.col("exact_match").isNull()).select("doc_id")
+
+    arr_new = shingle_arrays(new_docs.join(survivors, "doc_id"), text_col, k)
+    arr_cor = shingle_arrays(corpus, text_col, k)
+    bk_new = lsh_buckets(minhash_signatures_arr(arr_new))
+    bk_cor = lsh_buckets(minhash_signatures_arr(arr_cor))
+    cand = (
+        bk_new.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            bk_cor.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ver = pair_jaccard_arrays(cand, arr_new.unionByName(arr_cor))
+    near = (
+        ver.filter(
+            F.col("inter") * 1_000_000 >= F.lit(jaccard_ppm) * F.col("union_n")
+        )
+        .groupBy("doc_a")
+        .agg(F.min("doc_b").alias("near_match"))
+        .withColumnRenamed("doc_a", "doc_id")
+    )
+    return ex.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        F.coalesce("exact_match", "near_match").alias("match_doc"),
+    )

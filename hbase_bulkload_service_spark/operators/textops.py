@@ -414,3 +414,77 @@ def pack_sequences(
         "_shard", F.abs(F.hash(*[F.col(c) for c in id_cols])) % num_shards
     )
     return sharded.groupBy("_shard").applyInPandas(pack, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# BM25-family ranked retrieval over the inverted index
+# ---------------------------------------------------------------------------
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-shaped ranked retrieval over :func:`term_index` — score every
+    document against a bag of query terms with Okapi BM25's saturating
+    tf component (k1 = 1.2, b = 0.75) and rank the top_k.
+
+    All arithmetic is integer-rational so the ranking is bit-identical
+    across engines (the repo's oracle-portability rule): with
+    A = (10 * total_words) div n_docs (~= 10 * avgdl),
+
+        tf_ppm  = 1e6 * 22*A*tf  div (10*A*tf + 3*A + 90*dl)
+
+    is exactly floor(1e6 * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)))
+    up to the deterministic avgdl rounding, and the idf is the rational
+    substitute idf_ppm = 1e6 * (N - df) div (df + 1) — monotone
+    decreasing in df like ln((N - df + .5)/(df + .5) + 1), so rankings
+    agree whenever per-term idf order, not absolute scale, decides (swap
+    in the ln form when cross-engine hash-exactness is not required).
+    int64-safe while 22e6 * A * tf < 2^63, i.e. avgdl * tf < 4e10 —
+    beyond any real corpus (the factors are per-document, not corpus
+    totals).
+
+    Output: (rank, doc_id, score, n_terms_hit), rank 1..top_k by
+    (score DESC, doc_id ASC).
+
+    Scale shape: the term filter is a literal IN pushed into the token
+    stream, so the index is built only over query-term postings; df and
+    the one-row corpus stats broadcast; the global top-k is orderBy +
+    limit — Spark's TakeOrderedAndProject (per-partition partial top-k,
+    merge on the driver; never a single-partition window). The final
+    rank window runs over top_k rows only."""
+    from pyspark.sql.window import Window
+
+    base = docs.select("doc_id", F.size(words_of(F.col(text_col))).alias("dl"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("(10 * sum(dl)) div count(*)").alias("a10"),
+    )
+    tf = term_index(docs, text_col).filter(F.col("term").isin(list(terms)))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(base, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "((1000000 * (n_docs - df)) div (df + 1))"
+                " * ((1000000 * 22 * a10 * tf)"
+                "    div (10 * a10 * tf + 3 * a10 + 90 * dl))"
+                " div 1000000"
+            ).alias("contrib"),
+        )
+    )
+    top = (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("n_terms_hit"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score", "n_terms_hit"
+    )

@@ -1,0 +1,301 @@
+"""Registry wave 7 (q101-q104) — corpus-internal exact substring-span
+dedup (Lee et al. 2022 ExactSubstr family), SemDeDup-style semantic
+dedup over embedding clusters, the deterministic training-order shuffle,
+and BM25-family ranked retrieval over the inverted index.
+
+Same portability rules as the other registry files: integer ppm/micros
+everywhere a float would cross the oracle boundary, identical aliases
+both sides, DuckDB SUMs cast to BIGINT before they reach the pandas
+fetch path (HUGEINT renders as float64 and breaks the value hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.operators import (
+    curation,
+    dedup,
+    similarity,
+    textops,
+)
+from hbase_bulkload_service_spark.registry import register
+from hbase_bulkload_service_spark.registry_llm import (
+    DOCS_NORM_CTE,
+    NEARDUP_THRESHOLD_MICROS,
+    _duck_cos_micros,
+)
+from hbase_bulkload_service_spark.sources.tables import load
+
+# ===========================================================================
+# q101 — exact substring-span dedup (corpus-internal repeated k-word spans)
+# ===========================================================================
+
+SPAN_K = 8
+
+_SPAN_EXPR = " || ' ' || ".join(f"ws[i + {j}]" for j in range(SPAN_K))
+
+
+@register(
+    "q101_span_dedup",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    sp AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) < {SPAN_K} THEN [nt]
+                         ELSE list_transform(range(1, len(ws) - {SPAN_K - 2}),
+                                             i -> {_SPAN_EXPR})
+                    END) AS span
+      FROM w
+    ),
+    per AS (
+      SELECT doc_id, md5(span) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sp GROUP BY 1, 2
+    ),
+    tot AS (SELECT h, CAST(SUM(c) AS BIGINT) AS tot FROM per GROUP BY 1)
+    SELECT per.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_spans,
+           CAST(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(SUM(c) AS BIGINT) AS dup_span_ppm
+    FROM per JOIN tot USING (h)
+    GROUP BY 1
+    """,
+)
+def q101_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal exact substring dedup signals: per document, how
+    many of its 8-word span occurrences appear >= 2 times anywhere in the
+    corpus (operators/dedup.py:span_dup_stats — the shuffle-friendly
+    fixed-k approximation of suffix-array ExactSubstr)."""
+    return dedup.span_dup_stats(
+        load(spark, sf_dir, "documents", spread=True), k=SPAN_K
+    )
+
+
+# ===========================================================================
+# q102 — SemDeDup-style semantic dedup (cluster-blocked embedding dedup)
+# ===========================================================================
+
+
+@register(
+    "q102_semantic_dedup",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    s AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_duck_cos_micros("e.embedding", "c.cvec")} AS cm
+      FROM embeddings e, c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cm DESC, centroid_id) AS rn
+        FROM s
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {_duck_cos_micros("ea.embedding", "eb.embedding")}
+              >= {NEARDUP_THRESHOLD_MICROS}
+      GROUP BY 1
+    )
+    SELECT a.vec_id, a.cell, dup.dup_of, dup.dup_of IS NULL AS keep
+    FROM assign a LEFT JOIN dup USING (vec_id)
+    """,
+)
+def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdict per vector: IVF-cell-blocked lowest-id-wins
+    semantic dedup at the q42 threshold
+    (operators/similarity.py:semantic_dedup)."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return similarity.semantic_dedup(
+        emb, NEARDUP_THRESHOLD_MICROS, similarity.pseudo_centroids(emb)
+    )
+
+
+# ===========================================================================
+# q103 — deterministic training-order shuffle
+# ===========================================================================
+
+SHUFFLE_SEED = 7
+SHUFFLE_SHARDS = 64
+
+
+@register(
+    "q103_corpus_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS ok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ok,
+             ('0x' || substr(ok, 1, 8))::BIGINT % {SHUFFLE_SHARDS} AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS pos
+    FROM s
+    """,
+)
+def q103_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random epoch ordering of the corpus: md5
+    shard + in-shard rank (operators/curation.py:deterministic_shuffle —
+    one keyed exchange, per-shard parallel sorts, reproducible across
+    retries)."""
+    return curation.deterministic_shuffle(
+        load(spark, sf_dir, "documents", spread=True).select("doc_id"),
+        seed=SHUFFLE_SEED,
+        n_shards=SHUFFLE_SHARDS,
+    ).select("doc_id", "shard", "pos")
+
+
+# ===========================================================================
+# q104 — BM25-family ranked retrieval
+# ===========================================================================
+
+BM25_TERMS = ("vector", "stream", "window")
+BM25_TOPK = 20
+
+_TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "q104_bm25_topk",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             (10 * CAST(SUM(dl) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+               AS a10
+      FROM base
+    ),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({_TERM_LIST}) GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT doc_id,
+             ((1000000 * (n_docs - df)) // (df + 1))
+               * ((1000000 * 22 * a10 * tf)
+                  // (10 * a10 * tf + 3 * a10 + 90 * dl))
+               // 1000000 AS contrib
+      FROM tf JOIN dfs USING (term) JOIN base USING (doc_id)
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM contrib GROUP BY 1
+    ),
+    top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT {BM25_TOPK})
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+           doc_id, score, n_terms_hit
+    FROM top
+    """,
+)
+def q104_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, integer-rational form) top-20 documents for
+    a 3-term query over the inverted index
+    (operators/textops.py:bm25_scores)."""
+    return textops.bm25_scores(
+        load(spark, sf_dir, "documents", spread=True),
+        list(BM25_TERMS),
+        top_k=BM25_TOPK,
+    )
+
+
+# ===========================================================================
+# q105 — incremental ingest dedup (new batch vs existing corpus)
+# ===========================================================================
+
+INC_JACCARD_PPM = 500_000
+
+from hbase_bulkload_service_spark.registry_llm import _sh_cte  # noqa: E402
+
+
+def _bands_sql(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || ',' || mh{2 * b + 1})"
+        f" AS bucket FROM {src}"
+        for b in range(dedup.LSH_BANDS)
+    )
+
+
+_SIG_COLS_W7 = ", ".join(
+    f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(dedup.MINHASH_K)
+)
+
+
+@register(
+    "q105_incremental_dedup",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    nd AS (SELECT doc_id, nt, ws FROM w WHERE doc_id % 10 = 7),
+    cd AS (SELECT doc_id, nt, ws FROM w WHERE doc_id % 10 <> 7),
+    ch AS (SELECT md5(nt) AS h, MIN(doc_id) AS exact_match FROM cd GROUP BY 1),
+    ex AS (
+      SELECT n.doc_id, ch.exact_match
+      FROM (SELECT doc_id, md5(nt) AS h FROM nd) n LEFT JOIN ch USING (h)
+    ),
+    surv AS (SELECT doc_id, nt, ws FROM nd
+             WHERE doc_id IN (SELECT doc_id FROM ex WHERE exact_match IS NULL)),
+    {_sh_cte("surv").replace("sh AS", "sh_n AS")},
+    {_sh_cte("cd").replace("sh AS", "sh_c AS")},
+    sig_n AS (SELECT doc_id, {_SIG_COLS_W7} FROM sh_n GROUP BY doc_id),
+    sig_c AS (SELECT doc_id, {_SIG_COLS_W7} FROM sh_c GROUP BY doc_id),
+    bk_n AS ({_bands_sql("sig_n")}),
+    bk_c AS ({_bands_sql("sig_c")}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bk_n a JOIN bk_c b ON a.band = b.band AND a.bucket = b.bucket
+    ),
+    szn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh_n GROUP BY 1),
+    szc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh_c GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN sh_n sa ON sa.doc_id = c.doc_a
+      JOIN sh_c sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT doc_a AS doc_id, MIN(doc_b) AS near_match
+      FROM inter i
+      JOIN szn ON szn.doc_id = i.doc_a
+      JOIN szc ON szc.doc_id = i.doc_b
+      WHERE i.inter * 1000000 >= {INC_JACCARD_PPM} * (szn.n + szc.n - i.inter)
+      GROUP BY 1
+    )
+    SELECT ex.doc_id,
+           CASE WHEN ex.exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN near.near_match IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS verdict,
+           COALESCE(ex.exact_match, near.near_match) AS match_doc
+    FROM ex LEFT JOIN near USING (doc_id)
+    """,
+)
+def q105_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with doc_id % 10 = 7 play the new
+    batch, the rest the existing corpus; exact-hash layer then
+    MinHash-LSH near layer, integer-Jaccard verdicts
+    (operators/dedup.py:incremental_dedup)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return dedup.incremental_dedup(
+        batch, corpus, jaccard_ppm=INC_JACCARD_PPM
+    )

@@ -1,0 +1,252 @@
+"""Wave-7 operator invariants: exact substring-span dedup, SemDeDup-style
+semantic dedup, the deterministic training-order shuffle, and BM25
+ranked retrieval."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.operators import curation, dedup, similarity, textops
+
+
+# ---------------------------------------------------------------------------
+# span_dup_stats
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_dup_planted_cross_doc(spark):
+    shared = "alpha beta gamma delta"  # 4-word span, k=4
+    rows = [
+        (1, f"one two three {shared} four"),
+        (2, f"{shared} five six seven"),
+        (3, "eight nine ten eleven twelve"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_dup_stats(_docs(spark, rows), k=4).collect()
+    }
+    # doc 1: 8 words -> 5 spans, exactly one (the shared span) duplicated;
+    # doc 2: 7 words -> 4 spans, one duplicated
+    assert out[1]["n_spans"] == 5 and out[1]["dup_spans"] == 1
+    assert out[2]["n_spans"] == 4 and out[2]["dup_spans"] == 1
+    assert out[3]["dup_spans"] == 0
+    assert out[1]["dup_span_ppm"] == 1_000_000 // 5
+
+
+def test_span_dup_within_doc_repeat_counts_every_occurrence(spark):
+    # the same 3-word span occurs twice INSIDE one doc -> both occurrences dup
+    rows = [(1, "x y z q x y z")]
+    out = dedup.span_dup_stats(_docs(spark, rows), k=3).collect()[0]
+    # spans: "x y z", "y z q", "z q x", "q x y", "x y z" -> 5 spans, 2 dups
+    assert out["n_spans"] == 5
+    assert out["dup_spans"] == 2
+
+
+def test_span_dup_short_doc_whole_text(spark):
+    rows = [(1, "solo doc"), (2, "solo doc"), (3, "different entirely")]
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_dup_stats(_docs(spark, rows), k=8).collect()
+    }
+    assert out[1]["n_spans"] == 1 and out[1]["dup_spans"] == 1
+    assert out[2]["dup_spans"] == 1
+    assert out[3]["dup_spans"] == 0
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_lowest_id_wins(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # centroid (every 50th id)
+        (1, [0.99, 0.1, 0.0]),  # near-dup of 3's direction, lower id
+        (3, [0.98, 0.11, 0.0]),  # dup of 1
+        (7, [0.0, 1.0, 0.0]),   # different direction but see centroid note
+    ]
+    emb = _emb(spark, rows)
+    cents = similarity.pseudo_centroids(emb, every=50)  # only vec 0
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(emb, 990_000, cents).collect()
+    }
+    # all assigned to the single cell; 0/1 close (cos ~ .995); 3 dups of 1
+    assert out[0]["keep"] and out[0]["dup_of"] is None
+    assert not out[1]["keep"] and out[1]["dup_of"] == 0
+    assert not out[3]["keep"] and out[3]["dup_of"] == 0 or out[3]["dup_of"] == 1
+    assert out[7]["keep"]  # orthogonal to everything
+    # verdict covers every input exactly once
+    assert set(out) == {0, 1, 3, 7}
+
+
+def test_semantic_dedup_threshold_excludes(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.1])]
+    emb = _emb(spark, rows)
+    out = similarity.semantic_dedup(
+        emb, 900_000, similarity.pseudo_centroids(emb, every=1000)
+    ).collect()
+    assert all(r["keep"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# deterministic_shuffle
+# ---------------------------------------------------------------------------
+
+def test_shuffle_reproducible_and_complete(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = curation.deterministic_shuffle(df, seed=3, n_shards=16)
+    b = curation.deterministic_shuffle(df.repartition(7), seed=3, n_shards=16)
+    ra = sorted((r["doc_id"], r["shard"], r["pos"]) for r in a.collect())
+    rb = sorted((r["doc_id"], r["shard"], r["pos"]) for r in b.collect())
+    assert ra == rb  # partitioning-independent, retry-safe
+    assert len(ra) == 500
+    # shards in range, pos dense 1..n per shard
+    by_shard: dict[int, list[int]] = {}
+    for _, sh, pos in ra:
+        assert 0 <= sh < 16
+        by_shard.setdefault(sh, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_new_seed_new_permutation(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = curation.deterministic_shuffle(df, seed=1, n_shards=8)
+    b = curation.deterministic_shuffle(df, seed=2, n_shards=8)
+    oa = [r["doc_id"] for r in a.orderBy("shard", "pos").collect()]
+    ob = [r["doc_id"] for r in b.orderBy("shard", "pos").collect()]
+    assert oa != ob
+    assert sorted(oa) == sorted(ob) == list(range(300))
+
+
+def test_shuffle_balanced(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    sizes = (
+        curation.deterministic_shuffle(df, seed=5, n_shards=10)
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    assert len(sizes) == 10
+    for r in sizes:  # multinomial(2000, 1/10): ~200 +- 5 sigma
+        assert 130 <= r["count"] <= 270
+
+
+# ---------------------------------------------------------------------------
+# bm25_scores
+# ---------------------------------------------------------------------------
+
+def _bm25_reference(docs: list[tuple[int, str]], terms: list[str], top_k: int):
+    """Plain-Python ground truth of the integer-rational BM25."""
+    words = {d: t.split() for d, t in docs}
+    dls = {d: len(ws) for d, ws in words.items()}
+    n_docs = len(docs)
+    a10 = (10 * sum(dls.values())) // n_docs
+    tfs = {
+        (d, t): words[d].count(t)
+        for d in words
+        for t in terms
+        if words[d].count(t) > 0
+    }
+    dfs = {t: sum(1 for (d2, t2) in tfs if t2 == t) for t in terms}
+    scores: dict[int, int] = {}
+    hits: dict[int, int] = {}
+    for (d, t), tf in tfs.items():
+        idf = (1_000_000 * (n_docs - dfs[t])) // (dfs[t] + 1)
+        tfp = (1_000_000 * 22 * a10 * tf) // (10 * a10 * tf + 3 * a10 + 90 * dls[d])
+        scores[d] = scores.get(d, 0) + (idf * tfp) // 1_000_000
+        hits[d] = hits.get(d, 0) + 1
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return [
+        (i + 1, d, s, hits[d]) for i, (d, s) in enumerate(ranked)
+    ]
+
+
+def test_bm25_matches_reference(spark):
+    docs = [
+        (1, "spark vector vector vector stream"),
+        (2, "window window stream other words here padding padding padding"),
+        (3, "vector stream window"),
+        (4, "nothing relevant at all"),
+        (5, "vector " * 10 + "lots of other words " * 5),
+    ]
+    terms = ["vector", "stream", "window"]
+    got = [
+        (r["rank"], r["doc_id"], r["score"], r["n_terms_hit"])
+        for r in textops.bm25_scores(_docs(spark, docs), terms, top_k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _bm25_reference(docs, terms, 3)
+
+
+def test_bm25_tf_saturates_short_doc_wins(spark):
+    # same tf, shorter doc scores higher (length normalization)
+    # (doc 3 keeps df < N: the rational idf — like the raw ln form with
+    # floor at 0 — zeroes out a term present in every document)
+    docs = [
+        (1, "vector term " + "pad " * 50),
+        (2, "vector term pad"),
+        (3, "no match here"),
+    ]
+    out = {
+        r["doc_id"]: r["score"]
+        for r in textops.bm25_scores(_docs(spark, docs), ["vector"], top_k=5).collect()
+    }
+    assert out[2] > out[1]
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_verdicts(spark):
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely unrelated corpus content about something else entirely"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+    ])
+    batch = _docs(spark, [
+        (101, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup -> 1
+        (102, "the quick brown fox jumps over the lazy dog again and AGAIN extra"),  # near dup
+        (103, "fresh new never seen text that matches nothing in the corpus"),  # keep
+    ])
+    out = {
+        r["doc_id"]: (r["verdict"], r["match_doc"])
+        for r in dedup.incremental_dedup(batch, corpus, jaccard_ppm=400_000).collect()
+    }
+    assert out[101] == ("exact_dup", 1)  # min corpus id wins over 3
+    assert out[102][0] == "near_dup" and out[102][1] in (1, 3)
+    assert out[103] == ("keep", None)
+    assert set(out) == {101, 102, 103}
+
+
+def test_incremental_dedup_directional(spark):
+    # batch-internal duplicates are NOT flagged (self-dedup is a different op)
+    corpus = _docs(spark, [(1, "corpus only text nothing like the batch")])
+    batch = _docs(spark, [
+        (101, "twin text repeated inside the new batch only"),
+        (102, "twin text repeated inside the new batch only"),
+    ])
+    out = dedup.incremental_dedup(batch, corpus).collect()
+    assert all(r["verdict"] == "keep" for r in out)
+
+
+def test_incremental_dedup_exact_skips_near_layer(spark):
+    # an exact dup must report the smallest matching corpus doc, and must
+    # not be re-reported by the near layer
+    corpus = _docs(spark, [(5, "same words here"), (9, "same words here")])
+    batch = _docs(spark, [(100, "same words here")])
+    out = dedup.incremental_dedup(batch, corpus).collect()
+    assert len(out) == 1
+    assert out[0]["verdict"] == "exact_dup" and out[0]["match_doc"] == 5
