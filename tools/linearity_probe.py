@@ -42,6 +42,10 @@ PROBE_QUERIES = [
     "q96_counter_deltas",      # per-series lag window, one keyed shuffle
     "q97_value_histogram",     # integer bucketing, one hash agg
     "q100_retention_audit",    # rank window + retention agg over cells
+    "q101_span_dedup",         # 3 linear keyed exchanges; amplified docs make every span a dup (worst case)
+    "q103_corpus_shuffle",     # one keyed exchange + per-shard sorts
+    "q104_bm25_topk",          # IN-pruned index + TakeOrderedAndProject
+    "q105_incremental_dedup",  # exact-hash layer absorbs amplified copies (near layer idles by design)
 ]
 
 
