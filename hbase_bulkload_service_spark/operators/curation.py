@@ -254,3 +254,42 @@ def deterministic_shuffle(
     )
     w = Window.partitionBy("shard").orderBy(F.col("__ord"), F.col(key_col))
     return out.withColumn("pos", F.row_number().over(w)).drop("__ord")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_ppm: Column,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic importance resampling: keep each row with probability
+    ``weight_ppm / 1e6`` (clamped to [0, 1e6]), decided by a portable md5
+    bucket of (seed, key) — the per-row generalization of
+    :func:`stratified_sample`'s per-stratum rates. This is the primitive
+    behind quality-weighted corpus resampling (upweight high-quality /
+    underrepresented documents, DSIR-style importance sampling given any
+    per-row weight expression).
+
+    Determinism inherits stratified_sample's properties: reruns, retried
+    tasks, and repartitioning keep the identical subset (rand() keeps
+    none of these); a different seed draws an independent subset.
+    Monotone in the weight: raising a row's weight can only add it, so
+    nested keep-rates produce nested samples (useful for staged
+    ablations: the 10% corpus is a subset of the 20% corpus).
+
+    Scale shape: a pure map-side filter — ZERO shuffle, composes with any
+    downstream pipeline without breaking its partitioning.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return df.filter(bucket < F.greatest(F.lit(0), F.least(F.lit(1_000_000), weight_ppm)))

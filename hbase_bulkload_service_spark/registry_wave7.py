@@ -299,3 +299,36 @@ def q105_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(
         batch, corpus, jaccard_ppm=INC_JACCARD_PPM
     )
+
+
+# ===========================================================================
+# q106 — quality-weighted importance resampling
+# ===========================================================================
+
+WS_SEED = 11
+
+
+@register(
+    "q106_weighted_sample",
+    f"""
+    WITH wgt AS (
+      SELECT doc_id, lang, n_chars,
+             LEAST(1000000, CAST(n_chars AS BIGINT) * 4000) AS weight_ppm,
+             ('0x' || substr(md5('{WS_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, weight_ppm
+    FROM wgt WHERE bucket < weight_ppm
+    """,
+)
+def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: keep probability scales
+    with document length (weight_ppm = min(1e6, n_chars * 4000)) via the
+    deterministic md5 bucket (operators/curation.py:weighted_sample —
+    zero-shuffle map filter; retries/reruns keep the identical subset)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    w = F.least(F.lit(1_000_000), F.col("n_chars").cast("long") * 4000)
+    return curation.weighted_sample(docs, w, seed=WS_SEED).select(
+        "doc_id", "lang", "n_chars", w.alias("weight_ppm")
+    )

@@ -250,3 +250,30 @@ def test_incremental_dedup_exact_skips_near_layer(spark):
     out = dedup.incremental_dedup(batch, corpus).collect()
     assert len(out) == 1
     assert out[0]["verdict"] == "exact_dup" and out[0]["match_doc"] == 5
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    w_lo = F.lit(200_000)
+    w_hi = F.lit(400_000)
+    lo1 = {r["doc_id"] for r in curation.weighted_sample(df, w_lo, seed=1).collect()}
+    lo2 = {r["doc_id"] for r in curation.weighted_sample(df.repartition(5), w_lo, seed=1).collect()}
+    hi = {r["doc_id"] for r in curation.weighted_sample(df, w_hi, seed=1).collect()}
+    assert lo1 == lo2          # rerun/repartition keeps the identical subset
+    assert lo1 <= hi           # nested rates -> nested samples
+    assert 0.15 < len(lo1) / 4000 < 0.25   # ~20% +- 5sigma
+    assert 0.35 < len(hi) / 4000 < 0.45    # ~40%
+    other_seed = {r["doc_id"] for r in curation.weighted_sample(df, w_lo, seed=2).collect()}
+    assert other_seed != lo1   # fresh seed, fresh draw
+
+
+def test_weighted_sample_clamps(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    none = curation.weighted_sample(df, F.lit(-5)).count()
+    everything = curation.weighted_sample(df, F.lit(2_000_000)).count()
+    assert none == 0
+    assert everything == 100
