@@ -16,6 +16,7 @@ from hbase_bulkload_service_spark.streaming.ops import (  # noqa: F401
     streaming_bulkload,
     streaming_counter_deltas,
     streaming_first_seen_dedup,
+    streaming_incremental_dedup,
     streaming_latest_version,
     streaming_lookup_join,
     streaming_rollup_5m,

@@ -362,3 +362,49 @@ def streaming_counter_deltas(samples):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_incremental_dedup(
+    doc_stream,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+):
+    """Live twin of :func:`operators.dedup.incremental_dedup`'s exact
+    layer — the continuous-ingest shape: a stream of new documents
+    deduped against (a) the EXISTING corpus and (b) ITSELF within the
+    watermark window.
+
+    ``corpus_hashes`` is the persisted corpus artifact — one row per
+    known content hash, columns (h, exact_match) exactly as the batch
+    operator's hash set (md5 of normalized text, smallest owning doc).
+    The stream-static LEFT join against it is stateless (re-planned per
+    micro-batch, so a corpus refresh is picked up without restarting);
+    rows that miss then pass `dropDuplicatesWithinWatermark` on the
+    content hash, which keeps the FIRST arrival of each new text and
+    drops replays/simulcasts — state bounded by the watermark window,
+    keyed by the 32-byte hash, never the text.
+
+    Returns the keep-stream: (doc_id, ts, h) for documents seen neither
+    in the corpus nor earlier in the stream window. The near-dup layer
+    stays batch-side by design: LSH banding needs the corpus bucket
+    index, and verification Jaccard is a per-candidate join — run
+    :func:`incremental_dedup` over the keeps as a micro-batch/daily
+    compaction instead of holding corpus-sized state in the stream.
+    """
+    from hbase_bulkload_service_spark.operators.textops import norm_text
+
+    hashed = doc_stream.select(
+        "doc_id",
+        F.col(ts_col),
+        F.md5(norm_text(F.col(text_col))).alias("h"),
+    )
+    missed = (
+        hashed.join(F.broadcast(corpus_hashes), "h", "left")
+        .filter(F.col("exact_match").isNull())
+        .select("doc_id", ts_col, "h")
+    )
+    return missed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["h"]
+    )

@@ -315,3 +315,36 @@ def test_streaming_counter_deltas_carries_state_across_batches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM stream_deltas2").collect()
     }
     assert rows == {2: (20, 100), 3: (-5, 100)}  # late event 4 dropped
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Stream-static corpus dedup + within-stream first-seen dedup."""
+    import datetime as dt
+
+    d = str(tmp_path / "docstream")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "doc_id long, event_time timestamp, text string"
+    rows1 = [
+        (101, t0, "already in the corpus verbatim"),       # corpus dup
+        (102, t0, "brand new text first arrival"),          # keep
+    ]
+    rows2 = [
+        (103, t0 + dt.timedelta(minutes=1), "brand new text first arrival"),  # stream replay — drop
+        (104, t0 + dt.timedelta(minutes=2), "another fresh document"),        # keep
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    corpus = spark.createDataFrame(
+        [("x", 1)], "h string, exact_match long"
+    ).select(
+        F.md5(F.lit("already in the corpus verbatim")).alias("h"),
+        F.col("exact_match"),
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = st.streaming_incremental_dedup(stream, corpus)
+    _run_to_memory(out, "inc_dedup_stream", "append")
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM inc_dedup_stream").collect()
+    )
+    assert got == [102, 104]
