@@ -403,3 +403,41 @@ def fixed_width_histogram(
         .withColumn("bucket_lo", F.lit(lo) + F.col("bucket") * F.lit(w))
         .withColumn("bucket_hi", F.lit(lo) + (F.col("bucket") + 1) * F.lit(w))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over per-user event sequences — the
+    user-journey / Markov-chain profile: for every ordered pair of
+    consecutive events of the same user, count (from_type -> to_type)
+    and its per-from-state share in integer ppm.
+
+    Ordering is (ts, tiebreak) so simultaneous events resolve
+    deterministically — the same discipline as scd2_history.
+
+    Scale shape: ONE user-keyed exchange feeds the lead() window
+    (per-user partition-local sort, state O(1) per row); the transition
+    count is a hash agg whose output is |event types|^2 rows —
+    independent of input size — so the share window over from_type runs
+    on a handful of rows. Nothing after the first exchange is
+    data-sized."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    nxt = events.select(user_col, type_col, ts_col, tiebreak_col).withColumn(
+        "to_type", F.lead(type_col).over(w)
+    )
+    return (
+        nxt.filter(F.col("to_type").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), "to_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "(cnt * 1000000) div (sum(cnt) OVER (PARTITION BY from_type))"
+            ),
+        )
+    )

@@ -332,3 +332,74 @@ def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.weighted_sample(docs, w, seed=WS_SEED).select(
         "doc_id", "lang", "n_chars", w.alias("weight_ppm")
     )
+
+
+# ===========================================================================
+# q107 — edit-distance-1 fuzzy self-join (deletion-neighborhood linkage)
+# ===========================================================================
+
+
+@register(
+    "q107_fuzzy_linkage",
+    """
+    WITH v AS (
+      SELECT c_custkey AS id, c_name AS s,
+             md5(unnest(list_distinct(list_append(
+               list_transform(range(1, length(c_name) + 1),
+                              i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+               c_name)))) AS var
+      FROM customer
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.s, b.s) AS dist
+    FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 1
+    """,
+)
+def q107_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join on customer names: all pairs
+    within Levenshtein distance 1, blocked EXACTLY by k=1 deletion
+    neighborhoods — linear variant expansion + one keyed equi-join, no
+    cross product (operators/dedup.py:fuzzy_self_join_k1)."""
+    cust = load(spark, sf_dir, "customer", spread=True)
+    return dedup.fuzzy_self_join_k1(cust, "c_custkey", "c_name")
+
+
+# ===========================================================================
+# q108 — first-order event-transition matrix (user-journey profile)
+# ===========================================================================
+
+
+@register(
+    "q108_event_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+      FROM events
+    ),
+    nxt AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id
+             ) AS to_type
+      FROM e
+    ),
+    t AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, cnt,
+           cnt * 1000000
+             // CAST(SUM(cnt) OVER (PARTITION BY from_type) AS BIGINT)
+             AS share_ppm
+    FROM t
+    """,
+)
+def q108_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of per-user event sequences with
+    per-from-state integer-ppm shares
+    (operators/analytics.py:event_transitions)."""
+    from hbase_bulkload_service_spark.operators import analytics
+    from hbase_bulkload_service_spark.sources.tables import load_events
+
+    return analytics.event_transitions(load_events(spark, sf_dir, spread=True))

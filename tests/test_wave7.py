@@ -277,3 +277,79 @@ def test_weighted_sample_clamps(spark):
     everything = curation.weighted_sample(df, F.lit(2_000_000)).count()
     assert none == 0
     assert everything == 100
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_self_join_k1
+# ---------------------------------------------------------------------------
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    names = [
+        (1, "Customer#001"), (2, "Customer#002"), (3, "Customer#011"),
+        (4, "Xustomer#001"), (5, "totally different"), (6, "Customer#0011"),
+        (7, "Customer#001"),  # exact dup of 1 -> dist 0
+        (8, "ab"), (9, "b"), (10, "a"),
+    ]
+    df = spark.createDataFrame(names, "ck long, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.fuzzy_self_join_k1(df, "ck", "name").collect()
+    )
+    want = sorted(
+        (a, b, _levenshtein(sa, sb))
+        for (a, sa) in names
+        for (b, sb) in names
+        if a < b and _levenshtein(sa, sb) <= 1
+    )
+    assert got == want
+
+
+def test_fuzzy_join_no_distance2_leak(spark):
+    # delete+insert at different positions collides in the neighborhood
+    # ("abc" -> "bc" <- "bbc"? no;  "abcd" vs "bcda" shares "bcd") — the
+    # levenshtein verify must drop such distance-2 pairs
+    df = spark.createDataFrame([(1, "abcd"), (2, "bcda")], "ck long, name string")
+    assert dedup.fuzzy_self_join_k1(df, "ck", "name").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# event_transitions
+# ---------------------------------------------------------------------------
+
+def test_event_transitions_counts_and_shares(spark):
+    from hbase_bulkload_service_spark.operators import analytics
+    rows = [
+        # user 1: a -> b -> a   user 2: a -> a    user 3: b (no transition)
+        (1, 1, "a", 100), (2, 1, "b", 200), (3, 1, "a", 300),
+        (4, 2, "a", 100), (5, 2, "a", 150),
+        (6, 3, "b", 100),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts_ms long")
+    out = {
+        (r["from_type"], r["to_type"]): (r["cnt"], r["share_ppm"])
+        for r in analytics.event_transitions(ev).collect()
+    }
+    assert out == {
+        ("a", "b"): (1, 500_000),
+        ("a", "a"): (1, 500_000),
+        ("b", "a"): (1, 1_000_000),
+    }
+
+
+def test_event_transitions_tiebreak_deterministic(spark):
+    from hbase_bulkload_service_spark.operators import analytics
+    # same ts: event_id orders them -> a(1) then b(2)
+    rows = [(1, 1, "a", 100), (2, 1, "b", 100)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts_ms long")
+    out = analytics.event_transitions(ev).collect()
+    assert len(out) == 1 and out[0]["from_type"] == "a" and out[0]["to_type"] == "b"
