@@ -182,3 +182,100 @@ def resize(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
 
     images = media.filter(F.col("media_type") == "image").select("doc_id", "payload")
     return images.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (image-dedup family)
+# ---------------------------------------------------------------------------
+
+PHASH_CELLS = 16
+PHASH_BANDS = 4  # 4 bands x 4 bits: pigeonhole-exact for hamming <= 3
+
+
+def _phash_stub(payload: bytes) -> int:
+    """STUB perceptual hash over the fake decode — the aHash recipe on
+    the byte stream instead of pixels: split the payload into 16 cells,
+    set bit j when cell j's mean byte value exceeds the global mean
+    (strict, integer cross-multiplied — no float anywhere, so the hash
+    is bit-identical in any engine). Real deployment: decode, grayscale,
+    16-cell downsample, same thresholding — nothing downstream changes.
+    """
+    n = len(payload)
+    if n == 0:
+        raise ValueError("cannot hash empty payload")
+    total = sum(payload)
+    h = 0
+    for j in range(PHASH_CELLS):
+        lo = j * n // PHASH_CELLS
+        hi = (j + 1) * n // PHASH_CELLS
+        if hi > lo and sum(payload[lo:hi]) * n > total * (hi - lo):
+            h |= 1 << j
+    return h
+
+
+def phash_signature(media: DataFrame) -> DataFrame:
+    """(doc_id, phash) — Arrow-batched perceptual hashing of the binary
+    payload column (mapInPandas; the payload never crosses the JVM as
+    anything but opaque bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [_phash_stub(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(batches, schema="doc_id long, phash long")
+
+
+def phash_neardups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate pairs: all (a < b) with Hamming distance
+    between phashes <= max_hamming — the image-dedup shape of web-scale
+    crawl pipelines (near-identical images under re-encode/resize).
+
+    EXACT for max_hamming <= PHASH_BANDS - 1 via multi-index Hamming
+    blocking (pigeonhole: <= 3 differing bits cannot touch all 4 of the
+    4-bit bands, so a matching band always exists): band equi-join makes
+    candidates, `bit_count(xor)` verifies — no pair space beyond band
+    collisions, no cross product. Larger max_hamming needs more/wider
+    bands (the standard multi-index trade)."""
+    if max_hamming > PHASH_BANDS - 1:
+        raise ValueError(
+            f"blocking is exact only for max_hamming <= {PHASH_BANDS - 1}"
+        )
+    sig = phash_signature(media)
+    bands = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.expr(f"shiftright(phash, {4 * k}) & 15").alias("val"),
+                    )
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band", "b.val")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(ph_a ^ ph_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

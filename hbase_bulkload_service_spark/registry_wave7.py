@@ -403,3 +403,60 @@ def q108_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_bulkload_service_spark.sources.tables import load_events
 
     return analytics.event_transitions(load_events(spark, sf_dir, spread=True))
+
+
+# ===========================================================================
+# q109 — perceptual-hash near-dup pairs (image-dedup family)
+# ===========================================================================
+
+_CODES = (
+    "list_transform(range(1, length(text) + 1),"
+    " i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))"
+)
+_LSUM = "list_reduce(list_prepend(CAST(0 AS BIGINT), {lst}), (a, b) -> a + b)"
+
+_PHASH_BIT = (
+    "CASE WHEN ((j + 1) * L) // 16 > (j * L) // 16"
+    " AND " + _LSUM.format(lst="codes[(j * L) // 16 + 1 : ((j + 1) * L) // 16]")
+    + " * L > total * (((j + 1) * L) // 16 - (j * L) // 16)"
+    " THEN CAST(1 AS BIGINT) << j ELSE 0 END"
+)
+
+
+@register(
+    "q109_phash_neardups",
+    f"""
+    WITH c AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS L, {_CODES} AS codes
+      FROM documents
+    ),
+    t AS (SELECT doc_id, L, codes, {_LSUM.format(lst="codes")} AS total FROM c),
+    ph AS (
+      SELECT doc_id,
+             {_LSUM.format(lst=f"list_transform(range(0, 16), j -> {_PHASH_BIT})")}
+               AS phash
+      FROM t
+    ),
+    bands AS (
+      SELECT doc_id, phash, b AS band, (phash >> (4 * b)) & 15 AS val
+      FROM ph, unnest([0, 1, 2, 3]) AS u(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                             AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def q109_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate image pairs over the binary media
+    column: integer aHash (16 cells, cross-multiplied threshold — no
+    float), multi-index Hamming blocking (4x4-bit bands, pigeonhole-exact
+    for distance <= 3), bit_count verify
+    (operators/multimodal.py:phash_signature / phash_neardups; ASCII
+    corpus => byte values == codepoints, so the oracle recomputes the
+    hash from text)."""
+    from hbase_bulkload_service_spark.operators import multimodal
+
+    media = multimodal.attach_media(load(spark, sf_dir, "documents", spread=True))
+    return multimodal.phash_neardups(media, max_hamming=3)

@@ -353,3 +353,53 @@ def test_event_transitions_tiebreak_deterministic(spark):
     ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts_ms long")
     out = analytics.event_transitions(ev).collect()
     assert len(out) == 1 and out[0]["from_type"] == "a" and out[0]["to_type"] == "b"
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dups
+# ---------------------------------------------------------------------------
+
+def test_phash_deterministic_and_close_payloads_close_hashes(spark):
+    from hbase_bulkload_service_spark.operators import multimodal as mm
+    base = "x" * 64 + "A" * 64  # strong contrast: half low, half high bytes
+    tweaked = "x" * 64 + "A" * 63 + "B"  # one byte changed
+    df = spark.createDataFrame(
+        [(1, base), (2, tweaked), (3, base)], "doc_id long, text string"
+    )
+    media = mm.attach_media(df)
+    sigs = {r["doc_id"]: r["phash"] for r in mm.phash_signature(media).collect()}
+    assert sigs[1] == sigs[3]                      # deterministic
+    assert sigs[1] == mm._phash_stub(base.encode())  # matches the kernel
+    assert bin(sigs[1] ^ sigs[2]).count("1") <= 2    # 1-byte tweak: tiny drift
+
+
+def test_phash_neardups_pigeonhole_recall(spark):
+    from hbase_bulkload_service_spark.operators import multimodal as mm
+    import itertools, random
+    rng = random.Random(5)
+    texts = [
+        "".join(rng.choice("abcXYZ") for _ in range(48)) for _ in range(30)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in mm.phash_neardups(mm.attach_media(df), max_hamming=3).collect()
+    }
+    # ground truth: brute-force over the stub kernel
+    sigs = [mm._phash_stub(t.encode()) for t in texts]
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(range(30), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == want  # blocking is EXACT for hamming <= bands-1
+
+
+def test_phash_rejects_unblockable_radius(spark):
+    from hbase_bulkload_service_spark.operators import multimodal as mm
+    import pytest as pt
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pt.raises(ValueError):
+        mm.phash_neardups(mm.attach_media(df), max_hamming=4)
