@@ -488,3 +488,99 @@ def bm25_scores(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "score", "n_terms_hit"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (tokenizer training)
+# ---------------------------------------------------------------------------
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) symbol pairs
+    into one concatenated symbol — a single fold over the array, exactly
+    BPE's apply step. Non-overlapping by construction: once merged, the
+    new symbol no longer equals ``left``, so `aaa` under merge (a,a)
+    becomes [aa, a], matching the reference algorithm."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges from the
+    corpus — tokenizer-vocabulary induction (Sennrich et al. 2016,
+    arXiv:1508.07909), the op that turns a 100 TB corpus into the BPE
+    table every training run tokenizes with.
+
+    Classic recipe: words become character sequences (+ end marker);
+    each round counts adjacent symbol pairs weighted by word frequency,
+    merges the most frequent pair everywhere (ties: lexicographically
+    smallest pair — deterministic), repeats.
+
+    Output: (rank, left, right, pair_count) — one row per learned merge,
+    rank 1..n_merges (fewer if the corpus runs out of repeated pairs).
+
+    Scale shape: the ONLY corpus-sized pass is the word-count aggregate
+    (explode + one keyed hash agg with map-side combine). Everything
+    after runs on the distinct-word table (vocabulary-sized, millions of
+    rows at web scale, not trillions) — per round: a pair explode + one
+    hash agg + a global argmax via orderBy().limit(1) (TakeOrdered — a
+    per-partition top-1, never a single-partition sort), then a map-only
+    fold applying the merge. The driver receives ONE row per round
+    (bounded metadata, same discipline as plan_merges); lineage is
+    truncated per round with localCheckpoint so plan depth stays O(1).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = (
+        docs.select(F.explode(words_of(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seqs = words.select(
+        "cnt",
+        F.concat(F.split("word", ""), F.array(F.lit(end_marker))).alias("syms"),
+    ).localCheckpoint(eager=False)
+
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = seqs.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .filter(F.col("pair_count") >= 2)
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["pair_count"]
+        merges.append((rank, l, r, c))
+        seqs = seqs.withColumn("syms", _merge_pair(F.col("syms"), l, r))
+        seqs = seqs.localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

@@ -460,3 +460,21 @@ def q109_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.attach_media(load(spark, sf_dir, "documents", spread=True))
     return multimodal.phash_neardups(media, max_hamming=3)
+
+
+# ===========================================================================
+# q110 — BPE vocabulary induction (rows-only: iterative, not SQL-expressible)
+# ===========================================================================
+
+
+@register("q110_bpe_merges")
+def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 12 BPE merges learned from the corpus
+    (operators/textops.py:bpe_merges). Deliberately has no SQL oracle —
+    the merge loop is iterative with a data-dependent argmax each round
+    (same class as kmeans q49 / label propagation q44); exactness is
+    pinned in tests/test_wave7.py against a plain-Python reference
+    implementation (weighted counts, tie-breaks, overlap semantics)."""
+    return textops.bpe_merges(
+        load(spark, sf_dir, "documents", spread=True), n_merges=12
+    )

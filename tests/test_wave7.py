@@ -403,3 +403,64 @@ def test_phash_rejects_unblockable_radius(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pt.raises(ValueError):
         mm.phash_neardups(mm.attach_media(df), max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges
+# ---------------------------------------------------------------------------
+
+def _bpe_reference(word_counts: dict[str, int], n_merges: int):
+    """Plain-Python BPE ground truth (Sennrich-style)."""
+    seqs = {w: list(w) + ["</w>"] for w in word_counts}
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        counts = {p: c for p, c in counts.items() if c >= 2}
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, c))
+        for w, syms in seqs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            seqs[w] = merged
+    return out
+
+
+def test_bpe_matches_reference(spark):
+    corpus = "low low low low low lower lower newest newest newest newest newest newest widest widest widest"
+    counts = {}
+    for w in corpus.split():
+        counts[w] = counts.get(w, 0) + 1
+    docs = _docs(spark, [(1, corpus)])
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in textops.bpe_merges(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == _bpe_reference(counts, 6)
+
+
+def test_bpe_overlapping_run_merges_left_to_right(spark):
+    # "aaaa": merge (a,a) counts 3 overlapping pairs but applies as [aa, aa]
+    docs = _docs(spark, [(1, "aaaa aaaa aaaa")])
+    got = [
+        (r["rank"], r["left"], r["right"])
+        for r in textops.bpe_merges(docs, n_merges=2).orderBy("rank").collect()
+    ]
+    counts = {"aaaa": 3}
+    want = [(r, l, rr) for r, l, rr, _ in _bpe_reference(counts, 2)]
+    assert got == want
+
+
+def test_bpe_stops_when_dry(spark):
+    docs = _docs(spark, [(1, "ab cd ef")])  # no pair repeats (all cnt 1)
+    assert textops.bpe_merges(docs, n_merges=5).count() == 0
