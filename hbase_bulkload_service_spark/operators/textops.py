@@ -584,3 +584,53 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Apply a learned BPE merge table (:func:`bpe_merges` output) to the
+    corpus — the tokenize step of every training run. Each word becomes
+    its character sequence (+ end marker); merges apply in rank order,
+    greedy left-to-right, exactly as during learning.
+
+    Output: (doc_id, n_words, n_tokens, tokens_per_word_ppm) — the
+    compression diagnostic (tokens/word falls as the vocab learns the
+    corpus; the ratio is the tokenizer-efficiency metric tracked when
+    sizing vocabularies).
+
+    Scale shape: the merge table is driver-side metadata (vocab-building
+    emits thousands of rows, never data-sized) — collected once and
+    BOUND INTO the column expression as a chain of per-merge folds, so
+    encoding is a pure map over the corpus: zero shuffle beyond the
+    output agg, no join, no UDF — whole-stage-codegen'd higher-order
+    functions all the way down. Plan size grows with |merges|; for
+    real 30k-merge vocabularies swap the fold chain for one Arrow-batched
+    pandas UDF holding the merge dict (same results, one Python hop) —
+    the 12-merge gate exercises the pure-JVM path."""
+    ranked = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("rank").select("left", "right").collect()
+    ]
+    words = docs.select(
+        "doc_id", F.explode(words_of(F.col(text_col))).alias("word")
+    )
+    syms = F.concat(F.split("word", ""), F.array(F.lit(end_marker)))
+    for left, right in ranked:
+        syms = _merge_pair(syms, left, right)
+    return (
+        words.select("doc_id", F.size(syms).alias("n_tok"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("n_tok").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_words").alias(
+                "tokens_per_word_ppm"
+            ),
+        )
+    )

@@ -478,3 +478,22 @@ def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_merges(
         load(spark, sf_dir, "documents", spread=True), n_merges=12
     )
+
+
+# ===========================================================================
+# q111 — BPE encode (apply learned merges; rows-only like q110)
+# ===========================================================================
+
+
+@register("q111_bpe_encode")
+def q111_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the q110-learned merge table and report
+    per-document token counts + tokens/word ppm
+    (operators/textops.py:bpe_encode — merges are driver metadata bound
+    into a pure-map fold chain; no shuffle before the output agg).
+    Rows-only gate for the same reason as q110 (the merge table feeding
+    it is iteratively learned); apply-step exactness is pinned in
+    tests/test_wave7.py against the Python reference."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    merges = textops.bpe_merges(docs, n_merges=12)
+    return textops.bpe_encode(docs, merges)

@@ -464,3 +464,40 @@ def test_bpe_overlapping_run_merges_left_to_right(spark):
 def test_bpe_stops_when_dry(spark):
     docs = _docs(spark, [(1, "ab cd ef")])  # no pair repeats (all cnt 1)
     assert textops.bpe_merges(docs, n_merges=5).count() == 0
+
+
+def test_bpe_encode_matches_reference_token_counts(spark):
+    corpus = "low low lower newest newest newest widest"
+    docs = _docs(spark, [(1, corpus), (2, "low newest")])
+    merges = textops.bpe_merges(docs, n_merges=4)
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in textops.bpe_encode(docs, merges).collect()
+    }
+    # python reference: re-learn on the same corpus, apply to each doc
+    wc: dict[str, int] = {}
+    for d in (corpus, "low newest"):
+        for w in d.split():
+            wc[w] = wc.get(w, 0) + 1
+    learned = _bpe_reference(wc, 4)
+    def encode(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        for _, l, r, _c in learned:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r); i += 2
+                else:
+                    merged.append(syms[i]); i += 1
+            syms = merged
+        return len(syms)
+    for doc_id, text in ((1, corpus), (2, "low newest")):
+        ws = text.split()
+        assert out[doc_id] == (len(ws), sum(encode(w) for w in ws))
+
+
+def test_bpe_encode_no_merges_is_chars_plus_marker(spark):
+    docs = _docs(spark, [(1, "ab c")])
+    empty = textops.bpe_merges(_docs(spark, [(9, "q w e")]), n_merges=3)  # dry
+    out = textops.bpe_encode(docs, empty).collect()[0]
+    assert (out["n_words"], out["n_tokens"]) == (2, 3 + 2)  # "ab</w>","c</w>" -> 3+2 symbols
