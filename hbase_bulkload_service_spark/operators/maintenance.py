@@ -597,3 +597,28 @@ def retention_flags(
         .otherwise(F.lit("kept"))
     )
     return ranked.withColumn("retain_state", state)
+
+
+def collect_file_stats(spark, path: str, cols: list[str]):
+    """Build a file-skipping manifest over a parquet layout: one scan
+    emitting per-file (file, n_rows, min_<col>, max_<col>, ...) — the
+    zone-map/manifest structure lakehouse metadata layers keep so query
+    planners can prune files by predicate range without opening footers
+    one by one (the engine-side analog of K1's region catalog, but at
+    file granularity).
+
+    Scale shape: a single pass with `input_file_name()` as the grouping
+    key — partial aggregation collapses each file's rows inside the scan
+    tasks (a task reads whole files, so the per-file partials rarely
+    cross a partition boundary), and the exchange carries one row per
+    (task, file). Output is |files| rows — metadata-sized. Re-run after
+    compaction/ingest to refresh the manifest; the q72 z-order layout is
+    what makes these min/max ranges tight enough to skip on."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(F.col("_file").alias("file")).agg(*aggs)

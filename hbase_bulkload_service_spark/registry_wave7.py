@@ -497,3 +497,62 @@ def q111_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True)
     merges = textops.bpe_merges(docs, n_merges=12)
     return textops.bpe_encode(docs, merges)
+
+
+# ===========================================================================
+# q112 — file-skipping stats manifest (zone map) over a written layout
+# ===========================================================================
+
+
+@register(
+    "q112_file_stats",
+    """
+    SELECT l_returnflag AS rf,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_l_orderkey,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_l_orderkey,
+           CAST(MIN(FLOOR(l_extendedprice * 100)) AS BIGINT) AS min_cents,
+           CAST(MAX(FLOOR(l_extendedprice * 100)) AS BIGINT) AS max_cents
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q112_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map manifest end-to-end: write lineitem partitioned by
+    return flag (one file per partition), build the per-file stats
+    manifest from the REAL files with
+    operators/maintenance.py:collect_file_stats, key it back by the
+    partition value — the oracle recomputes the same stats straight
+    from the source table, proving manifest == data."""
+    import shutil
+    import tempfile
+
+    from hbase_bulkload_service_spark.operators import maintenance
+
+    li = load(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_returnflag",
+    )
+    d = tempfile.mkdtemp(prefix="q112zonemap")
+    try:
+        li.repartition("l_returnflag").write.partitionBy(
+            "l_returnflag"
+        ).mode("overwrite").parquet(d)
+        manifest = maintenance.collect_file_stats(
+            spark, d, ["l_orderkey", "cents"]
+        )
+        rows = manifest.select(
+            F.regexp_extract("file", r"l_returnflag=([^/]+)", 1).alias("rf"),
+            "n_rows",
+            "min_l_orderkey",
+            "max_l_orderkey",
+            F.col("min_cents").alias("min_cents"),
+            F.col("max_cents").alias("max_cents"),
+        ).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "rf string, n_rows long, min_l_orderkey long, max_l_orderkey long,"
+        " min_cents long, max_cents long",
+    )

@@ -501,3 +501,22 @@ def test_bpe_encode_no_merges_is_chars_plus_marker(spark):
     empty = textops.bpe_merges(_docs(spark, [(9, "q w e")]), n_merges=3)  # dry
     out = textops.bpe_encode(docs, empty).collect()[0]
     assert (out["n_words"], out["n_tokens"]) == (2, 3 + 2)  # "ab</w>","c</w>" -> 3+2 symbols
+
+
+# ---------------------------------------------------------------------------
+# collect_file_stats
+# ---------------------------------------------------------------------------
+
+def test_collect_file_stats_per_file_truth(spark, tmp_path):
+    from hbase_bulkload_service_spark.operators import maintenance
+    d = str(tmp_path / "zm")
+    spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").coalesce(1)\
+        .write.mode("overwrite").parquet(d + "/part=a")
+    spark.createDataFrame([(7, 70), (9, 90)], "k long, v long").coalesce(1)\
+        .write.mode("append").parquet(d + "/part=b")
+    out = maintenance.collect_file_stats(spark, d, ["k", "v"]).collect()
+    assert len(out) == 2  # one manifest row per file
+    by_part = {("part=a" in r["file"]): r for r in out}
+    a, b = by_part[True], by_part[False]
+    assert (a["n_rows"], a["min_k"], a["max_k"], a["min_v"], a["max_v"]) == (2, 1, 2, 10, 20)
+    assert (b["n_rows"], b["min_k"], b["max_k"], b["min_v"], b["max_v"]) == (2, 7, 9, 70, 90)
