@@ -245,6 +245,8 @@ def deterministic_shuffle(
     no single-partition window). Shard sizes are near-equal (multinomial),
     so the sorts are balanced; pick n_shards ~ executors x a small factor.
     """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
     ord_key = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
     )

@@ -655,7 +655,27 @@ def incremental_dedup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ver = pair_jaccard_arrays(cand, arr_new.unionByName(arr_cor))
+    # side-correct verify: doc_a resolves against the BATCH arrays and
+    # doc_b against the CORPUS arrays, so overlapping id spaces between
+    # batch and corpus cannot cross-wire the Jaccard inputs
+    a_sh = arr_new.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b_sh = arr_cor.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    na, nb = F.size(F.col("sh_a")), F.size(F.col("sh_b"))
+    ver = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            (na + nb - inter).alias("union_n"),
+        )
+    )
     near = (
         ver.filter(
             F.col("inter") * 1_000_000 >= F.lit(jaccard_ppm) * F.col("union_n")

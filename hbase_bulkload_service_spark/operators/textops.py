@@ -457,6 +457,11 @@ def bm25_scores(
     rank window runs over top_k rows only."""
     from pyspark.sql.window import Window
 
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+
     base = docs.select("doc_id", F.size(words_of(F.col(text_col))).alias("dl"))
     stats = base.agg(
         F.count("*").alias("n_docs"),

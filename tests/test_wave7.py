@@ -520,3 +520,18 @@ def test_collect_file_stats_per_file_truth(spark, tmp_path):
     a, b = by_part[True], by_part[False]
     assert (a["n_rows"], a["min_k"], a["max_k"], a["min_v"], a["max_v"]) == (2, 1, 2, 10, 20)
     assert (b["n_rows"], b["min_k"], b["max_k"], b["min_v"], b["max_v"]) == (2, 7, 9, 70, 90)
+
+
+def test_incremental_dedup_overlapping_id_spaces(spark):
+    # batch doc 1 shares its id with an unrelated corpus doc 1 — the near
+    # layer must compare BATCH text against CORPUS text, never cross-wire
+    corpus = _docs(spark, [
+        (1, "corpus text one about databases and storage engines"),
+        (2, "the shared near duplicate text lives here in the corpus today"),
+    ])
+    batch = _docs(spark, [
+        (1, "the shared near duplicate text lives here in the corpus now"),
+    ])
+    out = dedup.incremental_dedup(batch, corpus, jaccard_ppm=400_000).collect()
+    assert len(out) == 1
+    assert out[0]["verdict"] == "near_dup" and out[0]["match_doc"] == 2
