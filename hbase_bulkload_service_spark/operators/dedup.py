@@ -325,11 +325,20 @@ def ngram_jaccard_pairs(
         F.col("n_common").alias("cb"),
     )
     ub = F.col("inter_rare") + F.least(F.col("ca"), F.col("cb"))
+    # explicit numbered repartition of the surviving pairs: they are
+    # BYTE-small (AQE coalesces the whole downstream verify onto ONE
+    # partition — measured as a 2.2 s single-task stage at sf0.1, the
+    # q69 trap's CPU-shaped sibling) but each pair costs an
+    # array_intersect over thousand-gram arrays, and the verify joins
+    # broadcast garr onto THIS stream's partitioning. A user-specified
+    # partition count is exempt from AQE coalescing, so the verify
+    # compute spreads across the cluster.
     pruned = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(ub * F.lit(1.0) / (F.col("na") + F.col("nb") - ub) >= threshold)
         .select("doc_a", "doc_b")
+        .repartition(64, "doc_a", "doc_b")
     )
     a = garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
     b = garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))

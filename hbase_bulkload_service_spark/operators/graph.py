@@ -1,0 +1,83 @@
+"""Graph analytics over pair tables (the near-dup / linkage graphs the
+dedup family emits): degree profiles and triangle counting.
+
+The reference has no graph surface; this extends the engine the same way
+neardup_clusters (label propagation) does — pair tables are the natural
+output of every blocking-based dedup operator, and cluster quality
+control needs their graph structure (degree skew says a blocking key
+collapsed; triangle density separates true duplicate cliques from
+star-shaped false-positive hubs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """(node, degree) over an undirected pair table (each edge once,
+    a != b). One explode-free union + hash agg."""
+    nodes = pairs.select(F.col(a).alias("node")).unionAll(
+        pairs.select(F.col(b).alias("node"))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def triangle_counts(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph given as
+    distinct (a < b) pairs — the standard degree-ordered orientation
+    algorithm (each triangle is discovered exactly once, from its
+    lowest-(degree, id) vertex):
+
+    1. orient every edge from the smaller to the larger endpoint under
+       the total order (degree, id) — every node's OUT-degree is then
+       bounded by ~sqrt(2m), the classic arboricity bound, so the wedge
+       join below is O(m^1.5) worst case instead of sum(deg^2);
+    2. wedges: self-join oriented adjacency on the source;
+    3. close: a wedge (u->v, u->w) is a triangle iff the oriented edge
+       (v->w) exists — one more equi-join;
+    4. explode each triangle's three corners and count per node.
+
+    Scale shape: two keyed equi-joins + hash aggs, no cross product; the
+    orientation is what keeps hub nodes (degree skew — exactly what
+    over-merged dedup blocking produces) from exploding the wedge set,
+    because hubs sort LAST in the order and contribute no out-wedges.
+
+    Output: (node, triangles), nodes with zero triangles omitted.
+    """
+    deg = degrees(pairs, a, b)
+    e = (
+        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .join(deg.select(F.col("node").alias("x"), F.col("degree").alias("dx")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("degree").alias("dy")), "y")
+    )
+    kx = F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
+    ky = F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    fwd = kx < ky
+    oriented = e.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(fwd, ky).otherwise(kx).alias("dst_key"),
+    )
+    w1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_key").alias("kv"))
+    w2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_key").alias("kw"))
+    wedges = (
+        w1.join(w2, "src")
+        .filter(F.col("kv") < F.col("kw"))
+        .select("src", "v", "w")
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"]).select(
+        F.col("src").alias("n1"), F.col("v").alias("n2"), F.col("w").alias("n3")
+    )
+    corners = (
+        tris.select(F.col("n1").alias("node"))
+        .unionAll(tris.select(F.col("n2").alias("node")))
+        .unionAll(tris.select(F.col("n3").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))
