@@ -556,3 +556,59 @@ def q112_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rf string, n_rows long, min_l_orderkey long, max_l_orderkey long,"
         " min_cents long, max_cents long",
     )
+
+
+# ===========================================================================
+# q113 — per-node triangle counts over the fuzzy-linkage graph
+# ===========================================================================
+
+_FUZZY_EDGES_CTE = """
+    v AS (
+      SELECT c_custkey AS id, c_name AS s,
+             md5(unnest(list_distinct(list_append(
+               list_transform(range(1, length(c_name) + 1),
+                              i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+               c_name)))) AS var
+      FROM customer
+    ),
+    e AS (
+      SELECT DISTINCT a.id AS x, b.id AS y
+      FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+      WHERE levenshtein(a.s, b.s) <= 1
+    )
+"""
+
+
+@register(
+    "q113_triangle_counts",
+    f"""
+    WITH {_FUZZY_EDGES_CTE},
+    t AS (
+      SELECT e1.x AS n1, e1.y AS n2, e2.y AS n3
+      FROM e e1
+      JOIN e e2 ON e2.x = e1.y
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    ),
+    c AS (
+      SELECT n1 AS node FROM t
+      UNION ALL SELECT n2 FROM t
+      UNION ALL SELECT n3 FROM t
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM c GROUP BY 1
+    """,
+)
+def q113_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the q107 near-identical-name graph —
+    duplicate-clique detection (triangle-dense neighborhoods are true
+    entity clusters; triangle-free hubs are blocking false positives).
+    Engine side uses the degree-ordered orientation algorithm
+    (operators/graph.py:triangle_counts — out-degree bounded ~sqrt(2m),
+    hub-skew-proof); the oracle counts each x<y<z triangle once via the
+    ordered 3-way join."""
+    from hbase_bulkload_service_spark.operators import graph
+
+    cust = load(spark, sf_dir, "customer", spread=True)
+    pairs = dedup.fuzzy_self_join_k1(cust, "c_custkey", "c_name").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return graph.triangle_counts(pairs)

@@ -535,3 +535,51 @@ def test_incremental_dedup_overlapping_id_spaces(spark):
     out = dedup.incremental_dedup(batch, corpus, jaccard_ppm=400_000).collect()
     assert len(out) == 1
     assert out[0]["verdict"] == "near_dup" and out[0]["match_doc"] == 2
+
+
+# ---------------------------------------------------------------------------
+# graph: degrees / triangle_counts
+# ---------------------------------------------------------------------------
+
+def test_triangle_counts_known_graphs(spark):
+    from hbase_bulkload_service_spark.operators import graph
+    # K4 + pendant: every K4 node in C(3,2)=3 triangles, pendant in none
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = sorted(
+        (r["node"], r["triangles"]) for r in graph.triangle_counts(df).collect()
+    )
+    assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+    # triangle-free star: no output rows
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    assert graph.triangle_counts(star).count() == 0
+
+
+def test_triangle_counts_random_vs_bruteforce(spark):
+    from hbase_bulkload_service_spark.operators import graph
+    import itertools, random
+    rng = random.Random(11)
+    nodes = list(range(12))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)}
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["triangles"] for r in graph.triangle_counts(df).collect()
+    }
+    es = set(edges)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+def test_degrees(spark):
+    from hbase_bulkload_service_spark.operators import graph
+    df = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    got = {r["node"]: r["degree"] for r in graph.degrees(df).collect()}
+    assert got == {1: 2, 2: 1, 3: 1}
