@@ -17,17 +17,27 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _canon(v):
+    # stringify everything so mixed-type tuples (nullable columns ->
+    # None beside ints) stay sortable, mirroring tools/selfcheck.py
+    if v is None:
+        return "\x00null"
+    if isinstance(v, bool):
+        return f"bool:{v}"
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
+        return "b:" + bytes(v).hex()
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return round(v, 9)
+            return "f:nan"
+        return f"f:{round(v, 9)!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return "t:" + v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
-        return v.isoformat()
-    return v
+        return "d:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return "s:" + str(v)
 
 
 def _duck_con():
