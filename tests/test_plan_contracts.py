@@ -184,3 +184,67 @@ def test_histogram_is_one_aggregate_no_sort(spark):
     )
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial+final
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 0  # never sorts
+
+
+# ---------------------------------------------------------------------------
+# wave-7 plan shapes
+# ---------------------------------------------------------------------------
+
+def test_span_dedup_has_no_pair_join(spark):
+    """q101's quadratic surface must be absorbed by group-bys: the only
+    join is the hash-keyed totals equi-join — never a nested-loop or
+    cartesian pair comparison."""
+    plan = formatted_plan(registry.QUERIES["q101_span_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_shuffle_single_keyed_exchange(spark):
+    """q103: exactly one hashpartitioning exchange (the shard key); no
+    global sort, no single-partition window."""
+    plan = formatted_plan(registry.QUERIES["q103_corpus_shuffle"](spark, SF_DIR))
+    assert len(re.findall(r"hashpartitioning\(shard", plan)) == 1
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    # the only other exchange allowed is the deliberate scan-spreading
+    # round-robin from load(spread=True)
+    others = [
+        l for l in plan.splitlines()
+        if "Arguments:" in l and "partitioning" in l.lower()
+        and "hashpartitioning(shard" not in l
+    ]
+    assert all("RoundRobinPartitioning" in l for l in others), others
+
+
+def test_bm25_global_topk_is_take_ordered(spark):
+    """q104's global top-k must be TakeOrderedAndProject (per-partition
+    heaps), never a global sort or a single-partition rank window over
+    the full corpus."""
+    plan = formatted_plan(registry.QUERIES["q104_bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fuzzy_linkage_is_equi_join(spark):
+    """q107: deletion-neighborhood blocking must compile to an equi-join
+    on the variant hash — a theta-join on levenshtein would appear as a
+    nested-loop over n^2 pairs."""
+    plan = formatted_plan(registry.QUERIES["q107_fuzzy_linkage"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_verify_spread_survives_aqe(spark):
+    """q36's exact-verify stream ends in a user-numbered repartition
+    (REPARTITION_BY_NUM) — exempt from AQE coalescing, so the
+    CPU-heavy array_intersect can never serialize onto one task."""
+    df = registry.QUERIES["q36_ngram_jaccard"](spark, SF_DIR)
+    assert df.rdd.getNumPartitions() == 64
+
+
+def test_triangle_counts_no_cartesian(spark):
+    """q113: wedge + closing joins are keyed equi-joins."""
+    plan = formatted_plan(
+        registry.QUERIES["q113_triangle_counts"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
