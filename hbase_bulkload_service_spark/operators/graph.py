@@ -47,7 +47,17 @@ def triangle_counts(
     because hubs sort LAST in the order and contribute no out-wedges.
 
     Output: (node, triangles), nodes with zero triangles omitted.
+
+    The pair table and the oriented adjacency are localCheckpoint'd:
+    both are referenced by multiple join branches (degrees + both edge
+    endpoints; wedge left/right + closing edge), and Spark evaluates
+    aliased branches independently — without truncation the upstream
+    pair-producing pipeline (often an expensive blocked dedup join)
+    re-runs once per branch (same-session A/B on the q113 gate at
+    sf0.1: 7.3 -> 5.7 s; the exchange-reuse cache absorbs part of the
+    duplication, the checkpoints remove the rest).
     """
+    pairs = pairs.localCheckpoint(eager=False)
     deg = degrees(pairs, a, b)
     e = (
         pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
@@ -61,7 +71,7 @@ def triangle_counts(
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
         F.when(fwd, ky).otherwise(kx).alias("dst_key"),
-    )
+    ).localCheckpoint(eager=False)
     w1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_key").alias("kv"))
     w2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_key").alias("kw"))
     wedges = (
