@@ -91,3 +91,61 @@ def triangle_counts(
         .unionAll(tris.select(F.col("n3").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+PR_MASS = 1_000_000_000  # total rank mass (ppb scale)
+
+
+def pagerank(
+    pairs: DataFrame,
+    iters: int = 5,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Integer-exact PageRank over the undirected pair graph (each edge
+    walked both ways) — centrality for duplicate-canonicalization (keep
+    the most-central copy of a cluster) and hub diagnostics on linkage
+    graphs.
+
+    All arithmetic is integer (ppb mass, floor division) with the
+    classic 0.85 damping as the rational 85/100, so a fixed iteration
+    count is bit-identical in any engine — the oracle unrolls the same
+    ``iters`` steps as plain SQL. Mass lost to flooring is deterministic
+    and harmless for ranking. Every node in a pair table has degree >= 1,
+    so there are no dangling nodes.
+
+    Scale shape per iteration: ONE contribution join (ranks ⋈ edges on
+    the source, both sides hash-partitioned on the node key) + one dst
+    hash agg; ranks are localCheckpoint'd per round to keep plan depth
+    O(1) (same discipline as neardup_clusters). Degrees compute once.
+
+    Output: (node, rank_ppb) after ``iters`` rounds.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    ).localCheckpoint(eager=False)
+    n = deg.count()
+    teleport = (15 * PR_MASS // 100) // n
+    ranks = deg.select("node", F.lit(PR_MASS // n).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, "node")
+            .select("node", F.expr("r div deg").alias("c"))
+            .join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), "c")
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit(teleport) + F.expr(f"(85 * s) div 100")).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("r").alias("rank_ppb"))

@@ -20,6 +20,7 @@ from hbase_bulkload_service_spark.operators import (
     similarity,
     textops,
 )
+from hbase_bulkload_service_spark.operators import graph as graph_mod
 from hbase_bulkload_service_spark.registry import register
 from hbase_bulkload_service_spark.registry_llm import (
     DOCS_NORM_CTE,
@@ -612,3 +613,63 @@ def q113_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     return graph.triangle_counts(pairs)
+
+
+# ===========================================================================
+# q114 — integer-exact PageRank over the linkage graph (oracle unrolls the
+# same fixed iterations as plain SQL — an ORACLE-GATED iterative algorithm)
+# ===========================================================================
+
+PR_ITERS = 5
+
+
+def _pr_step(prev: str, nxt: str) -> str:
+    return f"""
+    {nxt} AS (
+      SELECT e.dst AS node,
+             tele + (85 * CAST(SUM({prev}.r // dg.deg) AS BIGINT)) // 100 AS r
+      FROM {prev}
+      JOIN dg ON dg.node = {prev}.node
+      JOIN e ON e.src = {prev}.node
+      CROSS JOIN tp
+      GROUP BY 1, tele
+    )"""
+
+
+_PR_CHAIN = ",".join(_pr_step(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))
+
+
+@register(
+    "q114_pagerank",
+    f"""
+    WITH {_FUZZY_EDGES_CTE},
+    ed AS (
+      SELECT x AS src, y AS dst FROM e
+      UNION ALL SELECT y AS src, x AS dst FROM e
+    ),
+    dg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM ed GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dg),
+    tp AS (SELECT ((15 * CAST({graph_mod.PR_MASS} AS BIGINT) // 100) // n)
+             AS tele,
+           (CAST({graph_mod.PR_MASS} AS BIGINT) // n) AS r0 FROM nn),
+    e2 AS (SELECT src, dst FROM ed),
+    r0 AS (SELECT node, r0 AS r FROM dg CROSS JOIN tp),
+    {_PR_CHAIN.replace("JOIN e ON", "JOIN e2 ON").replace("e.src", "e2.src").replace("e.dst", "e2.dst")}
+    SELECT node, r AS rank_ppb FROM r{PR_ITERS}
+    """,
+)
+def q114_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 integer-exact rounds, 85/100 damping, ppb mass) over
+    the q107 near-identical-name graph — centrality-based canonical-copy
+    selection (operators/graph.py:pagerank). The oracle unrolls the SAME
+    five rounds as chained SQL CTEs: a fully oracle-gated iterative
+    algorithm, unlike the argmax-per-round families (kmeans/BPE) where
+    only rows-only checks are possible."""
+    from hbase_bulkload_service_spark.operators import graph
+
+    cust = load(spark, sf_dir, "customer", spread=True)
+    pairs = dedup.fuzzy_self_join_k1(cust, "c_custkey", "c_name").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return graph.pagerank(pairs, iters=PR_ITERS)

@@ -583,3 +583,45 @@ def test_degrees(spark):
     df = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
     got = {r["node"]: r["degree"] for r in graph.degrees(df).collect()}
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def _pagerank_reference(edges: list[tuple[int, int]], iters: int):
+    """Integer-exact Python twin of graph.pagerank."""
+    from hbase_bulkload_service_spark.operators.graph import PR_MASS
+    adj: dict[int, list[int]] = {}
+    for x, y in edges:
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+    n = len(adj)
+    tele = (15 * PR_MASS // 100) // n
+    r = {v: PR_MASS // n for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            s = sum(r[u] // len(adj[u]) for u in adj[v])
+            nxt[v] = tele + (85 * s) // 100
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from hbase_bulkload_service_spark.operators import graph
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (1, 6)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["rank_ppb"] for r in graph.pagerank(df, iters=4).collect()}
+    assert got == _pagerank_reference(edges, 4)
+    # hub 3 (degree 4) outranks the pendant 6
+    assert got[3] > got[6]
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    from hbase_bulkload_service_spark.operators import graph
+    # a 4-cycle is vertex-transitive: all ranks identical
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ranks = {r["rank_ppb"] for r in graph.pagerank(df, iters=3).collect()}
+    assert len(ranks) == 1
