@@ -651,8 +651,15 @@ def incremental_dedup(
     ex = nh.join(ch, "h", "left").select("doc_id", "exact_match")
     survivors = ex.filter(F.col("exact_match").isNull()).select("doc_id")
 
-    arr_new = shingle_arrays(new_docs.join(survivors, "doc_id"), text_col, k)
-    arr_cor = shingle_arrays(corpus, text_col, k)
+    # each array table feeds two branches (its bucket index + its verify
+    # side) — persist so the shingle construction runs once per side
+    # (persist, not localCheckpoint: the DAG is shallow so truncation
+    # buys nothing, and lazy checkpoints materializing inside the
+    # consuming job emit spurious accumulator-update errors)
+    arr_new = shingle_arrays(
+        new_docs.join(survivors, "doc_id"), text_col, k
+    ).persist()
+    arr_cor = shingle_arrays(corpus, text_col, k).persist()
     bk_new = lsh_buckets(minhash_signatures_arr(arr_new))
     bk_cor = lsh_buckets(minhash_signatures_arr(arr_cor))
     cand = (

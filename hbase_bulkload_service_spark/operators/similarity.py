@@ -436,10 +436,10 @@ def semantic_dedup(
     The vector rides THROUGH the assignment window as a pass-through
     column instead of being re-joined onto the (id, cell) assignment, and
     the verdict is folded into the pair join (LEFT, with the near-dup
-    predicate in the join condition) — together that turns a 4-SMJ /
-    3-assignment-evaluation plan into 1 SMJ with the assignment subtree
-    evaluated twice (once per self-join side; Spark does not share
-    common subplans without an explicit persist)."""
+    predicate in the join condition), and the assignment is
+    localCheckpoint'd so the crossJoin+window subtree runs ONCE, not
+    once per self-join side (Spark does not share common subplans
+    without explicit truncation)."""
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
         id_col,
         vec_col,
@@ -451,7 +451,7 @@ def semantic_dedup(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, F.col("centroid_id").alias("cell"), vec_col)
-    )
+    ).localCheckpoint(eager=False)
     a = assign.select(
         F.col(id_col).alias("vec_a"),
         F.col("cell").alias("cell_a"),

@@ -1,7 +1,11 @@
-"""Registry wave 7 (q101-q104) — corpus-internal exact substring-span
+"""Registry wave 7 (q101-q114) — corpus-internal exact substring-span
 dedup (Lee et al. 2022 ExactSubstr family), SemDeDup-style semantic
 dedup over embedding clusters, the deterministic training-order shuffle,
-and BM25-family ranked retrieval over the inverted index.
+BM25-family ranked retrieval over the inverted index, incremental ingest
+dedup, weighted importance resampling, edit-distance-1 fuzzy record
+linkage, event-transition matrices, perceptual-hash media near-dup, BPE
+vocabulary induction + tokenizer apply, zone-map file stats, and graph
+analytics (triangle counts, integer-exact PageRank) over linkage graphs.
 
 Same portability rules as the other registry files: integer ppm/micros
 everywhere a float would cross the oracle boundary, identical aliases
