@@ -47,6 +47,11 @@ PROBE_QUERIES = [
     "q104_bm25_topk",          # IN-pruned index + TakeOrderedAndProject
     "q105_incremental_dedup",  # exact-hash layer absorbs amplified copies (near layer idles by design)
 ]
+# q109/q113/q114 are deliberately NOT probed: the amplifier replicates
+# documents/customers as EXACT COPIES (only keys shift), so pair-output
+# operators would see quadratic growth in the copy classes by
+# construction of the synthetic amplification, not by operator shape —
+# their scale arguments are the blocking bounds pinned in SCALE.md.
 
 
 def _api(spark, path):
