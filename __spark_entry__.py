@@ -20,17 +20,17 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness pass covers the first 50 entries of queries()
 # (CORRECTNESS_r02.json is exactly the first 50 registry entries in
-# registration order), so with 113 registered queries the set would stay
+# registration order), so with 114 registered queries the set would stay
 # partially unchecked unless we rotate. PRIORITY lists the queries that
 # have never received a driver correctness row (as of round 2's
 # CORRECTNESS_r02.json: q26-q29, q54, q56-q63, plus round-3 q64-q100) —
 # EXACTLY 50 names, filling this round's checked window; r02-green
 # queries follow in registration order, and the wave-7 additions
-# (q101-q113, registered after the window filled) close the file. ALL
-# 113 pass the in-repo driver replica (tools/selfcheck.py, pandas-path
+# (q101-q114, registered after the window filled) close the file. ALL
+# 114 pass the in-repo driver replica (tools/selfcheck.py, pandas-path
 # hash) — see CORRECTNESS_SELF_r03.json (hash-exact everywhere except
 # q73/q110/q111, rows-only by design). Round 4: rebuild this list from
-# whatever CORRECTNESS_r03.json leaves unverified (q101-q113 go first).
+# whatever CORRECTNESS_r03.json leaves unverified (q101-q114 go first).
 PRIORITY = [
     "q26_group_quantiles",
     "q27_format_roundtrip",

@@ -294,4 +294,8 @@ def weighted_sample(
         ).cast("long")
         % 1_000_000
     )
-    return df.filter(bucket < F.greatest(F.lit(0), F.least(F.lit(1_000_000), weight_ppm)))
+    # NULL weights drop the row (greatest/least SKIP nulls in Spark, so an
+    # unguarded clamp would silently resolve NULL -> 1e6 -> keep-always,
+    # the opposite of the SQL `bucket < NULL` convention)
+    clamped = F.greatest(F.lit(0), F.least(F.lit(1_000_000), weight_ppm))
+    return df.filter(weight_ppm.isNotNull() & (bucket < clamped))

@@ -648,7 +648,9 @@ def incremental_dedup(
         .groupBy("h")
         .agg(F.min("c_id").alias("exact_match"))
     )
-    ex = nh.join(ch, "h", "left").select("doc_id", "exact_match")
+    # ex feeds two branches (survivor filter + final verdict join); persist
+    # it so the corpus-wide md5 hash-agg underneath runs once, not twice
+    ex = nh.join(ch, "h", "left").select("doc_id", "exact_match").persist()
     survivors = ex.filter(F.col("exact_match").isNull()).select("doc_id")
 
     # each array table feeds two branches (its bucket index + its verify

@@ -130,6 +130,8 @@ def pagerank(
         F.count("*").alias("deg")
     ).localCheckpoint(eager=False)
     n = deg.count()
+    if n == 0:  # empty graph: empty (node, rank_ppb) frame, not a crash
+        return deg.select("node", F.lit(0).cast("long").alias("rank_ppb"))
     teleport = (15 * PR_MASS // 100) // n
     ranks = deg.select("node", F.lit(PR_MASS // n).alias("r"))
     for _ in range(iters):

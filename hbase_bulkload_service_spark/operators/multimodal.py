@@ -202,7 +202,7 @@ def _phash_stub(payload: bytes) -> int:
     """
     n = len(payload)
     if n == 0:
-        raise ValueError("cannot hash empty payload")
+        return 0  # well-defined, unlike decode: zero cells -> all bits clear
     total = sum(payload)
     h = 0
     for j in range(PHASH_CELLS):

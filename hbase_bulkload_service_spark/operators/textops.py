@@ -434,17 +434,21 @@ def bm25_scores(
     across engines (the repo's oracle-portability rule): with
     A = (10 * total_words) div n_docs (~= 10 * avgdl),
 
-        tf_ppm  = 1e6 * 22*A*tf  div (10*A*tf + 3*A + 90*dl)
+        tf_milli  = 1e3 * 22*A*tf  div (10*A*tf + 3*A + 90*dl)
 
-    is exactly floor(1e6 * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)))
+    is exactly floor(1e3 * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)))
     up to the deterministic avgdl rounding, and the idf is the rational
-    substitute idf_ppm = 1e6 * (N - df) div (df + 1) — monotone
+    substitute idf_milli = 1e3 * (N - df) div (df + 1) — monotone
     decreasing in df like ln((N - df + .5)/(df + .5) + 1), so rankings
     agree whenever per-term idf order, not absolute scale, decides (swap
     in the ln form when cross-engine hash-exactness is not required).
-    int64-safe while 22e6 * A * tf < 2^63, i.e. avgdl * tf < 4e10 —
-    beyond any real corpus (the factors are per-document, not corpus
-    totals).
+    Per-term contribution = idf_milli * tf_milli (ppm-ish scale).
+    int64 bounds, both factors together: tf_milli <= 2200 always
+    (saturation), so overflow needs idf_milli > 4e15, i.e. more than
+    ~4e12 documents with a df=0... impossible (df >= 1 for a scored
+    term) — at df = 1 that is N > 8e12 docs, three orders beyond a
+    100 TB corpus. (An earlier ppm-scaled form overflowed at N ~ 8.4e6
+    docs — caught by review, crashes under ANSI mode.)
 
     Output: (rank, doc_id, score, n_terms_hit), rank 1..top_k by
     (score DESC, doc_id ASC).
@@ -476,10 +480,9 @@ def bm25_scores(
         .select(
             "doc_id",
             F.expr(
-                "((1000000 * (n_docs - df)) div (df + 1))"
-                " * ((1000000 * 22 * a10 * tf)"
+                "((1000 * (n_docs - df)) div (df + 1))"
+                " * ((1000 * 22 * a10 * tf)"
                 "    div (10 * a10 * tf + 3 * a10 + 90 * dl))"
-                " div 1000000"
             ).alias("contrib"),
         )
     )
@@ -551,6 +554,7 @@ def bpe_merges(
         raise ValueError("n_merges must be >= 1")
     words = (
         docs.select(F.explode(words_of(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")  # empty docs normalize to one '' word
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
@@ -626,7 +630,7 @@ def bpe_encode(
     ]
     words = docs.select(
         "doc_id", F.explode(words_of(F.col(text_col))).alias("word")
-    )
+    ).filter(F.col("word") != "")  # empty docs contribute no words/tokens
     syms = F.concat(F.split("word", ""), F.array(F.lit(end_marker)))
     for left, right in ranked:
         syms = _merge_pair(syms, left, right)

@@ -194,10 +194,9 @@ _TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
     dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
     contrib AS (
       SELECT doc_id,
-             ((1000000 * (n_docs - df)) // (df + 1))
-               * ((1000000 * 22 * a10 * tf)
-                  // (10 * a10 * tf + 3 * a10 + 90 * dl))
-               // 1000000 AS contrib
+             ((1000 * (n_docs - df)) // (df + 1))
+               * ((1000 * 22 * a10 * tf)
+                  // (10 * a10 * tf + 3 * a10 + 90 * dl)) AS contrib
       FROM tf JOIN dfs USING (term) JOIN base USING (doc_id)
       CROSS JOIN stats
     ),
@@ -240,8 +239,8 @@ def _bands_sql(src: str) -> str:
     )
 
 
-_SIG_COLS_W7 = ", ".join(
-    f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(dedup.MINHASH_K)
+from hbase_bulkload_service_spark.registry_llm import (  # noqa: E402
+    _SIG_COLS as _SIG_COLS_W7,
 )
 
 

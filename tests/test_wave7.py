@@ -162,9 +162,9 @@ def _bm25_reference(docs: list[tuple[int, str]], terms: list[str], top_k: int):
     scores: dict[int, int] = {}
     hits: dict[int, int] = {}
     for (d, t), tf in tfs.items():
-        idf = (1_000_000 * (n_docs - dfs[t])) // (dfs[t] + 1)
-        tfp = (1_000_000 * 22 * a10 * tf) // (10 * a10 * tf + 3 * a10 + 90 * dls[d])
-        scores[d] = scores.get(d, 0) + (idf * tfp) // 1_000_000
+        idf = (1_000 * (n_docs - dfs[t])) // (dfs[t] + 1)
+        tfp = (1_000 * 22 * a10 * tf) // (10 * a10 * tf + 3 * a10 + 90 * dls[d])
+        scores[d] = scores.get(d, 0) + idf * tfp
         hits[d] = hits.get(d, 0) + 1
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
     return [
