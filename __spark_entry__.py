@@ -51,6 +51,7 @@ PRIORITY = [
     # -- 2. new in round 4 --
     # (inserted here as they are implemented; each displaces one
     #  rotation slot below)
+    "q115_sketch_accuracy",
     # -- 3. rotation: r02-greens not re-checked since round 2 --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -87,7 +88,6 @@ PRIORITY = [
     "q37_simhash",
     "q38_embedding_topk",
     "q39_ivf_assign",
-    "q42_cosine_neardup",
 ]
 
 

@@ -218,6 +218,67 @@ def sketch_profile(
     )
 
 
+def sketch_accuracy(
+    df: DataFrame,
+    key_col: str,
+    distinct_col: str,
+    value_col: str,
+    distinct_err_ppm: int = 150_000,
+    rank_err_ppm: int = 10_000,
+) -> DataFrame:
+    """Oracle-able derivative of :func:`sketch_profile`: per-key EXACT
+    distinct count and row count beside two BOOLEAN accuracy verdicts —
+    the HLL++ estimate within ``distinct_err_ppm`` of exact, and the GK
+    median's true rank within ``rank_err_ppm`` of the 50th percentile.
+
+    Sketch STATES are engine-specific (never cross-engine comparable),
+    but these verdicts are: a DuckDB oracle computes the exact side and
+    asserts the booleans as literal TRUE, so the row hash-matches iff the
+    sketches actually meet their error contracts on this data. Bounds
+    are deliberately loose vs the configured guarantees (HLL rsd 0.05 →
+    3σ = 150k ppm; GK accuracy 10000 → 100 ppm rank, checked at 10k ppm)
+    so the gate pins "sketch works", not "sketch got lucky".
+
+    All comparisons are integer (ppm algebra, no float crosses the
+    verdict); safe to 2^63 past any per-key row count a 100 TB table
+    produces (n * 1.02e6 overflows only beyond ~9e12 rows per key).
+    Shape: the sketch pass (tiny keyed shuffle of sketch states), then
+    one exact pass joined against the broadcast per-key estimates —
+    2 linear scans; the exact countDistinct is the verification
+    harness's cost, not the production profiling path (that's
+    sketch_profile alone).
+    """
+    prof = sketch_profile(df, key_col, distinct_col, value_col)
+    v = F.col(value_col)
+    agg = (
+        df.join(F.broadcast(prof), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(F.col(distinct_col)).alias("exact_distinct"),
+            F.max("approx_distinct").alias("_approx"),  # constant per key
+            F.sum((v < F.col("approx_median")).cast("long")).alias("_below"),
+            F.sum((v <= F.col("approx_median")).cast("long")).alias("_at_or_below"),
+        )
+    )
+    million = F.lit(1_000_000)
+    hll_ok = (
+        F.abs(F.col("_approx") - F.col("exact_distinct")) * million
+        <= F.lit(distinct_err_ppm) * F.col("exact_distinct")
+    )
+    # the estimated median's rank interval [_below+1, _at_or_below] must
+    # intersect [n/2 - eps*n, n/2 + eps*n]  (integer form, x2 both sides)
+    lo_ok = F.col("_at_or_below") * 2 * million >= (million - 2 * F.lit(rank_err_ppm)) * F.col("n_rows")
+    hi_ok = F.col("_below") * 2 * million <= (million + 2 * F.lit(rank_err_ppm)) * F.col("n_rows")
+    return agg.select(
+        key_col,
+        "n_rows",
+        "exact_distinct",
+        hll_ok.alias("hll_within_bound"),
+        (lo_ok & hi_ok).alias("gk_rank_within_bound"),
+    )
+
+
 def pit_join(
     probes: DataFrame,
     history: DataFrame,
@@ -395,7 +456,10 @@ def fixed_width_histogram(
     if n_buckets <= 0 or hi <= lo:
         raise ValueError("need n_buckets > 0 and hi > lo")
     w = -((hi - lo) // -n_buckets)  # ceil division
-    raw = ((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
+    # integer floor division (`div`), not double division: doubles lose
+    # exactness past 2^53 and can round a value across a bucket boundary,
+    # diverging from the integer `//` the DuckDB oracle uses
+    raw = F.expr(f"(({value_col} - {lo}) div {w})")
     bucket = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
     return (
         df.groupBy(F.col(key_col), bucket.alias("bucket"))

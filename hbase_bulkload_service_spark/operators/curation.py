@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hbase_bulkload_service_spark import cachereg
 from hbase_bulkload_service_spark.operators.dedup import (
     minhash_lsh_neardups,
     neardup_clusters,
@@ -36,30 +37,10 @@ VERDICTS = ("lang", "quality", "exact_dup", "near_dup", "kept")
 
 # Caching contract: curate_corpus persists its enriched ledger (read twice —
 # eagerly by the near-dup phase inside the call, lazily by the returned
-# verdict join). Each call's cache is scoped to ITS OWN returned frame — a
-# later call never unpersists an earlier call's ledger (that silently forced
-# a full recompute of the earlier result on next use, and was not safe for
-# concurrent pipelines). Callers in long-lived sessions release explicitly:
-# once a returned frame has been materialized (written/collected), call
-# release_caches() to unpersist every outstanding ledger at once.
-#
-# Unreleased ledgers are additionally BOUNDED: a new call evicts (unpersists)
-# all but the most recent _LEDGER_KEEP ledgers, so a service loop that never
-# calls release_caches() cannot grow executor storage without limit. An
-# evicted ledger's verdict frame stays CORRECT — it just recomputes on next
-# use — so the bound trades old-frame reuse speed for a hard memory cap.
-_LEDGER_CACHES: list[DataFrame] = []
-_LEDGER_KEEP = 4
-_LEDGER_LOCK = __import__("threading").Lock()
-
-
-def release_caches() -> None:
-    """Unpersist every ledger cached by prior curate_corpus calls. Call
-    after the returned verdict frames have been materialized; using a
-    frame afterwards still yields correct results (it recomputes)."""
-    with _LEDGER_LOCK:
-        while _LEDGER_CACHES:
-            _LEDGER_CACHES.pop().unpersist()
+# verdict join). Registration/eviction/release live in the shared
+# cachereg module (bounded keep; see its module docstring for the
+# correctness argument). release_caches is kept as the public alias.
+release_caches = cachereg.release_all
 
 
 def curate_corpus(
@@ -101,10 +82,7 @@ def curate_corpus(
     enriched = enriched.withColumn(
         "exact_ok", F.col("lang_ok") & F.col("tok_ok") & (F.col("doc_id") == keeper)
     ).persist()  # ledger read twice: near-dup input + final verdict join
-    with _LEDGER_LOCK:
-        _LEDGER_CACHES.append(enriched)
-        while len(_LEDGER_CACHES) > _LEDGER_KEEP:
-            _LEDGER_CACHES.pop(0).unpersist()
+    cachereg.register(enriched)
 
     survivors = enriched.filter(F.col("exact_ok")).select("doc_id", text_col)
     pairs = minhash_lsh_neardups(
@@ -124,7 +102,7 @@ def curate_corpus(
     )
     # NOTE eager-execution contract: the near-dup stage has already run jobs
     # by this point (neardup_clusters checkpoints eagerly); the returned
-    # frame is lazy and reuses the cached ledger (see _LEDGER_CACHES above
+    # frame is lazy and reuses the cached ledger (see cachereg above
     # for the cache-release contract).
     return (
         enriched.join(F.broadcast(near_drops), "doc_id", "left")

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from hbase_bulkload_service_spark import cachereg
 from hbase_bulkload_service_spark.operators.textops import norm_text, words_of
 
 MINHASH_K = 8  # signature length
@@ -662,6 +663,9 @@ def incremental_dedup(
         new_docs.join(survivors, "doc_id"), text_col, k
     ).persist()
     arr_cor = shingle_arrays(corpus, text_col, k).persist()
+    # bounded release path for long-lived sessions (cachereg evicts the
+    # oldest registrations; evicted frames recompute correctly)
+    cachereg.register(ex, arr_new, arr_cor)
     bk_new = lsh_buckets(minhash_signatures_arr(arr_new))
     bk_cor = lsh_buckets(minhash_signatures_arr(arr_cor))
     cand = (

@@ -378,8 +378,14 @@ def pack_sequences(
         raise ValueError("seq_len must be positive")
     import pandas as pd
 
+    # id columns keep their INPUT types (string doc ids are legal); only
+    # the computed columns are pinned
+    in_types = {f.name: f.dataType.simpleString() for f in chunks.schema.fields}
+    missing = [c for c in (*id_cols, tokens_col) if c not in in_types]
+    if missing:
+        raise ValueError(f"pack_sequences: missing column(s) {missing}")
     out_schema = (
-        ", ".join(f"{c} long" for c in id_cols)
+        ", ".join(f"{c} {in_types[c]}" for c in id_cols)
         + f", {tokens_col} long, bin_id long, bin_fill long"
     )
 
@@ -521,11 +527,121 @@ def _merge_pair(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _pick_safe_batch(
+    top: list,
+    tail_bound: int,
+    made_symbols: set,
+    limit: int,
+    exact: bool,
+) -> list[tuple[str, str, int]]:
+    """Select a prefix of the ranked pair list (count desc, l asc, r asc)
+    that can be merged in ONE pass while reproducing sequential BPE
+    exactly (``exact=True``) or per the standard disjoint-batch
+    approximation (``exact=False``).
+
+    Exactness argument (all counts refer to the pre-batch pair table P;
+    ``tail_bound`` is an upper bound on any pair NOT in ``top``):
+
+    * Merging pair p=(l,r) never INCREASES the count of any existing
+      pair: it only consumes l/r-adjacencies and inserts the new symbol
+      l+r. Pairs sharing no symbol with p are untouched.
+    * The only pairs that can APPEAR are (l+r, x) and (x, l+r); each
+      occurrence requires an (r, x) resp. (x, l) adjacency in P, and at
+      most one per merge performed, so its count is bounded by
+      U = min(count(p), max adjacent count) — computable from ``top`` +
+      ``tail_bound`` without applying the merge.
+    * Therefore if the accepted pairs are pairwise symbol-disjoint, a
+      prefix of the ranked list, their concatenations collide with no
+      existing symbol, and every later accepted pair's count strictly
+      exceeds every earlier accepted pair's U bound, then sequential BPE
+      (recount + argmax each step, ties lexicographic) provably picks
+      exactly these pairs in exactly this order.
+
+    ``exact=False`` is the classic parallel-BPE batch: greedy SKIP-scan
+    down the ranked list taking every pair disjoint from those already
+    accepted (conflicting pairs wait for the next round's recount). May
+    reorder vs sequential when a freshly created pair would out-count
+    the next ranked pair; recorded pair_counts are batch-time counts.
+    """
+    by_left: dict[str, int] = {}
+    by_right: dict[str, int] = {}
+    for row in top:
+        l, r, c = row["l"], row["r"], row["pair_count"]
+        if by_left.get(l, 0) < c:
+            by_left[l] = c
+        if by_right.get(r, 0) < c:
+            by_right[r] = c
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    ubounds: list[int] = []
+    for row in top:
+        l, r, c = row["l"], row["r"], row["pair_count"]
+        cat = l + r
+        if accepted:
+            if l in used or r in used or cat in used:
+                if exact:
+                    break  # prefix rule: stop at the first conflict
+                continue  # skip-scan: conflicting pair waits a round
+            if cat in made_symbols:
+                if exact:
+                    break  # new symbol collides with an existing one
+                continue
+            if exact and any(u >= c for u in ubounds):
+                break  # a freshly created pair might out-rank this one
+        accepted.append((l, r, c))
+        if cat in made_symbols:
+            break  # safe as the LAST accepted merge only (see docstring)
+        used.update((l, r, cat))
+        adj = max(by_left.get(r, 0), by_right.get(l, 0), tail_bound)
+        ubounds.append(min(c, adj))
+        if len(accepted) >= limit:
+            break
+    return accepted
+
+
+# Above this many merges per pass, apply them via one Arrow-batched
+# pandas UDF instead of chaining JVM aggregate-folds (deeply nested
+# lambda expressions stress the analyzer/codegen; the UDF holds the
+# whole batch as a plain dict and walks each vocab row once per merge).
+_JVM_CHAIN_MAX = 8
+
+
+def _apply_merges_col(syms: Column, batch: list[tuple[str, str, int]]) -> Column:
+    """One-pass column expression applying ``batch`` merges in rank order."""
+    if len(batch) <= _JVM_CHAIN_MAX:
+        for left, right, _c in batch:
+            syms = _merge_pair(syms, left, right)
+        return syms
+    ranked = [(left, right) for left, right, _c in batch]
+
+    @F.pandas_udf("array<string>")
+    def apply_all(col: pd.Series) -> pd.Series:
+        def run(symlist):
+            syms = list(symlist)
+            for left, right in ranked:
+                cat, merged, i, n = left + right, [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        merged.append(cat)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            return syms
+
+        return col.map(run)
+
+    return apply_all(syms)
+
+
 def bpe_merges(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
     end_marker: str = "</w>",
+    batch: int = 1,
+    exact: bool = True,
 ) -> DataFrame:
     """Learn the first ``n_merges`` byte-pair-encoding merges from the
     corpus — tokenizer-vocabulary induction (Sennrich et al. 2016,
@@ -540,18 +656,35 @@ def bpe_merges(
     Output: (rank, left, right, pair_count) — one row per learned merge,
     rank 1..n_merges (fewer if the corpus runs out of repeated pairs).
 
+    ``batch`` bounds how many merges one driver round may apply.
+    ``batch=1`` is the sequential reference walk. ``batch>1`` collects
+    the top ``8*batch`` candidate pairs per round and accepts the
+    longest SAFE prefix (see :func:`_pick_safe_batch`): with
+    ``exact=True`` (default) the output is provably identical to the
+    sequential walk — the guard stops the batch before any merge whose
+    freshly created pairs could out-count a later accepted one; with
+    ``exact=False`` only symbol-disjointness is enforced (the standard
+    parallel-BPE batch — same vocabulary family, order may diverge from
+    strict sequential on chain-heavy corpora). A production 30k-merge
+    vocabulary at batch=256/exact=False runs in O(vocab/batch) driver
+    rounds instead of 30k sequential Spark jobs.
+
     Scale shape: the ONLY corpus-sized pass is the word-count aggregate
     (explode + one keyed hash agg with map-side combine). Everything
     after runs on the distinct-word table (vocabulary-sized, millions of
     rows at web scale, not trillions) — per round: a pair explode + one
-    hash agg + a global argmax via orderBy().limit(1) (TakeOrdered — a
-    per-partition top-1, never a single-partition sort), then a map-only
-    fold applying the merge. The driver receives ONE row per round
-    (bounded metadata, same discipline as plan_merges); lineage is
-    truncated per round with localCheckpoint so plan depth stays O(1).
+    hash agg + a bounded top-k collect (TakeOrdered — a per-partition
+    top-k, never a single-partition sort), then ONE map-only pass
+    applying every accepted merge (JVM fold chain for small batches, a
+    single Arrow-batched pandas UDF above ``_JVM_CHAIN_MAX``). The
+    driver receives at most ``8*batch`` rows per round (bounded
+    metadata, same discipline as plan_merges); lineage is truncated per
+    round with localCheckpoint so plan depth stays O(1).
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     words = (
         docs.select(F.explode(words_of(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")  # empty docs normalize to one '' word
@@ -564,8 +697,13 @@ def bpe_merges(
     ).localCheckpoint(eager=False)
 
     spark = docs.sparkSession
+    made_symbols = {end_marker}
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    rounds = 0
+    while len(merges) < n_merges:
+        rounds += 1
+        want = n_merges - len(merges)
+        pool = 1 if batch == 1 else min(8 * batch, 4096)
         pairs = seqs.select(
             "cnt",
             F.explode(
@@ -581,18 +719,31 @@ def bpe_merges(
             .agg(F.sum("cnt").alias("pair_count"))
             .filter(F.col("pair_count") >= 2)
             .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(pool)
             .collect()
         )
         if not top:
             break
-        l, r, c = top[0]["l"], top[0]["r"], top[0]["pair_count"]
-        merges.append((rank, l, r, c))
-        seqs = seqs.withColumn("syms", _merge_pair(F.col("syms"), l, r))
+        tail_bound = top[-1]["pair_count"] if len(top) == pool else 0
+        picked = _pick_safe_batch(
+            top, tail_bound, made_symbols, min(want, batch), exact
+        )
+        for left, right, c in picked:
+            merges.append((len(merges) + 1, left, right, c))
+            made_symbols.add(left + right)
+        seqs = seqs.withColumn("syms", _apply_merges_col(F.col("syms"), picked))
         seqs = seqs.localCheckpoint(eager=False)
+    global _LAST_BPE_ROUNDS
+    _LAST_BPE_ROUNDS = rounds
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+#: Driver rounds the most recent bpe_merges call took (observability for
+#: tests and the scale probe; a 30k-merge production run should be
+#: O(vocab/batch) rounds, not O(vocab)).
+_LAST_BPE_ROUNDS = 0
 
 
 def bpe_encode(

@@ -26,6 +26,26 @@ from hbase_bulkload_service_spark.sources.tables import load, load_events
 CENTS_SQL = "CAST(FLOOR(value * 100) AS BIGINT)"
 
 
+def _scratch(name: str) -> str:
+    """Session-scoped scratch dir for sink round-trip gates: one root per
+    process, removed at interpreter exit, so gated queries can WRITE then
+    return the LAZY readback frame (no collect() in the gate path — the
+    materialized-rows workaround was bounded but the pattern bites the
+    moment the slice grows)."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="sparkgraft_gates")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return f"{_SCRATCH_ROOT}/{name}"
+
+
+_SCRATCH_ROOT: str | None = None
+
+
 # ===========================================================================
 # q73 — sketch-based profile (HLL++ distinct, GK quantile) — NO SQL oracle:
 # sketch states are engine-specific by nature; bounded against the exact
@@ -119,24 +139,16 @@ def q75_format_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     a clean string — doubles are kept out of text formats by converting
     to cents BEFORE the sink (float text round-trip is shortest-repr
     exact in Spark but not portable to every reader)."""
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="q75csv")
-    try:
-        _fmt_slice(spark, sf_dir).coalesce(4).write.mode("overwrite").option(
-            "header", "true"
-        ).csv(f"{d}/c")
-        back = (
-            spark.read.schema(_FMT_SCHEMA)
-            .option("header", "true")
-            .csv(f"{d}/c")
-            .filter(F.col("event_type") != "error")
-        )
-        rows = back.collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, _FMT_SCHEMA)
+    d = _scratch("q75csv")
+    _fmt_slice(spark, sf_dir).coalesce(4).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(f"{d}/c")
+    return (
+        spark.read.schema(_FMT_SCHEMA)
+        .option("header", "true")
+        .csv(f"{d}/c")
+        .filter(F.col("event_type") != "error")
+    )
 
 
 @register("q76_format_json", _FMT_ORACLE)
@@ -148,10 +160,7 @@ def q76_format_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     back out flat so the oracle is shared with q75. Spark prunes unread
     JSON fields under schema'd reads, mirroring nested-schema pruning on
     columnar formats."""
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="q76json")
+    d = _scratch("q76json")
     nested = _fmt_slice(spark, sf_dir).select(
         "event_id",
         "user_id",
@@ -159,24 +168,19 @@ def q76_format_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct("event_type", "cents").alias("meta"),
     )
     rschema = "event_id long, user_id long, ts_ms long, meta struct<event_type:string, cents:long>"
-    try:
-        nested.coalesce(4).write.mode("overwrite").json(f"{d}/j")
-        back = (
-            spark.read.schema(rschema)
-            .json(f"{d}/j")
-            .filter(F.col("meta.event_type") != "error")
-            .select(
-                "event_id",
-                "user_id",
-                F.col("meta.event_type").alias("event_type"),
-                F.col("meta.cents").alias("cents"),
-                "ts_ms",
-            )
+    nested.coalesce(4).write.mode("overwrite").json(f"{d}/j")
+    return (
+        spark.read.schema(rschema)
+        .json(f"{d}/j")
+        .filter(F.col("meta.event_type") != "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("meta.event_type").alias("event_type"),
+            F.col("meta.cents").alias("cents"),
+            "ts_ms",
         )
-        rows = back.collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, _FMT_SCHEMA)
+    )
 
 
 # ===========================================================================
@@ -940,26 +944,37 @@ def q94_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q95_bloom_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact ⋈ selectively-filtered dim — the row-level runtime-filter
-    sibling of q90's partition-level DPP: with
-    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (default on) and
-    a shuffle join, Catalyst plants ``might_contain(bloom_agg(o_orderkey))``
-    on the FACT scan so ~80% of lineitem rows drop before the exchange
-    instead of after the join. At bench scale the application-side scan
-    sits under ``applicationSideScanSizeThreshold`` (10 GB) so Spark
-    correctly declines the filter (and AQE broadcasts the dim — also
-    correct at this size); the injection itself is pinned in
-    test_wave4 with the thresholds lowered. The MERGE hint is NOT used
-    here: the right plan at this size is the broadcast."""
+    sibling of q90's partition-level DPP: Catalyst plants
+    ``might_contain(bloom_agg(o_orderkey))`` on the FACT scan so ~80% of
+    lineitem rows drop before the exchange instead of after the join —
+    THE shape of a 100 TB fact ⋈ selective dim, where the dim is far too
+    big to broadcast.
+
+    At gate scale Spark's size thresholds would correctly decline both
+    the bloom (fact scan ≪ applicationSideScanSizeThreshold's 10 GB) and
+    the shuffle join (dim broadcasts), so the gate pins the scale plan
+    explicitly: the thresholds are set ONLY for this query's logical
+    optimization — ``optimizedPlan`` is forced (and memoized by Spark's
+    QueryExecution) while they're pinned, then every conf is restored,
+    so the other gate queries plan under stock settings. The returned
+    frame's plan therefore genuinely contains the bloom filter
+    (tests/test_wave4.py asserts might_contain on THIS function's
+    output). Two details matter at any scale: the dim side must be a
+    bare filter-over-scan (a repartition above the creation side breaks
+    InjectRuntimeFilter's pattern — so no spread on the dim), and
+    ``creationSideThreshold`` must clear the dim's ESTIMATED size
+    (filter selectivity is unknown without CBO stats, so the estimate is
+    the full table)."""
     li = load(spark, sf_dir, "lineitem", spread=True)
     orders = (
-        load(spark, sf_dir, "orders", spread=True)
+        load(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
     ship_month = (
         F.year("l_shipdate") * 100 + F.month("l_shipdate")
     ).cast("int")
-    return (
+    out = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(ship_month.alias("ship_month"))
         .agg(
@@ -969,6 +984,26 @@ def q95_bloom_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
     )
+    pinned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    try:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+        # lazy-val memoization: the logical plan optimizes NOW, under the
+        # pinned confs, and the driver's later action reuses it
+        out._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
 
 
 # ===========================================================================

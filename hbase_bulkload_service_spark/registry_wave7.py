@@ -478,9 +478,15 @@ def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge loop is iterative with a data-dependent argmax each round
     (same class as kmeans q49 / label propagation q44); exactness is
     pinned in tests/test_wave7.py against a plain-Python reference
-    implementation (weighted counts, tie-breaks, overlap semantics)."""
+    implementation (weighted counts, tie-breaks, overlap semantics).
+    batch=8/exact=True exercises the batched scale path — provably
+    identical output to the sequential walk (_pick_safe_batch docstring
+    carries the argument), fewer driver rounds."""
     return textops.bpe_merges(
-        load(spark, sf_dir, "documents", spread=True), n_merges=12
+        load(spark, sf_dir, "documents", spread=True),
+        n_merges=12,
+        batch=8,
+        exact=True,
     )
 
 
@@ -499,7 +505,7 @@ def q111_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is iteratively learned); apply-step exactness is pinned in
     tests/test_wave7.py against the Python reference."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    merges = textops.bpe_merges(docs, n_merges=12)
+    merges = textops.bpe_merges(docs, n_merges=12, batch=8, exact=True)
     return textops.bpe_encode(docs, merges)
 
 

@@ -400,8 +400,12 @@ def streaming_incremental_dedup(
         F.col(ts_col),
         F.md5(norm_text(F.col(text_col))).alias("h"),
     )
+    # stream-static left join; no broadcast hint — the corpus hash set is
+    # corpus-sized (one row per document) and force-broadcasting it every
+    # micro-batch would OOM at the scale this operator serves. The
+    # planner picks broadcast on its own when the set is actually small.
     missed = (
-        hashed.join(F.broadcast(corpus_hashes), "h", "left")
+        hashed.join(corpus_hashes, "h", "left")
         .filter(F.col("exact_match").isNull())
         .select("doc_id", ts_col, "h")
     )

@@ -337,40 +337,28 @@ def test_cube_grouping_flags_match_nullness(spark):
     assert len(grand) == 1 and grand[0]["cnt"] == total
 
 
-def test_runtime_bloom_filter_injects_on_fact_scan(spark):
-    """With the size thresholds lowered and broadcast off, Catalyst must
-    plant a bloom-filter runtime filter (might_contain over a bloom agg of
-    the dim keys) on the FACT side of the shuffle join — q95's scale
-    mechanism, which at 100 TB drops non-matching fact rows before the
-    exchange."""
-    confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-    }
-    old = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        li = load(spark, SF_DIR, "lineitem")
-        orders = (
-            load(spark, SF_DIR, "orders")
-            .filter(F.col("o_orderpriority") == "1-URGENT")
-            .select("o_orderkey")
-        )
-        out = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
-            "l_returnflag"
-        ).count()
-        plan = out._sc._jvm.PythonSQLUtils.explainString(
-            out._jdf.queryExecution(), "formatted"
-        )
-        assert "might_contain" in plan or "bloomfilter" in plan.lower()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+def test_runtime_bloom_filter_injects_on_gate_query(spark):
+    """The GATE query's own returned plan must carry the bloom runtime
+    filter (might_contain over a bloom agg of the dim keys) on the FACT
+    side — q95 pins the thresholds during its logical optimization and
+    restores them before returning, so the scale plan is in the memoized
+    QueryExecution while the session confs stay stock."""
+    from hbase_bulkload_service_spark.registry_wave4 import q95_bloom_dim_join
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    out = q95_bloom_dim_join(spark, SF_DIR)
+    # confs restored: later queries plan under stock settings
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None) == before
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "might_contain" in plan
+    # and the memoized plan is the one that actually executes
+    assert out.count() > 0
+    plan2 = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "might_contain" in plan2
 
 
 def test_counter_deltas_telescope(spark):
@@ -499,6 +487,22 @@ def test_pack_sequences_rejects_oversized_and_is_deterministic(spark):
     a = sorted(map(tuple, pack_sequences(ok, seq_len=100, num_shards=4).collect()))
     b = sorted(map(tuple, pack_sequences(ok, seq_len=100, num_shards=4).collect()))
     assert a == b  # hash-shard + in-shard ordering => deterministic
+
+
+def test_pack_sequences_string_ids(spark):
+    # id columns keep their input types — string doc ids must round-trip
+    from hbase_bulkload_service_spark.operators.textops import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", i % 3, 30 + (i * 7) % 60) for i in range(20)],
+        "doc_id string, chunk_idx long, n_tok long",
+    )
+    rows = pack_sequences(df, seq_len=100, num_shards=4).collect()
+    assert len(rows) == 20
+    assert {r["doc_id"] for r in rows} == {f"doc-{i}" for i in range(20)}
+    assert all(isinstance(r["doc_id"], str) for r in rows)
+    with pytest.raises(ValueError, match="missing column"):
+        pack_sequences(df.drop("chunk_idx"), seq_len=100)
 
 
 def test_mix_corpora_proportions_and_determinism(spark):

@@ -496,6 +496,86 @@ def test_bpe_encode_matches_reference_token_counts(spark):
         assert out[doc_id] == (len(ws), sum(encode(w) for w in ws))
 
 
+def test_bpe_batched_exact_equals_sequential(spark):
+    # chain-heavy corpus (the worst case for batching): the exact guard
+    # must stop batches whenever a freshly created pair could out-rank a
+    # later accepted one — output must still equal the sequential walk.
+    corpus = (
+        "low low low low low lower lower newest newest newest newest "
+        "newest newest widest widest widest the the the the there there"
+    )
+    counts: dict[str, int] = {}
+    for w in corpus.split():
+        counts[w] = counts.get(w, 0) + 1
+    docs = _docs(spark, [(1, corpus)])
+    want = _bpe_reference(counts, 40)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in textops.bpe_merges(docs, n_merges=40, batch=16)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    # batching must actually shorten the walk vs one merge per round
+    assert textops._LAST_BPE_ROUNDS < len(want)
+
+
+def test_bpe_skip_scan_batches_fill(spark):
+    # diverse vocabulary: the non-exact skip-scan should pack many
+    # disjoint merges per round (bounded by symbol sharing, not by 1).
+    import random
+
+    rng = random.Random(7)
+    vocab = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+        for _ in range(300)
+    ]
+    text = " ".join(vocab[rng.randrange(len(vocab))] for _ in range(4000))
+    docs = _docs(spark, [(1, text)])
+    out = textops.bpe_merges(docs, n_merges=60, batch=32, exact=False)
+    rows = out.orderBy("rank").collect()
+    assert len(rows) == 60
+    assert [r["rank"] for r in rows] == list(range(1, 61))
+    assert all(r["pair_count"] >= 2 for r in rows)
+    # >= 4 merges per round on average for this corpus shape
+    assert textops._LAST_BPE_ROUNDS <= 15
+
+
+def test_bpe_pandas_apply_path_matches_jvm_fold(spark):
+    # force the Arrow-batched apply (len(batch) > _JVM_CHAIN_MAX) and pin
+    # it against the chained JVM fold on the same merge list.
+    from pyspark.sql import functions as F
+
+    merges = [
+        ("a", "b", 9), ("c", "d", 9), ("e", "f", 9), ("g", "h", 9),
+        ("i", "j", 9), ("k", "l", 9), ("m", "n", 9), ("o", "p", 9),
+        ("ab", "cd", 9), ("ef", "gh", 9),
+    ]
+    assert len(merges) > textops._JVM_CHAIN_MAX
+    df = spark.createDataFrame(
+        [(list("abcdefgh"),), (list("abab"),), (["x", "a", "b", "c", "d"],), ([],)],
+        "syms array<string>",
+    )
+    jvm = df.select(
+        F.col("syms"),
+        textops._apply_merges_col(F.col("syms"), merges[: textops._JVM_CHAIN_MAX])
+        .alias("out"),
+    )
+    # apply remaining merges via a second JVM chain for the ground truth
+    jvm = jvm.select(
+        "syms",
+        textops._apply_merges_col(
+            F.col("out"), merges[textops._JVM_CHAIN_MAX:]
+        ).alias("out"),
+    )
+    pdu = df.select(
+        "syms", textops._apply_merges_col(F.col("syms"), merges).alias("out")
+    )
+    want = {tuple(r["syms"]): r["out"] for r in jvm.collect()}
+    got = {tuple(r["syms"]): r["out"] for r in pdu.collect()}
+    assert got == want
+
+
 def test_bpe_encode_no_merges_is_chars_plus_marker(spark):
     docs = _docs(spark, [(1, "ab c")])
     empty = textops.bpe_merges(_docs(spark, [(9, "q w e")]), n_merges=3)  # dry

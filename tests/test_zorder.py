@@ -72,5 +72,5 @@ def test_zorder_key_rejects_out_of_budget_values(spark):
 
     df = spark.createDataFrame([(1 << 20, 3)], "a long, b long")
     out = df.select(layout.zorder_key(F.col("a"), F.col("b"), bits=16).alias("z"))
-    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)):
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="bit budget"):
         out.collect()
