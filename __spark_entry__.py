@@ -52,6 +52,8 @@ PRIORITY = [
     # (inserted here as they are implemented; each displaces one
     #  rotation slot below)
     "q115_sketch_accuracy",
+    "q116_hfl2_container",
+    "q117_heavy_hitters",
     # -- 3. rotation: r02-greens not re-checked since round 2 --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -86,8 +88,6 @@ PRIORITY = [
     "q45_corpus_curation",
     "q36_ngram_jaccard",
     "q37_simhash",
-    "q38_embedding_topk",
-    "q39_ivf_assign",
 ]
 
 

@@ -505,3 +505,81 @@ def event_transitions(
             ),
         )
     )
+
+
+def heavy_hitters(df: DataFrame, item_col: str, phi_ppm: int = 10_000) -> DataFrame:
+    """EXACT frequent items: every item occurring in at least ``phi_ppm``
+    parts-per-million of the rows, with its exact count — the corpus
+    heavy-hitter op (dominant tokens, hot keys, over-represented URLs)
+    in the two-pass Misra-Gries shape that survives 100 TB.
+
+    Pass 1 streams each partition through a Misra-Gries summary with
+    k = 2·ceil(1e6/phi_ppm) counters (Arrow-batched mapInPandas, state
+    O(k) per task) and emits only the surviving (item, lower_bound)
+    counters plus the partition's row count — so NOTHING item-keyed
+    shuffles at data scale; the summary is ≤ k rows per partition.
+    Misra-Gries undercounts by at most n_p/k per partition, hence by at
+    most n/k = n·phi/2 in the merged summary — strictly less than the
+    φ·n threshold, so every true heavy hitter appears in some summary:
+    the merged candidate set is a guaranteed superset (and at most
+    partitions·k rows).
+
+    Pass 2 recounts ONLY the candidates exactly (broadcast semi join on
+    the scan, then a hash agg over candidate rows) and applies the
+    integer threshold ``cnt·1e6 ≥ phi_ppm·n`` — no float crosses the
+    verdict. Output: (item, cnt), exact, oracle-able as a plain GROUP BY
+    ... HAVING. NULL items are ignored (SQL count semantics).
+    """
+    if not (0 < phi_ppm <= 1_000_000):
+        raise ValueError("phi_ppm must be in (0, 1e6]")
+    import pandas as pd
+
+    k = 2 * -(-1_000_000 // phi_ppm)  # 2*ceil(1/phi) counters
+
+    def mg_summaries(batches):
+        counters: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            for item in pdf[item_col]:
+                if item is None or item != item:  # NULL / NaN
+                    continue
+                n_rows += 1
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:  # decrement-all step (dict compaction)
+                    counters = {i: c - 1 for i, c in counters.items() if c > 1}
+        out = pd.DataFrame(
+            {"item": list(counters), "lb": list(counters.values())}
+        )
+        yield pd.concat(
+            [out, pd.DataFrame({"item": [None], "lb": [n_rows]})],
+            ignore_index=True,
+        )
+
+    item_type = df.schema[item_col].dataType.simpleString()
+    summaries = df.select(item_col).mapInPandas(
+        mg_summaries, f"item {item_type}, lb long"
+    )
+    # bounded: partitions*k + partitions rows — collect is metadata-scale
+    rows = summaries.groupBy("item").agg(F.sum("lb").alias("lb")).collect()
+    total = next(r["lb"] for r in rows if r["item"] is None)
+    candidates = [r["item"] for r in rows if r["item"] is not None]
+    if not candidates or total == 0:
+        return df.sparkSession.createDataFrame([], f"item {item_type}, cnt long")
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame([(c,) for c in candidates], f"item {item_type}")
+    return (
+        df.select(F.col(item_col).alias("item"))
+        .join(F.broadcast(cand_df), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .filter(
+            # long arithmetic on both sides: phi_ppm*total exceeds int32
+            # as soon as the corpus passes ~2^31/phi tokens (ANSI would
+            # raise, non-ANSI would silently wrap)
+            F.col("cnt") * F.lit(1_000_000).cast("long")
+            >= F.lit(int(phi_ppm)).cast("long") * F.lit(int(total)).cast("long")
+        )
+    )

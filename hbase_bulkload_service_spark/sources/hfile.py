@@ -133,7 +133,14 @@ def build_manifest(spark, path: str) -> dict:
 def validate_layout(spark, path: str, rollup: bool = False) -> None:
     """No-op `load` stub (H7): assert what LoadIncrementalHFiles needs —
     per-region files internally sorted, regions non-overlapping in key
-    space, region == its keys' bucket prefix, ≤2048 files per region."""
+    space, region == its keys' bucket prefix, ≤2048 files per region.
+    Dispatches on the container: parquet layouts are checked via Spark,
+    binary HFL1/HFL2 layouts are parsed back record-by-record."""
+    names = os.listdir(path)
+    if any(n.endswith(".hfl2") for n in names):
+        return validate_hfl2_layout(path, rollup)
+    if any(n.endswith(".hfl1") for n in names):
+        return validate_hfl1_layout(path)
     df = spark.read.parquet(path)
     step = ROLLUP_BUCKETS_PER_REGION if rollup else 1
 
@@ -242,3 +249,431 @@ def write_hfl1_files(kv: DataFrame, path: str, rollup: bool = False) -> list[dic
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def read_hfl1_file(fname: str):
+    """Parse an HFL1 file back into (key, family, qualifier, value)
+    records; verifies magic, trailer count/bounds and sort order."""
+    with open(fname, "rb") as f:
+        data = f.read()
+    if data[:4] != HFL1_MAGIC:
+        raise AssertionError(f"{fname}: bad HFL1 magic")
+    # trailer: ... body | trailer_len(4) | trailer — variable-length keys
+    # make end-parsing ambiguous for HFL1, so walk forward instead
+    records = []
+    off = 4
+    prev = None
+    # records run until 4 + body_len; body_len = len(data) - 4 - 4 - trailer
+    # walk until the next 16 bytes can't be a record header that fits
+    while off + 16 <= len(data):
+        klen, flen, qlen, vlen = struct.unpack_from(">IIII", data, off)
+        rec_end = off + 16 + klen + flen + qlen + vlen
+        if rec_end > len(data) - 4:
+            break  # ran into trailer_len + trailer
+        o = off + 16
+        key = data[o : o + klen]; o += klen
+        fam = data[o : o + flen]; o += flen
+        qual = data[o : o + qlen]; o += qlen
+        val = data[o : o + vlen]
+        if prev is not None and key < prev:
+            raise AssertionError(f"{fname}: records out of order")
+        prev = key
+        records.append((key, fam, qual, val))
+        off = rec_end
+    (trailer_len,) = struct.unpack_from(">I", data, off)
+    trailer = data[off + 4 : off + 4 + trailer_len]
+    (count,) = struct.unpack_from(">I", trailer, 0)
+    if count != len(records):
+        raise AssertionError(f"{fname}: trailer count {count} != {len(records)}")
+    return records
+
+
+def validate_hfl1_layout(path: str) -> None:
+    """Binary readback check for an HFL1 directory: every file parses
+    clean and sorted, manifest bounds agree, ≤2048 files per region,
+    regions non-overlapping."""
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    per_region: dict[int, list[dict]] = {}
+    for m in manifest:
+        per_region.setdefault(m["region"], []).append(m)
+        records = read_hfl1_file(os.path.join(path, m["file"]))
+        if not records:
+            raise AssertionError(f"{m['file']}: empty HFL1 file")
+        if (
+            records[0][0].hex().upper() != m["min_key_hex"]
+            or records[-1][0].hex().upper() != m["max_key_hex"]
+            or len(records) != m["rows"]
+        ):
+            raise AssertionError(f"{m['file']}: manifest/content disagree")
+    for region, files in per_region.items():
+        if len(files) > MAX_FILES_PER_REGION:
+            raise AssertionError(
+                f"region {region}: {len(files)} files > {MAX_FILES_PER_REGION}"
+            )
+    spans = sorted(
+        (
+            min(f["min_key_hex"] for f in files),
+            max(f["max_key_hex"] for f in files),
+            region,
+        )
+        for region, files in per_region.items()
+    )
+    for (_lo_a, hi_a, ra), (lo_b, _hi_b, rb) in zip(spans, spans[1:]):
+        if lo_b < hi_a and ra != rb:
+            raise AssertionError(f"regions {ra} and {rb} overlap in key space")
+
+
+# ---------------------------------------------------------------------------
+# HFL2 — blocked binary container with block index, ROW bloom and
+# DIFF-style key encoding (the HFile v3 features the reference's table
+# config turns on: HBaseManager.java:379-385 sets DataBlockEncoding.DIFF
+# + BloomType.ROW + snappy; HFileOutputUtil.java:20-26 sets the 2048
+# file cap and hfile.compression=snappy)
+# ---------------------------------------------------------------------------
+
+HFL2_MAGIC = b"HFL2"
+HFL2_BLOCK_SIZE = 65536  # HFile default data-block size
+_BLOOM_BITS_PER_KEY = 10  # ~1% false-positive rate at k=7
+_BLOOM_K = 7
+
+
+def _bloom_hashes(key: bytes, m_bits: int):
+    """k positions for a ROW bloom — two independent 64-bit halves of
+    md5(key) combined Kirsch-Mitzenmacher style (h1 + i*h2)."""
+    import hashlib
+
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m_bits for i in range(_BLOOM_K)]
+
+
+def _bloom_build(row_keys: list[bytes]) -> bytes:
+    m_bits = max(64, len(row_keys) * _BLOOM_BITS_PER_KEY)
+    bits = bytearray((m_bits + 7) // 8)
+    for key in row_keys:
+        for pos in _bloom_hashes(key, m_bits):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return struct.pack(">II", m_bits, _BLOOM_K) + bytes(bits)
+
+
+def bloom_might_contain(bloom: bytes, key: bytes) -> bool:
+    m_bits, _k = struct.unpack(">II", bloom[:8])
+    bits = bloom[8:]
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7)) for pos in _bloom_hashes(key, m_bits)
+    )
+
+
+def _common_prefix_len(a: bytes, b: bytes) -> int:
+    n = min(len(a), len(b))
+    i = 0
+    while i < n and a[i] == b[i]:
+        i += 1
+    return i
+
+
+def _encode_block(records: list[tuple[bytes, bytes, bytes, bytes]]) -> bytes:
+    """DIFF-style record encoding: each key stores only the suffix after
+    its shared prefix with the previous key; a repeated family is elided
+    (fam_len=0 ⇒ same as previous) — the two deltas HBase's DIFF block
+    encoding exploits on sorted TSDB keys."""
+    out = bytearray()
+    prev_key = b""
+    prev_fam: bytes | None = None
+    for key, fam, qual, val in records:
+        plen = _common_prefix_len(prev_key, key)
+        fam_out = b"" if fam == prev_fam else fam
+        out.extend(
+            struct.pack(
+                ">HHBHI", plen, len(key) - plen, len(fam_out), len(qual), len(val)
+            )
+        )
+        out.extend(key[plen:])
+        out.extend(fam_out)
+        out.extend(qual)
+        out.extend(val)
+        prev_key, prev_fam = key, fam
+    return bytes(out)
+
+
+def _decode_block(payload: bytes) -> list[tuple[bytes, bytes, bytes, bytes]]:
+    records = []
+    prev_key = b""
+    prev_fam = b""
+    off = 0
+    while off < len(payload):
+        plen, slen, flen, qlen, vlen = struct.unpack_from(">HHBHI", payload, off)
+        off += 11
+        key = prev_key[:plen] + payload[off : off + slen]
+        off += slen
+        fam = payload[off : off + flen] if flen else prev_fam
+        off += flen
+        qual = payload[off : off + qlen]
+        off += qlen
+        val = payload[off : off + vlen]
+        off += vlen
+        records.append((key, fam, qual, val))
+        prev_key, prev_fam = key, fam
+    return records
+
+
+def _try_snappy():
+    """HFL2 compresses blocks with snappy when a codec is importable
+    (hfile.compression=snappy in the reference); raw blocks otherwise —
+    the flag travels in the block header so readers never guess."""
+    try:
+        import snappy  # type: ignore
+
+        return snappy.compress, snappy.decompress
+    except Exception:
+        return None, None
+
+
+def _write_hfl2_file(
+    fname: str, records: list[tuple[bytes, bytes, bytes, bytes]]
+) -> dict:
+    """One sorted HFL2 file: blocked DIFF-encoded records, a block index
+    (first_key + offset + length per block), a ROW bloom over the row
+    keys, a JSON meta block, and a fixed-size seekable trailer.
+
+    Layout:  MAGIC | data blocks | block index | bloom | meta |
+             trailer(index_off, bloom_off, meta_off, n_blocks) | MAGIC
+    """
+    compress, _ = _try_snappy()
+    blocks: list[tuple[bytes, bytes]] = []  # (first_key, encoded payload)
+    cur: list[tuple[bytes, bytes, bytes, bytes]] = []
+    cur_size = 0
+    prev_key: bytes | None = None
+    for rec in records:
+        if prev_key is not None and rec[0] < prev_key:
+            raise AssertionError("HFL2 input not sorted by key")
+        prev_key = rec[0]
+        cur.append(rec)
+        cur_size += sum(len(p) for p in rec) + 11
+        if cur_size >= HFL2_BLOCK_SIZE:
+            blocks.append((cur[0][0], _encode_block(cur)))
+            cur, cur_size = [], 0
+    if cur:
+        blocks.append((cur[0][0], _encode_block(cur)))
+
+    with open(fname, "wb") as f:
+        f.write(HFL2_MAGIC)
+        index_entries = []
+        off = len(HFL2_MAGIC)
+        for first_key, payload in blocks:
+            stored = compress(payload) if compress else payload
+            hdr = struct.pack(">BII", 1 if compress else 0, len(stored), len(payload))
+            f.write(hdr)
+            f.write(stored)
+            index_entries.append((first_key, off, len(hdr) + len(stored)))
+            off += len(hdr) + len(stored)
+        index_off = off
+        f.write(struct.pack(">I", len(index_entries)))
+        for first_key, boff, blen in index_entries:
+            f.write(struct.pack(">HQI", len(first_key), boff, blen))
+            f.write(first_key)
+        bloom_off = f.tell()
+        f.write(_bloom_build([r[0] for r in records]))
+        meta_off = f.tell()
+        meta = {
+            "rows": len(records),
+            "min_key_hex": records[0][0].hex().upper(),
+            "max_key_hex": records[-1][0].hex().upper(),
+            "encoding": "DIFF",
+            "bloom": "ROW",
+            "compression": "snappy" if compress else "none",
+        }
+        f.write(json.dumps(meta, sort_keys=True).encode())
+        f.write(struct.pack(">QQQI", index_off, bloom_off, meta_off, len(blocks)))
+        f.write(HFL2_MAGIC)
+    return meta
+
+
+def read_hfl2_file(fname: str, verify_bloom: bool = False):
+    """Parse an HFL2 file back into (key, family, qualifier, value)
+    records via its block index — the adoption-side reader. Verifies
+    magic, trailer, index↔block agreement and global sort; with
+    ``verify_bloom`` every row key is tested against the ROW bloom
+    (a build bug shows up as a false NEGATIVE, which blooms never have).
+    """
+    _, decompress = _try_snappy()
+    with open(fname, "rb") as f:
+        data = f.read()
+    if data[:4] != HFL2_MAGIC or data[-4:] != HFL2_MAGIC:
+        raise AssertionError(f"{fname}: bad HFL2 magic")
+    index_off, bloom_off, meta_off, n_blocks = struct.unpack_from(
+        ">QQQI", data, len(data) - 4 - 28
+    )
+    meta = json.loads(data[meta_off : len(data) - 4 - 28])
+    bloom = data[bloom_off:meta_off]
+    # block index
+    entries = []
+    off = index_off
+    (n_idx,) = struct.unpack_from(">I", data, off)
+    off += 4
+    if n_idx != n_blocks:
+        raise AssertionError(f"{fname}: index count {n_idx} != trailer {n_blocks}")
+    for _ in range(n_idx):
+        klen, boff, blen = struct.unpack_from(">HQI", data, off)
+        off += 14
+        entries.append((data[off : off + klen], boff, blen))
+        off += klen
+    records = []
+    prev = None
+    for first_key, boff, blen in entries:
+        comp_flag, stored_len, raw_len = struct.unpack_from(">BII", data, boff)
+        payload = data[boff + 9 : boff + 9 + stored_len]
+        if comp_flag:
+            if decompress is None:
+                raise AssertionError(f"{fname}: snappy block, no codec available")
+            payload = decompress(payload)
+        if len(payload) != raw_len:
+            raise AssertionError(f"{fname}: block length mismatch at {boff}")
+        block = _decode_block(payload)
+        if block[0][0] != first_key:
+            raise AssertionError(f"{fname}: index first_key mismatch at {boff}")
+        for rec in block:
+            if prev is not None and rec[0] < prev:
+                raise AssertionError(f"{fname}: records out of order")
+            prev = rec[0]
+            records.append(rec)
+    if len(records) != meta["rows"]:
+        raise AssertionError(f"{fname}: row count {len(records)} != meta")
+    if verify_bloom:
+        for rec in records:
+            if not bloom_might_contain(bloom, rec[0]):
+                raise AssertionError(f"{fname}: ROW bloom false negative")
+    return records, meta
+
+
+def write_hfl2_files(
+    kv: DataFrame, path: str, rollup: bool = False, num_partitions: int = 16
+) -> list[dict]:
+    """H2/H3 rolling writer over the HFL2 container: range-partition +
+    sort once (globally non-overlapping regions, the §4.2 contract), then
+    each task rolls one file per region it holds — block index, ROW
+    bloom and DIFF encoding per file. Same manifest shape as
+    write_hfl1_files."""
+    os.makedirs(path, exist_ok=True)
+    regions = assign_region(kv, rollup)
+    sorted_kv = regions.repartitionByRange(
+        num_partitions, "region", "key_hex", "qualifier_hex"
+    ).sortWithinPartitions("region", "key_hex", "qualifier_hex")
+
+    def write_partition(pid: int, it):
+        out = []
+        current_region, buf = None, []
+
+        def flush():
+            if current_region is None or not buf:
+                return
+            fname = os.path.join(path, f"region_{current_region:05d}_p{pid:05d}.hfl2")
+            meta = _write_hfl2_file(fname, buf)
+            out.append(
+                {
+                    "file": os.path.basename(fname),
+                    "region": current_region,
+                    "rows": meta["rows"],
+                    "min_key_hex": meta["min_key_hex"],
+                    "max_key_hex": meta["max_key_hex"],
+                }
+            )
+
+        for row in it:
+            if row["region"] != current_region:
+                flush()
+                current_region, buf = row["region"], []
+            buf.append(
+                (
+                    bytes(row["key"]),
+                    bytes(row["family"]),
+                    bytes(row["qualifier"]),
+                    bytes(row["value"]),
+                )
+            )
+        flush()
+        return out
+
+    results = sorted_kv.rdd.mapPartitionsWithIndex(
+        lambda pid, it: iter(write_partition(pid, it))
+    ).collect()
+    manifest = sorted(results, key=lambda r: (r["region"], r["file"]))
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_hfl2_dir(spark, path: str, verify_bloom: bool = False) -> DataFrame:
+    """Distributed HFL2 readback: one task per file (manifest-driven),
+    each parsing its file through :func:`read_hfl2_file` (which enforces
+    the container invariants as it reads). Returns (region, key, key_hex,
+    family, qualifier, qualifier_hex, value)."""
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    files = [(os.path.join(path, m["file"]), m["region"]) for m in manifest]
+
+    def parse(pair):
+        fname, region = pair
+        records, _meta = read_hfl2_file(fname, verify_bloom=verify_bloom)
+        for key, fam, qual, val in records:
+            yield (
+                region,
+                key,
+                key.hex().upper(),
+                fam,
+                qual,
+                qual.hex().upper(),
+                val,
+            )
+
+    sc = spark.sparkContext
+    rdd = sc.parallelize(files, max(1, len(files))).flatMap(parse)
+    return spark.createDataFrame(
+        rdd,
+        "region int, key binary, key_hex string, family binary, "
+        "qualifier binary, qualifier_hex string, value binary",
+    )
+
+
+def validate_hfl2_layout(path: str, rollup: bool = False) -> None:
+    """Adoption check for the binary container (H7 over HFL2): every file
+    parses clean (magic, index, DIFF decode, sort), per-region file count
+    ≤ 2048, file key ranges match the manifest, and regions are
+    non-overlapping in key space. Driver-side full parse — fine for the
+    gate/test scale it serves; at data scale run the DISTRIBUTED reader
+    instead (read_hfl2_dir(verify_bloom=True) enforces the same per-file
+    invariants inside each task) and keep only the manifest-level range
+    checks here."""
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    per_region: dict[int, list[dict]] = {}
+    for m in manifest:
+        per_region.setdefault(m["region"], []).append(m)
+    for region, files in per_region.items():
+        if len(files) > MAX_FILES_PER_REGION:
+            raise AssertionError(
+                f"region {region}: {len(files)} files > {MAX_FILES_PER_REGION}"
+            )
+    # manifest agrees with each file's own meta block
+    for m in manifest:
+        _records, meta = read_hfl2_file(os.path.join(path, m["file"]))
+        if (meta["min_key_hex"], meta["max_key_hex"], meta["rows"]) != (
+            m["min_key_hex"],
+            m["max_key_hex"],
+            m["rows"],
+        ):
+            raise AssertionError(f"{m['file']}: manifest/meta disagree")
+    # region key ranges must not overlap (region order = key order)
+    spans = sorted(
+        (
+            min(f["min_key_hex"] for f in files),
+            max(f["max_key_hex"] for f in files),
+            region,
+        )
+        for region, files in per_region.items()
+    )
+    for (lo_a, hi_a, ra), (lo_b, _hi_b, rb) in zip(spans, spans[1:]):
+        if lo_b < hi_a and ra != rb:
+            raise AssertionError(f"regions {ra} and {rb} overlap in key space")

@@ -85,3 +85,79 @@ def test_hfl1_binary_container(kv, tmp_path):
     assert total == kv.count()
     with open(os.path.join(path, "_manifest.json")) as f:
         assert json.load(f) == manifest
+    # binary readback validation (H7 dispatch on container type)
+    hfile.validate_layout(None, path)
+
+
+def test_hfl2_unit_roundtrip(tmp_path):
+    """Pure-python HFL2 file: DIFF blocks + index + ROW bloom round-trip
+    exactly; bloom has no false negatives and few false positives."""
+    import hashlib
+
+    recs = []
+    for i in range(3000):
+        key = b"\x00\x01" + i.to_bytes(4, "big") + hashlib.md5(
+            str(i).encode()
+        ).digest()[:6]
+        recs.append((key, b"t", b"q%d" % (i % 7), hashlib.md5(key).digest()))
+    recs.sort(key=lambda r: r[0])
+    fn = str(tmp_path / "x.hfl2")
+    meta = hfile._write_hfl2_file(fn, recs)
+    assert meta["rows"] == 3000 and meta["encoding"] == "DIFF"
+    back, meta2 = hfile.read_hfl2_file(fn, verify_bloom=True)
+    assert back == recs
+    with open(fn, "rb") as f:
+        data = f.read()
+    _io, bloom_off, meta_off, n_blocks = struct.unpack_from(
+        ">QQQI", data, len(data) - 4 - 28
+    )
+    assert n_blocks >= 2  # actually blocked, not one giant block
+    bloom = data[bloom_off:meta_off]
+    fp = sum(
+        1
+        for i in range(1000)
+        if hfile.bloom_might_contain(bloom, b"absent-%d" % i)
+    )
+    assert fp < 50  # ~1% design rate, generous margin
+    # unsorted input must be rejected at write time
+    with pytest.raises(AssertionError, match="not sorted"):
+        hfile._write_hfl2_file(str(tmp_path / "bad.hfl2"), recs[::-1])
+
+
+def test_hfl2_distributed_write_read(spark, kv, tmp_path):
+    """H2/H3 over the binary container: write per-region HFL2 files,
+    parse them back distributed (bloom verified in-task), layout
+    validation dispatches on the container."""
+    path = str(tmp_path / "hfl2")
+    manifest = hfile.write_hfl2_files(kv, path, rollup=True, num_partitions=8)
+    assert manifest and all(m["file"].endswith(".hfl2") for m in manifest)
+    hfile.validate_layout(spark, path, rollup=True)
+    back = hfile.read_hfl2_dir(spark, path, verify_bloom=True)
+    assert back.count() == kv.count()
+    # per-region aggregates agree with the parquet writer's layout
+    a = {
+        r["region"]: (r["n"], r["lo"], r["hi"])
+        for r in back.groupBy("region")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("key_hex").alias("lo"),
+            F.max("key_hex").alias("hi"),
+        )
+        .collect()
+    }
+    b = {}
+    for m in manifest:
+        n, lo, hi = b.get(m["region"], (0, "Z" * 99, ""))
+        b[m["region"]] = (
+            n + m["rows"],
+            min(lo, m["min_key_hex"]),
+            max(hi, m["max_key_hex"]),
+        )
+    assert a == b
+    # corrupting the first block's raw_len field must surface at readback
+    victim = os.path.join(path, manifest[0]["file"])
+    blob = bytearray(open(victim, "rb").read())
+    blob[10] ^= 0xFF  # byte 10 sits inside the first block header's raw_len
+    open(victim, "wb").write(bytes(blob))
+    with pytest.raises(AssertionError, match="length mismatch"):
+        hfile.read_hfl2_file(victim)

@@ -47,7 +47,13 @@ PROBE_QUERIES = [
     "q104_bm25_topk",          # IN-pruned index + TakeOrderedAndProject
     "q105_incremental_dedup",  # exact-hash layer absorbs amplified copies (near layer idles by design)
 ]
-# q109/q113/q114 are deliberately NOT probed: the amplifier replicates
+# Pair-output operators (near-dup / linkage / graph families) are probed
+# against a PERTURBED amplification instead (below): replication with
+# per-rep content perturbation, so cross-rep copies are NOT duplicates of
+# each other and growth reflects operator shape, not the synthetic copy
+# classes. The plain amplifier's exact copies would make their pair
+# output quadratic by construction:
+# q109/q113/q114 were deliberately NOT probed in r03: the amplifier replicates
 # documents/customers as EXACT COPIES (only keys shift), so pair-output
 # operators would see quadratic growth in the copy classes by
 # construction of the synthetic amplification, not by operator shape —
