@@ -54,6 +54,10 @@ PRIORITY = [
     "q115_sketch_accuracy",
     "q116_hfl2_container",
     "q117_heavy_hitters",
+    "q118_kmeans_iterative",
+    "q119_lm_quality",
+    "q120_key_skew_profile",
+    "q121_connected_components",
     # -- 3. rotation: r02-greens not re-checked since round 2 --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -84,10 +88,6 @@ PRIORITY = [
     "q33_token_count",
     "q34_fingerprint",
     "q35_minhash_lsh",
-    "q44_neardup_clusters",
-    "q45_corpus_curation",
-    "q36_ngram_jaccard",
-    "q37_simhash",
 ]
 
 

@@ -583,3 +583,31 @@ def heavy_hitters(df: DataFrame, item_col: str, phi_ppm: int = 10_000) -> DataFr
             >= F.lit(int(phi_ppm)).cast("long") * F.lit(int(total)).cast("long")
         )
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the count-of-counts profile every
+    100 TB shuffle plan should be checked against before picking a join
+    strategy (salting threshold, AQE skew-join expectations, broadcast
+    viability all read directly off it).
+
+    Two map-side-combined hash aggregates: per-key counts, then a
+    histogram of those counts in log2 buckets — bucket = floor(log2(cnt))
+    computed EXACTLY as ``length(base2(cnt)) - 1`` (integer-string, no
+    libm log2 whose last-bit rounding could differ across engines).
+    Output: one row per occupied bucket — (log2_bucket, n_keys, n_rows,
+    min_cnt, max_cnt); a healthy key has its mass in low buckets, a
+    skewed key shows a lonely high bucket holding a large n_rows share.
+    NULL keys are profiled too (they hash-collide like any value).
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    bucket = (F.length(F.conv(F.col("cnt"), 10, 2)) - 1).cast("int")
+    return (
+        counts.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.min("cnt").alias("min_cnt"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )

@@ -151,3 +151,54 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank_ppb"))
+
+
+def connected_components_rounds(
+    pairs: DataFrame,
+    rounds: int = 4,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Fixed-round hash-to-min connected components over the undirected
+    pair graph: every node's label starts as its own id and each round
+    becomes the minimum label in its closed neighborhood, so after R
+    rounds label(v) = min id within graph distance R — exactly the
+    R-round prefix of the classic hash-to-min algorithm, which makes a
+    FIXED iteration count bit-reproducible and therefore SQL-unrollable
+    for the oracle gate (same recipe as pagerank / kmeans_lloyd).
+    dedup.neardup_clusters remains the run-to-convergence twin; this is
+    the bounded-depth variant for pipelines that need deterministic cost
+    (blocking graphs have tiny diameters — duplicate clusters are
+    near-cliques, so small R already labels them exactly).
+
+    Scale shape per round: one self-contribution union + ONE keyed
+    contribution join (labels ⋈ edges on the source) + one min agg on
+    the destination — a single hash exchange per round, localCheckpoint
+    between rounds for O(1) plan depth. Node domain: nodes with >= 1
+    edge.
+
+    Output: (node, component) with component = min node id within
+    distance ``rounds``.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        nbr = labels.join(edges, F.col("node") == F.col("src")).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        labels = (
+            labels.unionAll(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lbl").alias("component"))

@@ -482,3 +482,103 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-exact distributed Lloyd's k-means — the ITERATIVE
+    counterpart of the one-round :func:`label_centroids` reduce, built so
+    every round is reproducible bit-for-bit by an unrolled SQL oracle
+    (same recipe as the q114 PageRank gate).
+
+    Protocol (all integer arithmetic, no float crosses a verdict):
+    vectors quantize once to ``floor(v * scale)`` micros; the initial
+    centroids are the ``k`` lowest-id vectors; each round assigns every
+    vector to the centroid minimizing the exact integer squared distance
+    (ties -> lowest centroid id), then recomputes each centroid
+    dimension as ``SUM(x) div COUNT(*)`` (truncating integer division —
+    identical semantics in Spark ``div`` and DuckDB ``//``). Empty
+    clusters keep their previous centroid. After ``iters`` update rounds
+    the FINAL assignment is returned: (id, cluster, d2) with d2 the
+    exact integer squared distance.
+
+    Scale shape: this is textbook 100 TB k-means — the per-round
+    centroid table is k x dim integers (metadata-scale), collected to
+    the driver and re-broadcast each round exactly like
+    ml.clustering.KMeans does; per-vector work is a broadcast crossJoin
+    (k rows) scored by a codegen'd zip_with fold, then ONE map-side-
+    combined min-struct agg per vector. The quantized vectors are
+    localCheckpoint'd so the quantization scan runs once, not
+    iters+1 times. d2 bounds: dim * (2 * scale * max|v|)^2 must fit
+    int64 — at scale=1e6 that allows |v| <= ~48 for dim 64.
+    """
+    if k <= 0 or iters < 0:
+        raise ValueError("need k > 0 and iters >= 0")
+    spark = embeddings.sparkSession
+    vm = embeddings.select(
+        id_col,
+        F.transform(
+            vec_col, lambda v: F.floor(v.cast("double") * scale).cast("long")
+        ).alias("vm"),
+    ).localCheckpoint()
+
+    # init: the k lowest-id vectors (deterministic; metadata-scale collect)
+    init = vm.orderBy(id_col).limit(k).collect()
+    cents = [(i, list(r["vm"])) for i, r in enumerate(init)]
+
+    def scored(cdf):
+        return vm.crossJoin(F.broadcast(cdf)).select(
+            id_col,
+            "vm",
+            "cid",
+            F.aggregate(
+                F.zip_with("vm", "cvec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cid int, cvec array<long>")
+        assign = (
+            scored(cdf)
+            .groupBy(id_col, "vm")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select(id_col, "vm", F.col("m.cid").alias("cid"))
+        )
+        agg = (
+            assign.select("cid", F.posexplode("vm").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(x) div count(*)").alias("c"))
+            .collect()  # k*dim rows — metadata-scale, the Lloyd round-trip
+        )
+        new_c = {}
+        for r in agg:
+            new_c.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+        cents = [
+            (
+                cid,
+                [new_c[cid][p] for p in range(len(old))]
+                if cid in new_c
+                else old,  # empty cluster keeps its previous centroid
+            )
+            for cid, old in cents
+        ]
+
+    cdf = spark.createDataFrame(cents, "cid int, cvec array<long>")
+    return (
+        scored(cdf)
+        .groupBy(F.col(id_col), "vm")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(
+            id_col,
+            F.col("m.cid").alias("cluster"),
+            F.col("m.d2").alias("d2"),
+        )
+    )

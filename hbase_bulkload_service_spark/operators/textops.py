@@ -801,3 +801,59 @@ def bpe_encode(
             ),
         )
     )
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-model quality scoring — the perplexity-filter stage of an
+    LLM data pipeline (score each document by how well a corpus-level
+    bigram LM predicts it; low scores flag boilerplate/garbage), kept
+    integer-exact so the oracle gate is bit-for-bit.
+
+    Model: add-one-smoothed bigram probabilities in parts-per-billion,
+    ``p_ppb(w1,w2) = ((c2(w1,w2) + 1) * 1e9) div (c1(w1) + V)`` with c2 =
+    corpus bigram count, c1 = corpus unigram count, V = vocabulary size;
+    document score = ``SUM(p_ppb) div n_bigrams`` (mean token probability
+    — the same argsort as perplexity for filtering, with no float/log
+    crossing the oracle). Output: (doc_id, n_bigrams, score_ppb), one row
+    per document with >= 2 words.
+
+    Scale shape: one corpus scan builds words; unigram/bigram counts are
+    map-side-combined hash aggs (vocab-bounded output); scoring is two
+    keyed equi-joins (bigram key, then unigram key) plus a broadcast of
+    the 1-row vocab count — no driver-side state, no collect, nothing
+    quadratic. Overflow: (c2+1)*1e9 stays in int64 up to ~9e9 corpus
+    occurrences of a single bigram; per-doc SUM(p_ppb) <= 1e9 * doc
+    length.
+    """
+    wf = docs.select(
+        "doc_id",
+        F.filter(words_of(F.col(text_col)), lambda x: x != "").alias("ws"),
+    )
+    words = wf.select(F.explode("ws").alias("w"))
+    uni = words.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
+    vv = words.agg(F.countDistinct("w").alias("v"))
+    pairs = wf.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (x, i) -> struct(x AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            F.expr(
+                "((c2 + 1) * CAST(1000000000 AS BIGINT)) div (c1 + v)"
+            ).alias("p_ppb"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("sum(p_ppb) div count(*)").alias("score_ppb"),
+    )

@@ -419,10 +419,18 @@ _CODES = (
 )
 _LSUM = "list_reduce(list_prepend(CAST(0 AS BIGINT), {lst}), (a, b) -> a + b)"
 
+from hbase_bulkload_service_spark.operators.multimodal import (  # noqa: E402
+    PHASH_BAND_BITS,
+    PHASH_BANDS,
+    PHASH_CELLS,
+)
+
+_NC = PHASH_CELLS
 _PHASH_BIT = (
-    "CASE WHEN ((j + 1) * L) // 16 > (j * L) // 16"
-    " AND " + _LSUM.format(lst="codes[(j * L) // 16 + 1 : ((j + 1) * L) // 16]")
-    + " * L > total * (((j + 1) * L) // 16 - (j * L) // 16)"
+    f"CASE WHEN ((j + 1) * L) // {_NC} > (j * L) // {_NC}"
+    " AND "
+    + _LSUM.format(lst=f"codes[(j * L) // {_NC} + 1 : ((j + 1) * L) // {_NC}]")
+    + f" * L > total * (((j + 1) * L) // {_NC} - (j * L) // {_NC})"
     " THEN CAST(1 AS BIGINT) << j ELSE 0 END"
 )
 
@@ -437,13 +445,15 @@ _PHASH_BIT = (
     t AS (SELECT doc_id, L, codes, {_LSUM.format(lst="codes")} AS total FROM c),
     ph AS (
       SELECT doc_id,
-             {_LSUM.format(lst=f"list_transform(range(0, 16), j -> {_PHASH_BIT})")}
+             {_LSUM.format(lst=f"list_transform(range(0, {_NC}), j -> {_PHASH_BIT})")}
                AS phash
       FROM t
     ),
     bands AS (
-      SELECT doc_id, phash, b AS band, (phash >> (4 * b)) & 15 AS val
-      FROM ph, unnest([0, 1, 2, 3]) AS u(b)
+      SELECT doc_id, phash, b AS band,
+             (phash >> ({PHASH_BAND_BITS} * b)) & {(1 << PHASH_BAND_BITS) - 1}
+               AS val
+      FROM ph, unnest({list(range(PHASH_BANDS))}) AS u(b)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
@@ -454,8 +464,8 @@ _PHASH_BIT = (
 )
 def q109_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate image pairs over the binary media
-    column: integer aHash (16 cells, cross-multiplied threshold — no
-    float), multi-index Hamming blocking (4x4-bit bands, pigeonhole-exact
+    column: integer aHash (60 cells, cross-multiplied threshold — no
+    float), multi-index Hamming blocking (4x15-bit bands, pigeonhole-exact
     for distance <= 3), bit_count verify
     (operators/multimodal.py:phash_signature / phash_neardups; ASCII
     corpus => byte values == codepoints, so the oracle recomputes the

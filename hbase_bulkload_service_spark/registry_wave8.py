@@ -1,8 +1,12 @@
 """Registry wave 8 (q115+) — round-4 additions: oracle-gated sketch
 accuracy (converts the last non-BPE rows-only gate into a hash-exact
 row), the HFL2 binary-container bulkload round-trip (block index + ROW
-bloom + DIFF encoding), and exact heavy hitters via the two-pass
-Misra-Gries shape.
+bloom + DIFF encoding), exact heavy hitters via the two-pass Misra-Gries
+shape, oracle-unrolled ITERATIVE algorithms (q118 integer Lloyd k-means,
+q121 fixed-round hash-to-min connected components — completing the
+family started by q114 PageRank), bigram-LM document quality scoring
+(q119, the perplexity-filter stage, integer-exact), and the join-key
+skew profile (q120).
 
 Same portability rules as registry.py: integer cents, epoch-millis
 timestamps, identical aliases both sides, DuckDB SUMs cast back to
@@ -15,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.functions.codec import decode_double_be
-from hbase_bulkload_service_spark.operators import analytics, tsdb
+from hbase_bulkload_service_spark.operators import analytics, similarity, tsdb
 from hbase_bulkload_service_spark.registry import (
     DUCK_SALT_BUCKET,
     TSDB_CELLS_CTE,
@@ -164,3 +168,218 @@ def q117_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
     )
     return analytics.heavy_hitters(words, "word", phi_ppm=34_000)
+
+
+# ===========================================================================
+# q118 — oracle-gated ITERATIVE k-means (integer-exact Lloyd rounds,
+# SQL-unrolled like the q114 PageRank gate — converts the k-means family
+# from "argmax-per-round, rows-only" to hash-exact)
+# ===========================================================================
+
+_KM_K = 8
+_KM_ITERS = 2  # centroid updates; assignments run iters+1 times
+
+
+def _km_round(i: int) -> str:
+    """One unrolled Lloyd round: distance agg -> argmin assignment ->
+    truncating-integer centroid update (empty clusters keep c{i})."""
+    return f"""
+    d{i} AS (
+      SELECT vm.vec_id, c{i}.cid,
+             SUM((vm.x - c{i}.c) * (vm.x - c{i}.c)) AS d2
+      FROM vm JOIN c{i} USING (pos) GROUP BY 1, 2
+    ),
+    a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ),
+    u{i} AS (
+      SELECT a{i}.cid, vm.pos, SUM(vm.x) // COUNT(*) AS c
+      FROM a{i} JOIN vm USING (vec_id) GROUP BY 1, 2
+    ),
+    c{i + 1} AS (
+      SELECT c{i}.cid, c{i}.pos, COALESCE(u{i}.c, c{i}.c) AS c
+      FROM c{i} LEFT JOIN u{i} ON u{i}.cid = c{i}.cid AND u{i}.pos = c{i}.pos
+    )"""
+
+
+_KM_ROUNDS = ",".join(_km_round(i) for i in range(_KM_ITERS))
+
+
+@register(
+    "q118_kmeans_iterative",
+    f"""
+    WITH vm AS (
+      SELECT vec_id, pos - 1 AS pos,
+             CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x
+      FROM (
+        SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
+    ),
+    ids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY 1 LIMIT {_KM_K})
+    ),
+    c0 AS (SELECT ids.cid, vm.pos, vm.x AS c FROM ids JOIN vm USING (vec_id)),
+    {_KM_ROUNDS},
+    df AS (
+      SELECT vm.vec_id, cf.cid,
+             CAST(SUM((vm.x - cf.c) * (vm.x - cf.c)) AS BIGINT) AS d2
+      FROM vm JOIN c{_KM_ITERS} cf USING (pos) GROUP BY 1, 2
+    )
+    SELECT vec_id, cid AS cluster, d2 FROM (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM df
+    ) WHERE rn = 1
+    """,
+)
+def q118_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative k-means over the embedding corpus, oracle-gated:
+    {_KM_ITERS} integer-exact Lloyd centroid updates + final assignment
+    (operators/similarity.py:kmeans_lloyd). The DuckDB oracle unrolls
+    the SAME rounds as chained CTEs — init = k lowest-id vectors,
+    truncating integer centroid division, (d2, cid) argmin ties — so a
+    divergence in ANY round's assignment or update breaks the hash.
+    Reference parity: the reference has no ML surface; this extends the
+    training-data-pipeline capability set (IVF training for q39/q42/q71
+    without the pseudo-centroid stand-in)."""
+    from hbase_bulkload_service_spark.sources.tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings", spread=True)
+    return similarity.kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+# ===========================================================================
+# q119 — bigram-LM document quality scoring (integer perplexity twin)
+# ===========================================================================
+
+@register(
+    "q119_lm_quality",
+    f"""
+    WITH {DOCS_NORM_CTE},
+    wf AS (SELECT doc_id, list_filter(ws, x -> x <> '') AS ws FROM w),
+    words AS (SELECT unnest(ws) AS wd FROM wf),
+    uni AS (SELECT wd AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM words GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(DISTINCT wd) AS BIGINT) AS v FROM words),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      FROM wf WHERE len(ws) >= 2
+    ),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM pairs GROUP BY 1, 2),
+    sc AS (
+      SELECT p.doc_id,
+             ((b.c2 + 1) * 1000000000) // (u.c1 + vv.v) AS p_ppb
+      FROM pairs p
+      JOIN big b USING (w1, w2)
+      JOIN uni u USING (w1)
+      CROSS JOIN vv
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_ppb) // COUNT(*) AS BIGINT) AS score_ppb
+    FROM sc GROUP BY 1
+    """,
+)
+def q119_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score per document
+    (operators/textops.py:bigram_lm_scores): add-one bigram model learned
+    from the corpus itself, mean token probability in ppb as the filter
+    score — the perplexity-filtering stage of a training-data pipeline
+    with integer-exact oracle parity (DuckDB `//` and Spark `div` are
+    both truncating, so every division matches bit-for-bit)."""
+    from hbase_bulkload_service_spark.operators import textops
+    from hbase_bulkload_service_spark.sources.tables import load as _load
+
+    return textops.bigram_lm_scores(
+        _load(spark, sf_dir, "documents", spread=True)
+    )
+
+
+# ===========================================================================
+# q120 — join-key skew profile (count-of-counts histogram, log2 buckets)
+# ===========================================================================
+
+@register(
+    "q120_key_skew_profile",
+    """
+    WITH counts AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
+    SELECT CAST(length(to_base(cnt, 2)) - 1 AS INT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt
+    FROM counts GROUP BY 1
+    """,
+)
+def q120_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic for the busiest join key (events.user_id):
+    count-of-counts in exact log2 buckets
+    (operators/analytics.py:key_skew_profile) — the profile that decides
+    salting / broadcast / AQE-skew-join strategy before a 100 TB shuffle.
+    floor(log2) is computed via base-2 string length on both engines (no
+    libm log2 in the verdict)."""
+    return analytics.key_skew_profile(
+        load_events(spark, sf_dir, spread=True), "user_id"
+    )
+
+
+# ===========================================================================
+# q121 — fixed-round hash-to-min connected components (oracle-unrolled
+# iterative, completing the family: q114 pagerank, q118 kmeans, q121 cc)
+# ===========================================================================
+
+_CC_ROUNDS = 4
+
+
+def _cc_round(i: int) -> str:
+    return f"""
+    l{i + 1} AS (
+      SELECT node, MIN(lbl) AS lbl FROM (
+        SELECT node, lbl FROM l{i}
+        UNION ALL
+        SELECT ed.dst AS node, l{i}.lbl AS lbl
+        FROM ed JOIN l{i} ON l{i}.node = ed.src
+      ) GROUP BY 1
+    )"""
+
+
+from hbase_bulkload_service_spark.registry_wave7 import (  # noqa: E402
+    _FUZZY_EDGES_CTE,
+)
+
+
+@register(
+    "q121_connected_components",
+    f"""
+    WITH {_FUZZY_EDGES_CTE},
+    ed AS (SELECT x AS src, y AS dst FROM e
+           UNION ALL SELECT y AS src, x AS dst FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+    {",".join(_cc_round(i) for i in range(_CC_ROUNDS))}
+    SELECT node, CAST(lbl AS BIGINT) AS component FROM l{_CC_ROUNDS}
+    """,
+)
+def q121_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labeling on the q107 linkage graph with a FIXED
+    round budget: 4 hash-to-min rounds
+    (operators/graph.py:connected_components_rounds), oracle-unrolled as
+    chained SQL CTEs — component = min custkey within distance 4, exact
+    for the near-clique clusters blocking-based dedup emits.
+    dedup.neardup_clusters (q44) remains the run-to-convergence twin."""
+    from hbase_bulkload_service_spark.operators import dedup, graph
+    from hbase_bulkload_service_spark.sources.tables import load as _load
+
+    cust = _load(spark, sf_dir, "customer", spread=True)
+    pairs = dedup.fuzzy_self_join_k1(cust, "c_custkey", "c_name").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return graph.connected_components_rounds(pairs, rounds=_CC_ROUNDS)

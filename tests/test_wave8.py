@@ -96,3 +96,125 @@ def test_sketch_accuracy_flags_a_violated_bound(spark):
     for r in out:
         should = est[r["k"]] == r["exact_distinct"]
         assert r["hll_within_bound"] == should
+
+
+# ---------------------------------------------------------------------------
+# iterative k-means (kmeans_lloyd)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_lloyd_separates_blobs_and_is_deterministic(spark):
+    from hbase_bulkload_service_spark.operators import similarity
+
+    # two tight, far-apart blobs; ids interleaved so init (2 lowest ids)
+    # starts with one centroid in each blob
+    rows = []
+    for i in range(20):
+        base = 0.9 if i % 2 == 0 else -0.9
+        rows.append((i, [base + 0.001 * (i % 5), base, base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out1 = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.kmeans_lloyd(df, k=2, iters=2).collect()
+    }
+    assert set(out1.values()) == {0, 1}
+    for i, c in out1.items():
+        assert c == (0 if i % 2 == 0 else 1)  # blob == parity of id
+    out2 = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.kmeans_lloyd(df, k=2, iters=2).collect()
+    }
+    assert out1 == out2
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
+    from hbase_bulkload_service_spark.operators import similarity
+
+    # k=3 but only two real blobs: init centroids 0,1,2 — vec 2 sits in
+    # blob A, so some centroid is starved after round 1; must not crash
+    # and must still assign every vector
+    rows = [(i, [1.0, 1.0]) for i in range(0, 6)] + [
+        (i, [-1.0, -1.0]) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kmeans_lloyd(df, k=3, iters=2).collect()
+    assert len(out) == 12
+    assert all(r["d2"] >= 0 for r in out)
+
+
+def test_kmeans_lloyd_rejects_bad_args(spark):
+    import pytest
+
+    from hbase_bulkload_service_spark.operators import similarity
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        similarity.kmeans_lloyd(df, k=0)
+    with pytest.raises(ValueError):
+        similarity.kmeans_lloyd(df, k=2, iters=-1)
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_scores_exact_tiny_corpus(spark):
+    from hbase_bulkload_service_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["score_ppb"])
+           for r in textops.bigram_lm_scores(docs).collect()}
+    # corpus: words a,b,a,b,a,b,z -> c1(a)=3, c1(b)=3, c1(z)=1, V=3
+    # doc1 bigrams (a,b),(b,a),(a,b); doc2 (a,b) -> c2(a,b)=3, c2(b,a)=1
+    p_ab = (3 + 1) * 1_000_000_000 // (3 + 3)   # 666666666
+    p_ba = (1 + 1) * 1_000_000_000 // (3 + 3)   # 333333333
+    d1 = (2 * p_ab + p_ba) // 3                  # 555555555
+    assert out[1] == (3, d1)
+    assert out[2] == (1, p_ab)
+    assert 3 not in out and 4 not in out  # <2 words -> no row
+
+
+# ---------------------------------------------------------------------------
+# fixed-round connected components + key skew profile
+# ---------------------------------------------------------------------------
+
+def test_connected_components_rounds_labels_within_radius(spark):
+    from hbase_bulkload_service_spark.operators import graph
+
+    # path 1-2-3-4-5-6 plus isolated edge 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in graph.connected_components_rounds(pairs, rounds=4).collect()
+    }
+    # distance from node 1: node 5 is 4 hops, node 6 is 5 hops -> after 4
+    # rounds everything but 6 reaches label 1; 6 sees only label 2's min
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 2, 10: 10, 11: 10}
+    # one more round closes the path
+    out5 = {
+        r["node"]: r["component"]
+        for r in graph.connected_components_rounds(pairs, rounds=5).collect()
+    }
+    assert out5[6] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        graph.connected_components_rounds(pairs, rounds=0)
+
+
+def test_key_skew_profile_buckets_exact(spark):
+    from hbase_bulkload_service_spark.operators import analytics
+
+    rows = [("hot",)] * 9 + [("warm",)] * 2 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {
+        r["log2_bucket"]: (r["n_keys"], r["n_rows"], r["min_cnt"], r["max_cnt"])
+        for r in analytics.key_skew_profile(df, "k").collect()
+    }
+    # cnt=9 -> bucket 3; cnt=2 -> bucket 1; cnt=1 x3 -> bucket 0
+    assert out == {3: (1, 9, 9, 9), 1: (1, 2, 2, 2), 0: (3, 3, 1, 1)}

@@ -59,6 +59,16 @@ PROBE_QUERIES = [
 # construction of the synthetic amplification, not by operator shape —
 # their scale arguments are the blocking bounds pinned in SCALE.md.
 
+# Probed against the perturbed amplifier (1× perturbed vs K× perturbed —
+# both sides perturbed so the ratio isolates operator scaling):
+PROBE_QUERIES_PERTURBED = [
+    "q102_semantic_dedup",   # IVF-cell pair join; centroids grow with data (every-50th-id) so cell size stays constant
+    "q107_fuzzy_linkage",    # deletion-neighborhood blocking; per-rep name suffixes keep cross-rep edit distance >= 2
+    "q109_phash_neardups",   # banded Hamming; per-rep text suffix changes payload bytes, so no cross-rep collisions
+    "q113_triangle_counts",  # disjoint per-rep copies of the linkage graph -> triangles scale linearly
+    "q114_pagerank",         # same graph; 5 fixed rounds, each one keyed exchange
+]
+
 
 def _api(spark, path):
     base = spark.sparkContext.uiWebUrl
@@ -130,9 +140,90 @@ def _amplify(spark, work: str, amp: int) -> str:
     return dst
 
 
+def _amplify_perturbed(spark, work: str, amp: int) -> str:
+    """Amplified dir for PAIR-OUTPUT probes: keys shift AND content is
+    perturbed per rep, so replicas are not duplicates of each other —
+    near-dup/linkage/graph operators then grow by operator shape, not by
+    the copy classes the plain amplifier manufactures. Used for BOTH
+    sides of the ratio (amp=1 gives the perturbed 1× baseline)."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.sources.tables import TABLES, load
+
+    dst = os.path.join(work, f"sf_pert{amp}")
+    os.makedirs(dst, exist_ok=True)
+    reps = spark.range(amp).select(F.col("id").alias("rep"))
+
+    def build(name: str, exprs: dict[str, str]):
+        df = load(spark, SF_DIR, name)
+        amped = df.crossJoin(reps)
+        cols = [
+            F.expr(exprs[c]).alias(c) if c in exprs else F.col(c)
+            for c in df.columns
+        ]
+        amped.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{name}.parquet")
+        )
+
+    n_doc = load(spark, SF_DIR, "documents").count()
+    max_vec = load(spark, SF_DIR, "embeddings").agg(
+        F.max("vec_id")
+    ).collect()[0][0]
+    max_cust = load(spark, SF_DIR, "customer").agg(
+        F.max("c_custkey")
+    ).collect()[0][0]
+    # rep-dependent byte-run PREFIX (distinct char, rep-varying length):
+    # a short suffix is enough for exact/shingle dedup but NOT for the
+    # byte-mean aHash (q109) — a long distinct run shifts many cell
+    # means, pushing cross-rep Hamming distance past the near-dup band
+    build(
+        "documents",
+        {
+            "doc_id": f"doc_id + rep * {n_doc}",
+            "text": (
+                "concat(repeat(char(48 + CAST(rep % 60 AS INT)), "
+                "CAST(40 + (rep * 17) % 50 AS INT)), text, "
+                "' r', CAST(rep AS STRING))"
+            ),
+        },
+    )
+    # deterministic per-rep coordinate noise (amplitude 0.4 per dim) ->
+    # cross-rep cosine falls far below the near-dup threshold; within a
+    # rep all vectors share the offset so 1× structure is preserved
+    build(
+        "embeddings",
+        {
+            "vec_id": f"vec_id + rep * {max_vec + 1}",
+            "embedding": (
+                "transform(embedding, (v, i) -> "
+                "CAST(v + 0.4 * cos(CAST(i * 3 + rep * 7 AS DOUBLE)) AS FLOAT))"
+            ),
+        },
+    )
+    # doubled rep digits: cross-rep suffixes always differ by >= 2 edits,
+    # so edit-distance-1 linkage never bridges reps; within-rep distances
+    # are unchanged (same suffix appended to every name)
+    build(
+        "customer",
+        {
+            "c_custkey": f"c_custkey + rep * {max_cust + 1}",
+            "c_name": (
+                "c_name || '#' || CAST(rep AS STRING) || CAST(rep AS STRING)"
+            ),
+        },
+    )
+    for t in TABLES:
+        p = os.path.join(dst, f"{t}.parquet")
+        if not os.path.exists(p):
+            shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"), p)
+    return dst
+
+
 def main() -> int:
     amp = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/linearity_probe.json"
+    # optional comma-separated query filter (argv[3]) for fast iteration
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     from pyspark.sql import SparkSession
 
@@ -145,6 +236,10 @@ def main() -> int:
         .appName("linearity-probe")
         .config("spark.ui.enabled", "true")
         .config("spark.sql.shuffle.partitions", "64")
+        # 20 queries x 2 scales in ONE session: localCheckpoint blocks
+        # accumulate until the ContextCleaner reclaims them, and the 1g
+        # default heap OOMs around stage ~550 at 10x scale
+        .config("spark.driver.memory", "12g")
         .getOrCreate()
     )
     sc = spark.sparkContext
@@ -155,16 +250,27 @@ def main() -> int:
     try:
         sc.setJobGroup("amplify", "build amplified inputs")
         amp_dir = _amplify(spark, work, amp)
+        pert1_dir = _amplify_perturbed(spark, work, 1)
+        pertk_dir = _amplify_perturbed(spark, work, amp)
 
-        for name in PROBE_QUERIES:
+        plan = [(n, SF_DIR, amp_dir) for n in PROBE_QUERIES] + [
+            (n, pert1_dir, pertk_dir) for n in PROBE_QUERIES_PERTURBED
+        ]
+        if only is not None:
+            plan = [p for p in plan if p[0] in only]
+        for name, d1, dk in plan:
             fn = registry.QUERIES[name]
             walls = {}
-            for tag, d in (("x1", SF_DIR), (f"x{amp}", amp_dir)):
+            for tag, d in (("x1", d1), (f"x{amp}", dk)):
                 sc.setJobGroup(f"{name}:{tag}", name)
                 t0 = time.time()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 walls[tag] = round(time.time() - t0, 2)
-            results["queries"][name] = {"wall_s": walls}
+                spark.catalog.clearCache()  # drop leftover persists per run
+            results["queries"][name] = {
+                "wall_s": walls,
+                "perturbed": name in PROBE_QUERIES_PERTURBED,
+            }
 
         groups = _group_metrics(spark)
         for name, rec in results["queries"].items():
