@@ -58,6 +58,7 @@ PRIORITY = [
     "q119_lm_quality",
     "q120_key_skew_profile",
     "q121_connected_components",
+    "q122_quantized_topk",
     # -- 3. rotation: r02-greens not re-checked since round 2 --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -87,7 +88,6 @@ PRIORITY = [
     "q32_lang_id",
     "q33_token_count",
     "q34_fingerprint",
-    "q35_minhash_lsh",
 ]
 
 

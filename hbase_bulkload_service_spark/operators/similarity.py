@@ -582,3 +582,100 @@ def kmeans_lloyd(
             F.col("m.d2").alias("d2"),
         )
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 vector quantization — the memory lever of
+    billion-vector ANN serving (4 bytes -> 1 byte per dim; quantized
+    dot products stay in cheap integer SIMD). Kept integer-exact end to
+    end so the oracle gate reproduces it bit-for-bit: floats quantize
+    once to micros (floor(v*scale)), the per-vector scale is the max
+    absolute micro value, and each code is ``(vm * 127) div qscale``
+    (truncating integer division — identical in Spark `div` and DuckDB
+    `//`). All-zero vectors get qscale 0 and all-zero codes.
+
+    Output: (id, qvec array<long> of codes in [-127, 127], qscale long).
+    Approximate dot(a, b) is reconstructed monotonically as
+    ``dot(qa, qb) * qscale_a * qscale_b`` (the shared 127^2*scale^2
+    factor cancels in ranking).
+    """
+    vm = F.transform(
+        vec_col, lambda v: F.floor(v.cast("double") * scale).cast("long")
+    )
+    return embeddings.select(
+        id_col,
+        vm.alias("vm"),
+    ).select(
+        id_col,
+        F.expr(
+            "CASE WHEN aggregate(vm, CAST(0 AS BIGINT),"
+            " (m, x) -> greatest(m, abs(x))) = 0"
+            " THEN transform(vm, x -> CAST(0 AS BIGINT))"
+            " ELSE transform(vm, x -> (x * 127) div"
+            "   aggregate(vm, CAST(0 AS BIGINT), (m, x) -> greatest(m, abs(x))))"
+            " END"
+        ).alias("qvec"),
+        F.expr(
+            "aggregate(vm, CAST(0 AS BIGINT), (m, x) -> greatest(m, abs(x)))"
+        ).alias("qscale"),
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    every: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k neighbors in the int8-quantized space — the
+    validation baseline for quantized ANN (same role q38 plays for the
+    float space; compose with the IVF/SRP blocking operators for the
+    100 TB path — quantization and blocking are orthogonal levers).
+
+    Scoring is pure integer: ``dot(qa, qb) * qscale_a * qscale_b``,
+    bounded by 127^2 * dim * scale^2 < 2^63 for dim 64 at micro scale.
+    Ties break by neighbor id. Queries = every Nth id (broadcast side);
+    ONE broadcast nested-loop over the corpus + per-query top-k via
+    window — no shuffle of the corpus beyond the final k rows/query.
+    """
+    q = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    queries = q.filter(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qa"),
+        F.col("qscale").alias("sa"),
+    )
+    corpus = q.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("qb"),
+        F.col("qscale").alias("sb"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(
+                    "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+                    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+                )
+                * F.col("sa")
+                * F.col("sb")
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "neighbor_id", "score_q")
+    )

@@ -120,7 +120,10 @@ def q116_hfl2_container(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(d, ignore_errors=True)  # fresh layout on re-run
     hfile.write_hfl2_files(kv, d, rollup=True, num_partitions=16)
-    hfile.validate_layout(spark, d, rollup=True)  # dispatches to HFL2 parse
+    # scale-path split: manifest-level layout checks in the driver
+    # (O(files) metadata), per-file container invariants + manifest/meta
+    # agreement inside the distributed reading tasks
+    hfile.validate_layout(spark, d, rollup=True, deep=False)
     back = hfile.read_hfl2_dir(spark, d, verify_bloom=True)
     return back.groupBy("region").agg(
         F.count("*").alias("n_cells"),
@@ -383,3 +386,60 @@ def q121_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     return graph.connected_components_rounds(pairs, rounds=_CC_ROUNDS)
+
+
+# ===========================================================================
+# q122 — int8-quantized ANN top-k (vector-compression family)
+# ===========================================================================
+
+@register(
+    "q122_quantized_topk",
+    """
+    WITH vm AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, vm,
+             list_max(list_transform(vm, x -> abs(x))) AS sc
+      FROM vm
+    ),
+    qq AS (
+      SELECT vec_id, sc,
+             CASE WHEN sc = 0
+                  THEN list_transform(vm, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(vm, x -> (x * 127) // sc) END AS qv
+      FROM qs
+    ),
+    q AS (SELECT vec_id AS query_id, qv AS qa, sc AS sa
+          FROM qq WHERE vec_id % 100 = 0),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 65), i -> q.qa[i] * e.qv[i])),
+               (a, b) -> a + b) * q.sa * e.sc AS score_q
+      FROM q, qq e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score_q FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_q DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def q122_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors in int8-QUANTIZED space
+    (operators/similarity.py:quantize_int8 / quantized_topk): symmetric
+    per-vector quantization (micros -> codes in [-127,127], truncating
+    div both engines), pure-integer scoring dot(qa,qb)*sa*sb — the
+    memory-compression lever of billion-vector ANN, validated brute-force
+    here exactly like q38 validates the float space. Compose with
+    IVF/SRP blocking for the 100 TB path; quantization and blocking are
+    orthogonal."""
+    from hbase_bulkload_service_spark.sources.tables import load as _load
+
+    return similarity.quantized_topk(
+        _load(spark, sf_dir, "embeddings", spread=True), k=5, every=100
+    )

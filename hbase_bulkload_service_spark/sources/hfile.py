@@ -130,15 +130,17 @@ def build_manifest(spark, path: str) -> dict:
     }
 
 
-def validate_layout(spark, path: str, rollup: bool = False) -> None:
+def validate_layout(spark, path: str, rollup: bool = False, deep: bool = True) -> None:
     """No-op `load` stub (H7): assert what LoadIncrementalHFiles needs —
     per-region files internally sorted, regions non-overlapping in key
     space, region == its keys' bucket prefix, ≤2048 files per region.
     Dispatches on the container: parquet layouts are checked via Spark,
-    binary HFL1/HFL2 layouts are parsed back record-by-record."""
+    binary HFL1/HFL2 layouts are parsed back record-by-record (for HFL2,
+    ``deep=False`` keeps only the O(files) manifest checks — pair it
+    with the distributed reader's in-task invariants at data scale)."""
     names = os.listdir(path)
     if any(n.endswith(".hfl2") for n in names):
-        return validate_hfl2_layout(path, rollup)
+        return validate_hfl2_layout(path, rollup, deep=deep)
     if any(n.endswith(".hfl1") for n in names):
         return validate_hfl1_layout(path)
     df = spark.read.parquet(path)
@@ -612,11 +614,22 @@ def read_hfl2_dir(spark, path: str, verify_bloom: bool = False) -> DataFrame:
     family, qualifier, qualifier_hex, value)."""
     with open(os.path.join(path, "_manifest.json")) as f:
         manifest = json.load(f)
-    files = [(os.path.join(path, m["file"]), m["region"]) for m in manifest]
+    files = [
+        (
+            os.path.join(path, m["file"]),
+            m["region"],
+            (m["rows"], m["min_key_hex"], m["max_key_hex"]),
+        )
+        for m in manifest
+    ]
 
-    def parse(pair):
-        fname, region = pair
-        records, _meta = read_hfl2_file(fname, verify_bloom=verify_bloom)
+    def parse(triple):
+        fname, region, expect = triple
+        records, meta = read_hfl2_file(fname, verify_bloom=verify_bloom)
+        # manifest <-> file meta agreement enforced IN the reading task,
+        # so deep=False layout validation loses no coverage
+        if (meta["rows"], meta["min_key_hex"], meta["max_key_hex"]) != expect:
+            raise AssertionError(f"{fname}: manifest/meta disagree")
         for key, fam, qual, val in records:
             yield (
                 region,
@@ -637,15 +650,16 @@ def read_hfl2_dir(spark, path: str, verify_bloom: bool = False) -> DataFrame:
     )
 
 
-def validate_hfl2_layout(path: str, rollup: bool = False) -> None:
+def validate_hfl2_layout(path: str, rollup: bool = False, deep: bool = True) -> None:
     """Adoption check for the binary container (H7 over HFL2): every file
     parses clean (magic, index, DIFF decode, sort), per-region file count
     ≤ 2048, file key ranges match the manifest, and regions are
-    non-overlapping in key space. Driver-side full parse — fine for the
-    gate/test scale it serves; at data scale run the DISTRIBUTED reader
-    instead (read_hfl2_dir(verify_bloom=True) enforces the same per-file
-    invariants inside each task) and keep only the manifest-level range
-    checks here."""
+    non-overlapping in key space. ``deep=True`` re-parses every file in
+    the DRIVER — test/adoption scale only; at data scale pass
+    ``deep=False`` (manifest-level checks only, O(files) metadata) and
+    run the DISTRIBUTED reader for the per-file invariants —
+    read_hfl2_dir(verify_bloom=True) enforces magic/index/DIFF/sort/bloom
+    inside each reading task."""
     with open(os.path.join(path, "_manifest.json")) as f:
         manifest = json.load(f)
     per_region: dict[int, list[dict]] = {}
@@ -657,14 +671,15 @@ def validate_hfl2_layout(path: str, rollup: bool = False) -> None:
                 f"region {region}: {len(files)} files > {MAX_FILES_PER_REGION}"
             )
     # manifest agrees with each file's own meta block
-    for m in manifest:
-        _records, meta = read_hfl2_file(os.path.join(path, m["file"]))
-        if (meta["min_key_hex"], meta["max_key_hex"], meta["rows"]) != (
-            m["min_key_hex"],
-            m["max_key_hex"],
-            m["rows"],
-        ):
-            raise AssertionError(f"{m['file']}: manifest/meta disagree")
+    if deep:
+        for m in manifest:
+            _records, meta = read_hfl2_file(os.path.join(path, m["file"]))
+            if (meta["min_key_hex"], meta["max_key_hex"], meta["rows"]) != (
+                m["min_key_hex"],
+                m["max_key_hex"],
+                m["rows"],
+            ):
+                raise AssertionError(f"{m['file']}: manifest/meta disagree")
     # region key ranges must not overlap (region order = key order)
     spans = sorted(
         (

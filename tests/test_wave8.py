@@ -218,3 +218,44 @@ def test_key_skew_profile_buckets_exact(spark):
     }
     # cnt=9 -> bucket 3; cnt=2 -> bucket 1; cnt=1 x3 -> bucket 0
     assert out == {3: (1, 9, 9, 9), 1: (1, 2, 2, 2), 0: (3, 3, 1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization ANN
+# ---------------------------------------------------------------------------
+
+def test_quantize_int8_codes_and_zero_vector(spark):
+    from hbase_bulkload_service_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: (list(r["qvec"]), r["qscale"])
+           for r in similarity.quantize_int8(df).collect()}
+    # vec 1: micros (500000, -250000, 0), scale 500000
+    #   codes: 500000*127//500000=127, -250000*127 div 500000 = -63 (trunc)
+    assert out[1] == ([127, -63, 0], 500000)
+    assert out[2] == ([0, 0, 0], 0)  # zero vector: scale 0, no div-by-zero
+    assert all(-127 <= c <= 127 for codes, _ in out.values() for c in codes)
+
+
+def test_quantized_topk_agrees_with_float_on_separated_data(spark):
+    """Quantization preserves ranking when gaps are large: nearest
+    neighbor in quantized space == nearest in float space."""
+    from hbase_bulkload_service_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # query (id % 2 == 0 with every=2)
+        (1, [0.99, 0.1, 0.0]),   # near
+        (3, [0.0, 1.0, 0.0]),    # orthogonal
+        (5, [-1.0, 0.0, 0.0]),   # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [
+        (r["rank"], r["neighbor_id"])
+        for r in similarity.quantized_topk(df, k=3, every=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert out == [(1, 1), (2, 3), (3, 5)]
