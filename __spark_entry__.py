@@ -59,6 +59,8 @@ PRIORITY = [
     "q120_key_skew_profile",
     "q121_connected_components",
     "q122_quantized_topk",
+    "q123_canonical_selection",
+    "q124_ann_recall",
     # -- 3. rotation: r02-greens not re-checked since round 2 --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -86,8 +88,6 @@ PRIORITY = [
     "q30_dedup_exact",
     "q31_text_stats",
     "q32_lang_id",
-    "q33_token_count",
-    "q34_fingerprint",
 ]
 
 

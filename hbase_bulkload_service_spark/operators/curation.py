@@ -277,3 +277,33 @@ def weighted_sample(
     # the opposite of the SQL `bucket < NULL` convention)
     clamped = F.greatest(F.lit(0), F.least(F.lit(1_000_000), weight_ppm))
     return df.filter(weight_ppm.isNotNull() & (bucket < clamped))
+
+
+def canonical_selection(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-aware canonical selection over exact-duplicate groups —
+    the curation step after dedup DETECTION: inside each group of
+    normalized-text duplicates keep the best copy (longest normalized
+    text, ties to the lowest doc_id; swap any integer quality column in
+    for length without changing the shape), mark the rest as drops.
+    Singletons are their own canonical, so the output is a full-corpus
+    verdict table: (doc_id, canonical_id, group_n, keep).
+
+    ONE keyed shuffle: the md5 group hash partitions a single window
+    (first_value over (quality DESC, id) + count), no join-back — the
+    canonical travels to every group member inside the window frame.
+    At 100 TB this is strictly cheaper than the agg+join shape (one
+    exchange, no second pass over the corpus).
+    """
+    from hbase_bulkload_service_spark.operators.textops import norm_text
+
+    nt = norm_text(F.col(text_col))
+    x = docs.select(
+        "doc_id", F.md5(nt).alias("h"), F.length(nt).alias("ln")
+    )
+    w = Window.partitionBy("h").orderBy(F.col("ln").desc(), "doc_id")
+    wall = Window.partitionBy("h")
+    return x.select(
+        "doc_id",
+        F.first("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(wall).alias("group_n"),
+    ).withColumn("keep", F.col("doc_id") == F.col("canonical_id"))

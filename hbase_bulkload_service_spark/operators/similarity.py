@@ -679,3 +679,40 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int"), "neighbor_id", "score_q")
     )
+
+
+def ann_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k evaluation harness for ANN variants: per query,
+    ``hits = |approx ∩ truth|`` and ``recall_ppm = hits * 1e6 div k`` —
+    the quality metric every blocking/quantization trade is judged by,
+    as a first-class distributed operator (integer-exact, so the whole
+    evaluation — including the approximate searcher under test — can sit
+    behind the oracle gate when the searcher is deterministic).
+
+    Inputs are (query_id, neighbor_id[, ...]) top-k tables. One keyed
+    equi-join on (query_id, neighbor_id) + a per-query count; queries
+    with zero hits are kept via a left join from the truth's query set.
+    Both sides are top-k tables (k rows/query), so this is
+    metadata-scale relative to the corpus.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    t = truth.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        t.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        t.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"(coalesce(hits, 0) * 1000000) div {k}").alias(
+                "recall_ppm"
+            ),
+        )
+    )

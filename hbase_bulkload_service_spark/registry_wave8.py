@@ -443,3 +443,145 @@ def q122_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(
         _load(spark, sf_dir, "embeddings", spread=True), k=5, every=100
     )
+
+
+# ===========================================================================
+# q123 — quality-aware canonical selection over duplicate groups
+# ===========================================================================
+
+@register(
+    "q123_canonical_selection",
+    """
+    WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    x AS (SELECT doc_id, md5(nt) AS h, length(nt) AS ln FROM t)
+    SELECT doc_id,
+           first_value(doc_id) OVER (PARTITION BY h ORDER BY ln DESC, doc_id)
+             AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY h) AS BIGINT) AS group_n,
+           doc_id = first_value(doc_id)
+             OVER (PARTITION BY h ORDER BY ln DESC, doc_id) AS keep
+    FROM x
+    """,
+)
+def q123_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus keep/drop verdicts with a quality-chosen canonical per
+    exact-duplicate group (operators/curation.py:canonical_selection) —
+    the selection step between dedup detection (q30) and the curated
+    write: longest normalized copy wins, ties to lowest doc_id, one
+    md5-keyed window (single exchange, no join-back)."""
+    from hbase_bulkload_service_spark.operators import curation
+    from hbase_bulkload_service_spark.sources.tables import load as _load
+
+    return curation.canonical_selection(
+        _load(spark, sf_dir, "documents", spread=True)
+    )
+
+
+# ===========================================================================
+# q124 — ANN recall@k evaluation, fully oracle-gated (brute truth + IVF
+# approx + the recall join all replayed in SQL)
+# ===========================================================================
+
+from hbase_bulkload_service_spark.registry_llm import _duck_cos_micros  # noqa: E402
+
+_RECALL_K = 3
+
+
+@register(
+    "q124_ann_recall",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    bs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_duck_cos_micros("q.qvec", "e.embedding")} AS cm
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cm DESC, neighbor_id) AS rank
+        FROM bs
+      ) WHERE rank <= {_RECALL_K}
+    ),
+    s AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_duck_cos_micros("e.embedding", "c.cvec")} AS cm
+      FROM embeddings e, c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cm DESC, centroid_id) AS rn
+        FROM s
+      ) WHERE rn = 1
+    ),
+    qc AS (
+      SELECT q.query_id, c.centroid_id,
+             {_duck_cos_micros("q.qvec", "c.cvec")} AS qc_cos
+      FROM q, c
+    ),
+    probe AS (
+      SELECT query_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY qc_cos DESC, centroid_id) AS rn
+        FROM qc
+      ) WHERE rn <= 2
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT sc.query_id, sc.neighbor_id,
+               row_number() OVER (PARTITION BY sc.query_id
+                                  ORDER BY sc.cos_micros DESC, sc.neighbor_id)
+                 AS rank
+        FROM (
+          SELECT p.query_id, e.vec_id AS neighbor_id,
+                 {_duck_cos_micros("q.qvec", "e.embedding")} AS cos_micros
+          FROM probe p
+          JOIN q USING (query_id)
+          JOIN assign a ON a.cell = p.cell
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          WHERE p.query_id <> e.vec_id
+        ) sc
+      ) WHERE rank <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT t.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits
+      FROM truth t
+      LEFT JOIN ivf i ON i.query_id = t.query_id
+                     AND i.neighbor_id = t.neighbor_id
+      GROUP BY 1
+    )
+    SELECT query_id, hits,
+           CAST((hits * 1000000) // {_RECALL_K} AS BIGINT) AS recall_ppm
+    FROM hits
+    """,
+)
+def q124_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_RECALL_K} of the IVF searcher (q39b config: nprobe 2,
+    every-50th-id centroids) against the exact brute-force truth (q38
+    machinery), per query, as integer ppm
+    (operators/similarity.py:ann_recall). Both searchers are
+    deterministic, so the ENTIRE evaluation replays in SQL — the recall
+    number itself is hash-gated, not just pinned in a pytest bound (q54's
+    recall assertion remains the looser in-test twin)."""
+    from hbase_bulkload_service_spark.sources.tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    truth = similarity.brute_force_topk(emb, queries, k=_RECALL_K)
+    approx = similarity.ivf_topk(
+        emb, queries, similarity.pseudo_centroids(emb), k=_RECALL_K, nprobe=2
+    )
+    return similarity.ann_recall(truth, approx, k=_RECALL_K)

@@ -259,3 +259,43 @@ def test_quantized_topk_agrees_with_float_on_separated_data(spark):
         .collect()
     ]
     assert out == [(1, 1), (2, 3), (3, 5)]
+
+
+def test_canonical_selection_picks_longest_then_lowest_id(spark):
+    from hbase_bulkload_service_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   world"),   # normalizes same as 3 but SHORTER norm? no:
+            (3, "hello world"),     # same normalized text as 1 -> group of 2
+            (2, "hello world!!"),   # distinct text, singleton
+            (5, "aaa"), (4, "aaa"),  # equal length -> lowest id wins
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["group_n"], r["keep"])
+           for r in curation.canonical_selection(docs).collect()}
+    assert out[1] == (1, 2, True) and out[3] == (1, 2, False)
+    assert out[2] == (2, 1, True)
+    assert out[4] == (4, 2, True) and out[5] == (4, 2, False)
+
+
+def test_ann_recall_counts_hits_and_zero_hit_queries(spark):
+    from hbase_bulkload_service_spark.operators import similarity
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 97), (2, 98), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: (r["hits"], r["recall_ppm"])
+           for r in similarity.ann_recall(truth, approx, k=3).collect()}
+    assert out[1] == (2, 666666)
+    assert out[2] == (0, 0)  # zero-hit query still present
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.ann_recall(truth, approx, k=0)
