@@ -248,3 +248,45 @@ def test_triangle_counts_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_canonical_selection_single_exchange(spark):
+    """q123's agg+join-free shape: both windows share the md5 hash
+    partitioning, so the whole verdict table costs ONE Exchange."""
+    from hbase_bulkload_service_spark.operators import curation
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    import re
+
+    plan = formatted_plan(
+        curation.canonical_selection(load(spark, SF_DIR, "documents"))
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "rangepartitioning" not in plan  # no global sort crept in
+
+
+def test_quantized_topk_broadcasts_queries_not_corpus(spark):
+    """q122: the query side broadcasts; the corpus is never shuffled
+    before scoring (only the final per-query top-k window exchanges)."""
+    from hbase_bulkload_service_spark.operators import similarity
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    plan = formatted_plan(
+        similarity.quantized_topk(load(spark, SF_DIR, "embeddings"), k=5)
+    )
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan  # top-k heap path, not full sort+filter
+
+
+def test_heavy_hitters_candidate_join_is_broadcast(spark):
+    """q117 pass 2: candidates broadcast onto the stream — the full
+    distinct-item space must not hash-shuffle on the scan side."""
+    from hbase_bulkload_service_spark.operators import analytics
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    words = load(spark, SF_DIR, "documents").selectExpr(
+        "explode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) AS word"
+    )
+    plan = formatted_plan(analytics.heavy_hitters(words, "word", phi_ppm=34_000))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
