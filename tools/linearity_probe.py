@@ -46,6 +46,10 @@ PROBE_QUERIES = [
     "q103_corpus_shuffle",     # one keyed exchange + per-shard sorts
     "q104_bm25_topk",          # IN-pruned index + TakeOrderedAndProject
     "q105_incremental_dedup",  # exact-hash layer absorbs amplified copies (near layer idles by design)
+    "q117_heavy_hitters",      # MG summaries: zero item-keyed shuffle; candidates broadcast
+    "q119_lm_quality",         # vocab-bounded aggs + two keyed joins
+    "q120_key_skew_profile",   # two hash aggs, bucket-bounded output
+    "q123_canonical_selection",  # one md5-keyed window exchange
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -67,6 +71,7 @@ PROBE_QUERIES_PERTURBED = [
     "q109_phash_neardups",   # banded Hamming; per-rep text suffix changes payload bytes, so no cross-rep collisions
     "q113_triangle_counts",  # disjoint per-rep copies of the linkage graph -> triangles scale linearly
     "q114_pagerank",         # same graph; 5 fixed rounds, each one keyed exchange
+    "q118_kmeans_iterative",  # k x dim centroid round-trips; per-vector broadcast scoring (embeddings only grow under the perturbed amplifier)
 ]
 
 
