@@ -25,8 +25,8 @@ SF0001 = "/root/testdata/sf0.001"
 #   1. q101-q114 — the 14 wave-7 queries registered after round 3's
 #      window filled; never driver-verified (CORRECTNESS_r02∪r03 covers
 #      the other 100/114 with zero failures).
-#   2. q115-q124 — the 10 new round-4 queries (verified same-round).
-#   3. Back-fill: 26 rotation slots of r02-green queries (verified in
+#   2. q115-q125 — the 11 new round-4 queries (verified same-round).
+#   3. Back-fill: 25 rotation slots of r02-green queries (verified in
 #      r02, not re-checked since) in registration order, so old queries
 #      get periodic re-verification. After this round every registered
 #      query has at least one driver row in r02∪r03∪r04.
@@ -62,6 +62,7 @@ PRIORITY = [
     "q122_quantized_topk",
     "q123_canonical_selection",
     "q124_ann_recall",
+    "q125_corrupt_records",
     # -- 3. rotation: r02-greens not re-checked since round 2 --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -88,7 +89,6 @@ PRIORITY = [
     "q09_cells_roundtrip",
     "q30_dedup_exact",
     "q31_text_stats",
-    "q32_lang_id",
 ]
 
 

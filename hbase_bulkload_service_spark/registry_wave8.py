@@ -585,3 +585,77 @@ def q124_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, similarity.pseudo_centroids(emb), k=_RECALL_K, nprobe=2
     )
     return similarity.ann_recall(truth, approx, k=_RECALL_K)
+
+
+# ===========================================================================
+# q125 — corrupt-record-tolerant CSV ingestion (PERMISSIVE semantics)
+# ===========================================================================
+
+@register(
+    "q125_corrupt_records",
+    f"""
+    WITH sl AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id % 53 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT)
+             AS n_good,
+           CAST(COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT)
+             AS n_bad,
+           CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN cents END) AS BIGINT)
+             AS sum_cents_good
+    FROM sl
+    """,
+)
+def q125_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-ingest robustness, gate-verified: a deterministic slice of
+    events is serialized to raw CSV text with every 7th row CORRUPTED
+    (non-numeric token in the cents field), read back under PERMISSIVE
+    mode with a `_corrupt` record column, and classified — the oracle
+    derives the expected good/bad split and good-row checksum from the
+    clean base table, so the row hash-matches iff Spark's malformed-row
+    semantics (bad field -> NULL + raw line captured) classify EXACTLY
+    the planted corruptions and parse everything else losslessly. The
+    100 TB reality this models: web-scale ingest always carries a
+    malformed tail, and dropping it silently (DROPMALFORMED) or dying
+    (FAILFAST) are both wrong — count it, quarantine it, bound it."""
+    from hbase_bulkload_service_spark.registry_wave4 import _scratch
+
+    sl = (
+        load_events(spark, sf_dir, spread=True)
+        .filter(F.col("user_id") % 53 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            cents(F.col("value")).alias("cents"),
+        )
+    )
+    lines = sl.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("x")).otherwise(
+                F.col("cents").cast("string")
+            ),
+        ).alias("value")
+    )
+    d = _scratch("q125corrupt")
+    lines.coalesce(2).write.mode("overwrite").text(f"{d}/raw")
+    back = (
+        spark.read.schema(
+            "event_id long, event_type string, cents long, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(f"{d}/raw")
+    )
+    bad = F.col("_corrupt").isNotNull()
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_bad"),
+        F.sum(F.when(~bad, F.col("cents"))).alias("sum_cents_good"),
+    )

@@ -299,3 +299,32 @@ def test_ann_recall_counts_hits_and_zero_hit_queries(spark):
 
     with pytest.raises(ValueError):
         similarity.ann_recall(truth, approx, k=0)
+
+
+def test_q125_permissive_corrupt_classification(spark, sf_dir):
+    """The q125 gate query round-trips a CSV with planted corruptions:
+    PERMISSIVE mode must capture EXACTLY the every-7th planted rows in
+    `_corrupt` (no false positives from well-formed lines) and parse
+    every clean row losslessly, so the good-row checksum equals the one
+    computed straight off the parquet base table."""
+    from hbase_bulkload_service_spark.registry_wave8 import q125_corrupt_records
+    from hbase_bulkload_service_spark.sources.tables import load_events
+
+    out = q125_corrupt_records(spark, sf_dir).collect()[0]
+    base = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") % 53 == 0)
+        .withColumn("cents", F.floor(F.col("value") * 100).cast("long"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("event_id") % 7 == 0, 1)).alias("bad"),
+            F.sum(
+                F.when(F.col("event_id") % 7 != 0, F.col("cents"))
+            ).alias("good_sum"),
+        )
+        .collect()[0]
+    )
+    assert out["n_rows"] == base["n"]
+    assert out["n_bad"] == base["bad"]
+    assert out["n_good"] == base["n"] - base["bad"]
+    assert out["sum_cents_good"] == base["good_sum"]
