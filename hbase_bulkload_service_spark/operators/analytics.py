@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbase_bulkload_service_spark import cachereg
+
 
 def rollup_cube(
     df: DataFrame,
@@ -611,3 +613,107 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
             F.max("cnt").alias("max_cnt"),
         )
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence,
+    part_cols: Sequence[str] = (),
+    n_shards: int = 32,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Scalable exact prefix (cumulative) sum in a global order — the
+    primitive behind output-file sharding, greedy budgeted selection and
+    quota cutoffs, which a naive ``SUM() OVER (ORDER BY ...)`` cannot
+    provide at scale: an un-partitioned window collapses the whole
+    dataset onto ONE task (Spark plans it as ``Exchange SinglePartition``
+    — the canonical 100 TB scale-killer).
+
+    Two-job shape with exactly ONE full-data exchange:
+
+    1. ``repartitionByRange(n_shards, part+order)`` + an in-partition
+       sort — contiguous, globally ordered shards (Spark's scalable sort
+       machinery: sampled split points, no coordinator).
+    2. Per-(shard, group) totals — a bounded metadata aggregate
+       (``n_shards x |groups|`` rows) collected and turned into running
+       offsets per group in shard order.
+    3. One Arrow-batched ``mapInPandas`` pass over the already-sorted
+       shards: streaming local cumsum with a carry across batches
+       (resets at group boundaries — groups are contiguous within a
+       sorted shard) plus the broadcast-joined shard offset. No second
+       full-data exchange: the offsets join broadcasts and the cumsum is
+       an order-preserving map over the range-partitioned shards.
+
+    Contract: ``order_cols`` (names or Columns, ``.desc()`` allowed) must
+    form a UNIQUE total order within each group (tie-break with a key
+    column) so ROWS and RANGE window semantics coincide — the result is
+    then bit-identical to ``SUM(value) OVER (PARTITION BY part ORDER BY
+    order)``. ``value_col`` must be integer and non-null (nulls
+    accumulate as 0, which diverges from SQL's leading-NULL window
+    convention). ``part_cols`` must be low-cardinality (the offset table
+    is driver-materialized, like q53's catalog aggregates); for
+    high-cardinality small groups use a plain partitioned window instead
+    — no skew exists there by definition.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    from pyspark.sql import types as T
+
+    part_cols = list(part_cols)
+    keys = [*[F.col(c) for c in part_cols],
+            *[F.col(c) if isinstance(c, str) else c for c in order_cols]]
+    sharded = (
+        df.repartitionByRange(n_shards, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_shard", F.spark_partition_id())
+        .persist()
+    )
+    totals = sharded.groupBy("_shard", *part_cols).agg(
+        F.sum(F.col(value_col)).alias("_tot")
+    ).collect()
+
+    run: dict[tuple, int] = {}
+    off_rows = []
+    for r in sorted(totals, key=lambda r: r["_shard"]):
+        g = tuple(r[c] for c in part_cols)
+        off_rows.append((r["_shard"], *g, run.get(g, 0)))
+        run[g] = run.get(g, 0) + int(r["_tot"] or 0)
+    off_schema = T.StructType(
+        [T.StructField("_shard", T.IntegerType())]
+        + [df.schema[c] for c in part_cols]
+        + [T.StructField("_off", T.LongType())]
+    )
+    off = df.sparkSession.createDataFrame(off_rows, off_schema)
+    joined = sharded.join(F.broadcast(off), ["_shard", *part_cols], "left")
+
+    orig_cols = df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def cum(batches):
+        carry_key, carry = None, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[value_col].fillna(0)
+            if part_cols:
+                gkeys = pdf[part_cols].apply(tuple, axis=1)
+                local = vals.groupby(gkeys, sort=False).cumsum()
+                if carry_key is not None:
+                    local = local + (gkeys == carry_key) * carry
+                carry_key = gkeys.iloc[-1]
+            else:
+                local = vals.cumsum() + carry
+                carry_key = ()
+            carry = int(local.iloc[-1])
+            out = pdf[orig_cols].copy()
+            out[out_col] = (local + pdf["_off"]).astype("int64")
+            yield out
+
+    result = joined.mapInPandas(cum, out_schema)
+    cachereg.register(sharded)
+    return result

@@ -307,3 +307,80 @@ def canonical_selection(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.first("doc_id").over(w).alias("canonical_id"),
         F.count("*").over(wall).alias("group_n"),
     ).withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    order_cols=("doc_id",),
+    weights: dict[str, int] | None = None,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Exact token-budget data-mix selection — the "build me a 1T-token
+    training set from these corpora" op: split an integer token budget
+    across sources proportionally to integer ``weights`` (default: equal
+    shares — flattening the source distribution, the standard counter to
+    crawl-dominant mixes), rounded by the largest-remainder method so
+    the per-source allocations are integers that sum to exactly
+    ``budget_tokens``; then keep each source's documents greedily in the
+    caller's preference order until the allocation is exhausted (a kept
+    doc must fit ENTIRELY: cumulative tokens <= allocation — no partial
+    documents).
+
+    Exactness: allocations are pure integer arithmetic (div/mod +
+    remainder ranking, ties by source name); the greedy cut uses
+    :func:`analytics.prefix_sum`, so the whole decision is
+    window-semantics-identical to the SQL twin and hash-verifiable.
+
+    Scale shape: the allocation runs on the per-source aggregate — a
+    metadata-scale frame (|sources| rows; its windows are single-task by
+    design, same class as q53's catalog walk). The doc-level work is
+    prefix_sum's ONE range exchange plus a broadcast allocation join —
+    no doc-level skew: a dominant source spreads over many range shards.
+
+    Returns docs + (cum_tokens, alloc_tokens, keep).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if weights is not None and any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    from hbase_bulkload_service_spark.operators.analytics import prefix_sum
+
+    src = docs.groupBy(source_col).agg(F.count("*").alias("_n"))
+    if weights is None:
+        w = F.lit(1)
+    else:
+        w = F.coalesce(
+            *[
+                F.when(F.col(source_col) == s, F.lit(int(v)))
+                for s, v in sorted(weights.items())
+            ],
+            F.lit(0),
+        )
+    wall = Window.partitionBy()
+    worder = Window.partitionBy().orderBy(
+        F.col("_rem").desc(), F.col(source_col)
+    )
+    alloc = (
+        src.withColumn("_w", w.cast("long"))
+        .filter(F.col("_w") > 0)  # unweighted sources get nothing
+        .withColumn("_tw", F.sum("_w").over(wall))
+        .withColumn("_base", F.expr(f"(cast({budget_tokens} as bigint) * _w) div _tw"))
+        .withColumn("_rem", F.expr(f"(cast({budget_tokens} as bigint) * _w) % _tw"))
+        .withColumn("_extra", F.lit(budget_tokens) - F.sum("_base").over(wall))
+        .withColumn("_rank", F.row_number().over(worder))
+        .select(
+            source_col,
+            (F.col("_base") + (F.col("_rank") <= F.col("_extra")).cast("long"))
+            .alias("alloc_tokens"),
+        )
+    )
+    cum = prefix_sum(
+        docs, token_col, list(order_cols), part_cols=[source_col],
+        n_shards=n_shards, out_col="cum_tokens",
+    )
+    return cum.join(F.broadcast(alloc), source_col).withColumn(
+        "keep", F.col("cum_tokens") <= F.col("alloc_tokens")
+    )

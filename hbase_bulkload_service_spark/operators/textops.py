@@ -857,3 +857,114 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.expr("sum(p_ppb) div count(*)").alias("score_ppb"),
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    source_col: str = "source",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style boilerplate line removal — drop lines that repeat
+    across ``min_df`` or more DISTINCT documents of the same source
+    (navigation chrome, cookie banners, license footers: text repeated
+    verbatim across a site's pages carries no training signal and skews
+    n-gram statistics). New capability beyond the reference's row-level
+    filters (SURVEY.md §2.B4 drops whole dirty rows; this drops repeated
+    sub-document spans).
+
+    Per doc: split on ``sep`` with positions, count each line's
+    document-frequency within its source, drop lines at df >= min_df,
+    and reassemble the survivors in original order. Line identity is the
+    md5 of the raw line, so the df aggregate and the verdict join
+    shuffle 16-byte digests, not line text.
+
+    Scale shape: two keyed exchanges on the (source, line-digest) space
+    (hash agg + equi-join — the digest spreads uniformly, no skew even
+    when one boilerplate line appears everywhere) and one doc-keyed
+    rebuild aggregate. ``posexplode_outer`` keeps Catalyst from
+    inferring ``size(arr) > 0`` and re-evaluating the split below an
+    exchange (the q69 trap). All-boilerplate docs survive with
+    ``clean_text = ''`` (dropping them is the caller's policy call).
+
+    Returns one row per doc: doc_id, n_lines, n_kept, clean_text.
+    """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    lines = docs.select(
+        "doc_id",
+        source_col,
+        F.posexplode_outer(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("_lh", F.md5(F.col("line")))
+    freq = lines.groupBy(source_col, "_lh").agg(
+        F.count_distinct("doc_id").alias("line_df")
+    )
+    flagged = lines.join(freq, [source_col, "_lh"]).withColumn(
+        "_boiler", F.col("line_df") >= min_df
+    )
+    kept_struct = F.when(~F.col("_boiler"), F.struct("pos", "line"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(kept_struct).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted-index construction — the posting-list build behind BM25 /
+    boolean retrieval (:func:`bm25_scores` scores ad-hoc; this
+    materializes the reusable index artifact): per term, its document
+    frequency, collection frequency, and the doc_id-sorted posting list
+    of (doc_id, tf) pairs.
+
+    ``max_df`` is the stopword elision threshold: terms appearing in
+    more than ``max_df`` documents keep their (df, cf) statistics but
+    get a NULL posting list — the standard cap that bounds the longest
+    list an index shard must hold (a stop term's postings are both
+    useless for ranking and the worst skew surface: one key holding a
+    posting per document in the corpus).
+
+    Scale shape: explode -> (term, doc)-keyed hash aggregate (map-side
+    combined) -> term-keyed aggregate; posting arrays are built per term
+    AFTER the df cap decision, so no executor ever materializes an
+    uncapped stop-term list. Postings sort via ``array_sort`` on
+    (doc_id, tf) structs — per-group, not a global sort.
+    """
+    if max_df is not None and max_df < 1:
+        raise ValueError("max_df must be >= 1 (or None)")
+    terms = docs.select(
+        "doc_id", F.explode_outer(words_of(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    if max_df is None:
+        return tf.groupBy("term").agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias(
+                "postings"
+            ),
+        )
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    eligible = stats.filter(F.col("df") <= max_df).select("term")
+    plist = (
+        tf.join(eligible, "term", "left_semi")
+        .groupBy("term")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias(
+                "postings"
+            )
+        )
+    )
+    return stats.join(plist, "term", "left")
