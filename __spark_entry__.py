@@ -63,6 +63,10 @@ PRIORITY = [
     "q123_canonical_selection",
     "q124_ann_recall",
     "q125_corrupt_records",
+    "q126_output_shards",
+    "q127_token_budget_mix",
+    "q128_boilerplate_lines",
+    "q129_postings",
     # -- 3. rotation: r02-greens not re-checked since round 2 --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -85,10 +89,6 @@ PRIORITY = [
     "q07_htable_sql_agg",
     "q08_htable_point_get",
     "q16_delete_rows",
-    "q15_upsert_put",
-    "q09_cells_roundtrip",
-    "q30_dedup_exact",
-    "q31_text_stats",
 ]
 
 

@@ -90,3 +90,37 @@ def test_counter_deltas_telescope_random(spark):
         ordered = sorted(rows, key=lambda r: (r[3], r[2]))
         assert sum(r["delta_cents"] for r in d) == ordered[-1][4] - ordered[0][4]
         assert all(r["dt_ms"] > 0 for r in d)  # unique ts in this fixture
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),            # id (dedup'd below)
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(-(10**9), 10**9),     # value (negatives legal)
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    n_shards=st.integers(1, 9),
+    grouped=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_prefix_sum_equals_window_truth(spark, rows, n_shards, grouped):
+    """prefix_sum must agree with the naive running total for ANY input,
+    shard count, and grouping — including negative values, single-row
+    groups, and n_shards larger than the row count."""
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    part = ["g"] if grouped else []
+    out = {
+        r["id"]: r["cum"]
+        for r in analytics.prefix_sum(
+            df, "v", ["id"], part_cols=part, n_shards=n_shards
+        ).collect()
+    }
+    run: dict[str, int] = {}
+    for i, g, v in sorted(rows):
+        k = g if grouped else ""
+        run[k] = run.get(k, 0) + v
+        assert out[i] == run[k]

@@ -50,6 +50,11 @@ PROBE_QUERIES = [
     "q119_lm_quality",         # vocab-bounded aggs + two keyed joins
     "q120_key_skew_profile",   # two hash aggs, bucket-bounded output
     "q123_canonical_selection",  # one md5-keyed window exchange
+    "q125_corrupt_records",    # CSV write + PERMISSIVE read-back, map-side classify
+    "q126_output_shards",      # prefix_sum: one range exchange + broadcast offsets
+    "q127_token_budget_mix",   # metadata-scale alloc + grouped prefix_sum cut
+    "q128_boilerplate_lines",  # two digest-keyed exchanges + doc rebuild agg
+    "q129_postings",           # (term,doc) pre-agg; stop-cap elides long lists
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
