@@ -15,8 +15,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hbase_bulkload_service_spark import cachereg
-
 
 def rollup_cube(
     df: DataFrame,
@@ -622,6 +620,7 @@ def prefix_sum(
     part_cols: Sequence[str] = (),
     n_shards: int = 32,
     out_col: str = "cum",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Scalable exact prefix (cumulative) sum in a global order — the
     primitive behind output-file sharding, greedy budgeted selection and
@@ -652,14 +651,28 @@ def prefix_sum(
     order)``. ``value_col`` must be integer and non-null (nulls
     accumulate as 0, which diverges from SQL's leading-NULL window
     convention). ``part_cols`` must be low-cardinality (the offset table
-    is driver-materialized, like q53's catalog aggregates); for
-    high-cardinality small groups use a plain partitioned window instead
-    — no skew exists there by definition.
+    is driver-materialized, like q53's catalog aggregates); NULL group
+    keys are legal (null-safe offset join + None-normalized pandas
+    grouping). For high-cardinality small groups use a plain partitioned
+    window instead — no skew exists there by definition.
+
+    Consistency: the sharded frame is ``localCheckpoint(eager=True)``'d
+    before the offsets are collected. Range split points come from
+    sampling, so a RE-materialization could legally draw different shard
+    boundaries than the ones the collected offsets describe — silent
+    wrong sums. The eager checkpoint freezes the materialization the
+    offsets were computed from; losing its blocks (executor death) fails
+    the job LOUDLY instead (at cluster scale, use a reliable checkpoint
+    dir). ``checkpoint=False`` keeps the lazy lineage for plan
+    inspection/tests only.
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
+    clash = {"_shard", "_off", out_col} & set(df.columns)
+    if clash:
+        raise ValueError(f"prefix_sum: column name collision {sorted(clash)}")
     from pyspark.sql import types as T
 
     part_cols = list(part_cols)
@@ -669,8 +682,9 @@ def prefix_sum(
         df.repartitionByRange(n_shards, *keys)
         .sortWithinPartitions(*keys)
         .withColumn("_shard", F.spark_partition_id())
-        .persist()
     )
+    if checkpoint:
+        sharded = sharded.localCheckpoint(eager=True)
     totals = sharded.groupBy("_shard", *part_cols).agg(
         F.sum(F.col(value_col)).alias("_tot")
     ).collect()
@@ -687,7 +701,13 @@ def prefix_sum(
         + [T.StructField("_off", T.LongType())]
     )
     off = df.sparkSession.createDataFrame(off_rows, off_schema)
-    joined = sharded.join(F.broadcast(off), ["_shard", *part_cols], "left")
+    # null-safe on the group keys: a NULL group must still find its offset
+    cond = sharded["_shard"] == off["_shard"]
+    for c in part_cols:
+        cond = cond & sharded[c].eqNullSafe(off[c])
+    joined = sharded.join(F.broadcast(off), cond, "left").select(
+        *[sharded[c] for c in (*df.columns, "_shard")], off["_off"]
+    )
 
     orig_cols = df.columns
     out_schema = T.StructType(
@@ -701,7 +721,11 @@ def prefix_sum(
                 continue
             vals = pdf[value_col].fillna(0)
             if part_cols:
-                gkeys = pdf[part_cols].apply(tuple, axis=1)
+                # normalize missing keys to the None singleton: NaN != NaN
+                # would split a NULL group into per-row groups
+                norm = pdf[part_cols].astype(object)
+                norm = norm.where(norm.notna(), None)
+                gkeys = norm.apply(tuple, axis=1)
                 local = vals.groupby(gkeys, sort=False).cumsum()
                 if carry_key is not None:
                     local = local + (gkeys == carry_key) * carry
@@ -714,6 +738,4 @@ def prefix_sum(
             out[out_col] = (local + pdf["_off"]).astype("int64")
             yield out
 
-    result = joined.mapInPandas(cum, out_schema)
-    cachereg.register(sharded)
-    return result
+    return joined.mapInPandas(cum, out_schema)

@@ -377,6 +377,11 @@ def token_budget_mix(
             .alias("alloc_tokens"),
         )
     )
+    if weights is not None:
+        # drop unweighted sources BEFORE the range exchange: a dominant
+        # excluded crawl source must not pay the full-data shuffle just
+        # to be discarded by the allocation join afterwards
+        docs = docs.filter(F.col(source_col).isin(list(weights)))
     cum = prefix_sum(
         docs, token_col, list(order_cols), part_cols=[source_col],
         n_shards=n_shards, out_col="cum_tokens",

@@ -876,43 +876,56 @@ def strip_boilerplate(
 
     Per doc: split on ``sep`` with positions, count each line's
     document-frequency within its source, drop lines at df >= min_df,
-    and reassemble the survivors in original order. Line identity is the
-    md5 of the raw line, so the df aggregate and the verdict join
-    shuffle 16-byte digests, not line text.
+    and rebuild the survivors in original order by re-splitting the doc
+    and filtering the flagged positions.
 
-    Scale shape: two keyed exchanges on the (source, line-digest) space
-    (hash agg + equi-join — the digest spreads uniformly, no skew even
-    when one boilerplate line appears everywhere) and one doc-keyed
-    rebuild aggregate. ``posexplode_outer`` keeps Catalyst from
+    Scale shape — LINE TEXT NEVER RIDES A DIGEST EXCHANGE: the exploded
+    relation carries (doc_id, source, pos, md5(line)) only, so the df
+    aggregate and the boilerplate verdict semi-join shuffle 16-byte
+    digests (uniform — a banner appearing on every page of a crawl
+    still spreads across tasks). Flagged positions aggregate per doc
+    (small int arrays) and join back to the ORIGINAL docs — the only
+    exchange that can carry text, and it disappears entirely when the
+    flagged-position table broadcasts (the common case: boilerplate
+    docs ≪ corpus). The rebuild re-splits the text map-side — a second
+    CPU pass over the scan, deliberately traded against shuffling the
+    corpus text twice. ``posexplode_outer`` keeps Catalyst from
     inferring ``size(arr) > 0`` and re-evaluating the split below an
     exchange (the q69 trap). All-boilerplate docs survive with
-    ``clean_text = ''`` (dropping them is the caller's policy call).
+    ``clean_text = ''``; NULL text is treated as empty text (one empty
+    line) — one output row per input doc, always.
 
     Returns one row per doc: doc_id, n_lines, n_kept, clean_text.
     """
     if min_df < 1:
         raise ValueError("min_df must be >= 1")
+    # F.split takes a Java regex; sep is a LITERAL separator (parity with
+    # the oracle's string_split), so quote it
+    sep_re = "".join(
+        "\\" + ch if ch in r"\.[]{}()*+-?^$|" else ch for ch in sep
+    )
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), sep_re)
     lines = docs.select(
         "doc_id",
         source_col,
-        F.posexplode_outer(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).withColumn("_lh", F.md5(F.col("line")))
+        F.posexplode_outer(arr).alias("pos", "line"),
+    ).select("doc_id", source_col, "pos", F.md5(F.col("line")).alias("_lh"))
     freq = lines.groupBy(source_col, "_lh").agg(
         F.count_distinct("doc_id").alias("line_df")
     )
-    flagged = lines.join(freq, [source_col, "_lh"]).withColumn(
-        "_boiler", F.col("line_df") >= min_df
+    boiler = freq.filter(F.col("line_df") >= min_df).select(source_col, "_lh")
+    bpos = (
+        lines.join(boiler, [source_col, "_lh"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_bpos"))
     )
-    kept_struct = F.when(~F.col("_boiler"), F.struct("pos", "line"))
-    return flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_lines"),
-        F.count(kept_struct).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
-            ),
-            sep,
-        ).alias("clean_text"),
+    bset = F.coalesce(F.col("_bpos"), F.array().cast("array<int>"))
+    kept = F.filter(arr, lambda x, i: ~F.array_contains(bset, i))
+    return docs.join(bpos, "doc_id", "left").select(
+        "doc_id",
+        F.size(arr).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, sep).alias("clean_text"),
     )
 
 

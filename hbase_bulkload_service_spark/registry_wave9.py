@@ -43,7 +43,7 @@ _SHARD_BYTES = 4000
              CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
       FROM documents
     )
-    SELECT CAST((cum - 1) // {_SHARD_BYTES} AS BIGINT) AS shard,
+    SELECT CAST((greatest(cum, 1) - 1) // {_SHARD_BYTES} AS BIGINT) AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS bytes,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
@@ -64,7 +64,11 @@ def q126_output_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_chars"), "n_chars", ["doc_id"],
         n_shards=16, out_col="cum",
     )
-    shard = ((F.col("cum") - 1) / _SHARD_BYTES).cast("long")
+    # pure-integer shard id: greatest(cum,1)-1 keeps the numerator
+    # non-negative so truncating `div` == floor `//` in BOTH engines
+    # (a leading zero-byte doc would otherwise hit -1/W: 0 vs -1), and
+    # no double quotient that could round across a boundary at ~4e15
+    shard = F.expr(f"(greatest(cum, 1L) - 1L) div {_SHARD_BYTES}")
     return (
         cum.groupBy(shard.alias("shard"))
         .agg(
@@ -177,7 +181,7 @@ _MIN_DF = 2
       SELECT doc_id, source,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
                AS ws
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     lines AS (
       SELECT doc_id, source, t.i AS pos,
@@ -208,7 +212,10 @@ def q128_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines repeated across >= 2 distinct docs of the same source are
     stripped and the doc rebuilt in order. The md5 of the rebuilt text
     proves order-preserving reassembly, not just counts."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull()  # mirrors the oracle's WHERE: a NULL
+        # text would otherwise reshape to '' here but to zero oracle rows
+    )
     ws = textops.words_of(F.col("text"))
     n_lines = F.ceil(F.size(ws) / F.lit(float(_LINE_W))).cast("int")
     lined = docs.select(

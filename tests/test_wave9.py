@@ -40,13 +40,30 @@ def test_prefix_sum_matches_window_global_and_grouped(spark):
 def test_prefix_sum_plan_has_no_single_partition_exchange(spark):
     """The whole point of the operator: a global running total WITHOUT
     collapsing onto one task. The naive window plans Exchange
-    SinglePartition; prefix_sum must never."""
+    SinglePartition; prefix_sum must never. checkpoint=False keeps the
+    lineage visible (the default eager localCheckpoint replaces the
+    upstream plan with the materialized RDD scan)."""
     df = spark.range(1000).withColumn("v", F.col("id") % 7)
     plan = analytics.prefix_sum(
-        df, "v", ["id"], n_shards=8
+        df, "v", ["id"], n_shards=8, checkpoint=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_prefix_sum_null_group_keys_form_one_group(spark):
+    """NULL part keys must behave like one group (null-safe offset join +
+    None-normalized pandas grouping), not crash or fragment per-row."""
+    rows = [(i, None if i % 2 else "g", 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = {(r["g"], r["id"]): r["cum"]
+           for r in analytics.prefix_sum(
+               df, "v", ["id"], part_cols=["g"], n_shards=4
+           ).collect()}
+    runs = {None: 0, "g": 0}
+    for i, g, v in sorted(rows):
+        runs[g] += v
+        assert out[(g, i)] == runs[g]
 
 
 def test_prefix_sum_input_validation(spark):
@@ -150,3 +167,39 @@ def test_build_postings_stats_sorted_lists_and_stopword_cap(spark):
     assert [(p["doc_id"], p["tf"]) for p in out["dog"]["postings"]] == [(1, 1)]
     with pytest.raises(ValueError):
         textops.build_postings(docs, max_df=0)
+
+
+def test_prefix_sum_rejects_reserved_column_collisions(spark):
+    df = spark.range(5).withColumn("v", F.lit(1)).withColumn("cum", F.lit(0))
+    with pytest.raises(ValueError, match="collision"):
+        analytics.prefix_sum(df, "v", ["id"])  # out_col 'cum' already present
+    df2 = spark.range(5).withColumn("v", F.lit(1)).withColumn("_shard", F.lit(0))
+    with pytest.raises(ValueError, match="collision"):
+        analytics.prefix_sum(df2, "v", ["id"])
+
+
+def test_strip_boilerplate_separator_is_literal_not_regex(spark):
+    """A '.' separator must split on literal dots, not regex-any-char."""
+    docs = spark.createDataFrame(
+        [(1, "s", "a.b"), (2, "s", "a.c")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.strip_boilerplate(
+        docs, min_df=2, sep=".").collect()}
+    # 'a' repeats in both docs -> dropped; 'b'/'c' unique -> kept
+    assert out[1]["n_lines"] == 2 and out[1]["clean_text"] == "b"
+    assert out[2]["clean_text"] == "c"
+
+
+def test_strip_boilerplate_null_text_doc_is_not_dropped(spark):
+    """NULL text must yield a row (treated as empty text), not vanish
+    through a null-unsafe digest join."""
+    docs = spark.createDataFrame(
+        [(1, "s", None), (2, "s", "real line")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.strip_boilerplate(
+        docs, min_df=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_lines"] == 1 and out[1]["clean_text"] == ""  # [''] kept
+    assert out[2]["clean_text"] == "real line"
