@@ -248,10 +248,14 @@ def sketch_accuracy(
     harness's cost, not the production profiling path (that's
     sketch_profile alone).
     """
-    prof = sketch_profile(df, key_col, distinct_col, value_col)
+    prof = sketch_profile(df, key_col, distinct_col, value_col).withColumnRenamed(
+        key_col, "_sk_key"
+    )
     v = F.col(value_col)
+    # null-safe equi-join (<=>): a NULL key group still gets its sketch
+    # row verified instead of silently dropping out of the output
     agg = (
-        df.join(F.broadcast(prof), key_col)
+        df.join(F.broadcast(prof), F.col(key_col).eqNullSafe(F.col("_sk_key")))
         .groupBy(key_col)
         .agg(
             F.count("*").alias("n_rows"),

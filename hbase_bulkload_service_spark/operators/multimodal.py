@@ -242,11 +242,14 @@ def phash_neardups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     crawl pipelines (near-identical images under re-encode/resize).
 
     EXACT for max_hamming <= PHASH_BANDS - 1 via multi-index Hamming
-    blocking (pigeonhole: <= 3 differing bits cannot touch all 4 of the
-    4-bit bands, so a matching band always exists): band equi-join makes
-    candidates, `bit_count(xor)` verifies — no pair space beyond band
-    collisions, no cross product. Larger max_hamming needs more/wider
-    bands (the standard multi-index trade)."""
+    blocking (pigeonhole: <= PHASH_BANDS-1 differing bits cannot touch
+    all PHASH_BANDS bands, so a matching band always exists): band
+    equi-join makes candidates, `bit_count(xor)` verifies — no pair
+    space beyond band collisions, no cross product. Band width is the
+    scale lever: 2^PHASH_BAND_BITS buckets per band keeps the random
+    band-collision term at ~n²/2^PHASH_BAND_BITS — grow the width with
+    log2(n) (the 4-bit original degenerated to ~n²/16 candidates; the
+    linearity probe measured 82x shuffle at 10x docs before the widen)."""
     if max_hamming > PHASH_BANDS - 1:
         raise ValueError(
             f"blocking is exact only for max_hamming <= {PHASH_BANDS - 1}"

@@ -607,22 +607,29 @@ def quantize_int8(
     vm = F.transform(
         vec_col, lambda v: F.floor(v.cast("double") * scale).cast("long")
     )
-    return embeddings.select(
-        id_col,
-        vm.alias("vm"),
-    ).select(
-        id_col,
-        F.expr(
-            "CASE WHEN aggregate(vm, CAST(0 AS BIGINT),"
-            " (m, x) -> greatest(m, abs(x))) = 0"
-            " THEN transform(vm, x -> CAST(0 AS BIGINT))"
-            " ELSE transform(vm, x -> (x * 127) div"
-            "   aggregate(vm, CAST(0 AS BIGINT), (m, x) -> greatest(m, abs(x))))"
-            " END"
-        ).alias("qvec"),
-        F.expr(
-            "aggregate(vm, CAST(0 AS BIGINT), (m, x) -> greatest(m, abs(x)))"
-        ).alias("qscale"),
+    # project qscale ONCE in an intermediate select — Catalyst does not
+    # CSE the higher-order aggregate fold across copies, so inlining it
+    # in the CASE condition + divisor + output column would evaluate the
+    # O(dim) fold three times per row
+    return (
+        embeddings.select(id_col, vm.alias("vm"))
+        .select(
+            id_col,
+            "vm",
+            F.expr(
+                "aggregate(vm, CAST(0 AS BIGINT), (m, x) -> greatest(m, abs(x)))"
+            ).alias("qscale"),
+        )
+        .select(
+            id_col,
+            F.expr(
+                "CASE WHEN qscale = 0"
+                " THEN transform(vm, x -> CAST(0 AS BIGINT))"
+                " ELSE transform(vm, x -> (x * 127) div qscale)"
+                " END"
+            ).alias("qvec"),
+            "qscale",
+        )
     )
 
 

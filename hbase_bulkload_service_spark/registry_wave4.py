@@ -40,10 +40,17 @@ def _scratch(name: str) -> str:
 
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="sparkgraft_gates")
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
-    return f"{_SCRATCH_ROOT}/{name}"
+    # unique dir per CALL: a re-run must not overwrite the part files a
+    # previously returned lazy frame still references (re-executing that
+    # frame would hit FileNotFound or silently read the new write) —
+    # old dirs stay valid until the session-exit rmtree
+    global _SCRATCH_SEQ
+    _SCRATCH_SEQ += 1
+    return f"{_SCRATCH_ROOT}/{name}_{_SCRATCH_SEQ}"
 
 
 _SCRATCH_ROOT: str | None = None
+_SCRATCH_SEQ: int = 0
 
 
 # ===========================================================================

@@ -142,7 +142,7 @@ def validate_layout(spark, path: str, rollup: bool = False, deep: bool = True) -
     if any(n.endswith(".hfl2") for n in names):
         return validate_hfl2_layout(path, rollup, deep=deep)
     if any(n.endswith(".hfl1") for n in names):
-        return validate_hfl1_layout(path)
+        return validate_hfl1_layout(path, rollup)
     df = spark.read.parquet(path)
     step = ROLLUP_BUCKETS_PER_REGION if rollup else 1
 
@@ -290,10 +290,18 @@ def read_hfl1_file(fname: str):
     return records
 
 
-def validate_hfl1_layout(path: str) -> None:
+def _check_bucket_prefix(key_hex: str, region: int, step: int, where: str) -> None:
+    """Region == bucket-prefix contract: the key's first 2 bytes are the
+    BE bucket id (tsdb.with_salt), and region = bucket div step."""
+    if int(key_hex[:4], 16) // step != region:
+        raise AssertionError(f"{where}: key {key_hex[:4]} not in region {region}")
+
+
+def validate_hfl1_layout(path: str, rollup: bool = False) -> None:
     """Binary readback check for an HFL1 directory: every file parses
-    clean and sorted, manifest bounds agree, ≤2048 files per region,
-    regions non-overlapping."""
+    clean and sorted, manifest bounds agree, region == its keys' bucket
+    prefix, ≤2048 files per region, regions non-overlapping."""
+    step = ROLLUP_BUCKETS_PER_REGION if rollup else 1
     with open(os.path.join(path, "_manifest.json")) as f:
         manifest = json.load(f)
     per_region: dict[int, list[dict]] = {}
@@ -308,6 +316,8 @@ def validate_hfl1_layout(path: str) -> None:
             or len(records) != m["rows"]
         ):
             raise AssertionError(f"{m['file']}: manifest/content disagree")
+        for rec in records:
+            _check_bucket_prefix(rec[0].hex().upper(), m["region"], step, m["file"])
     for region, files in per_region.items():
         if len(files) > MAX_FILES_PER_REGION:
             raise AssertionError(
@@ -653,18 +663,24 @@ def read_hfl2_dir(spark, path: str, verify_bloom: bool = False) -> DataFrame:
 def validate_hfl2_layout(path: str, rollup: bool = False, deep: bool = True) -> None:
     """Adoption check for the binary container (H7 over HFL2): every file
     parses clean (magic, index, DIFF decode, sort), per-region file count
-    ≤ 2048, file key ranges match the manifest, and regions are
+    ≤ 2048, file key ranges match the manifest, region == its keys'
+    bucket prefix (div 8 under ``rollup``), and regions are
     non-overlapping in key space. ``deep=True`` re-parses every file in
     the DRIVER — test/adoption scale only; at data scale pass
     ``deep=False`` (manifest-level checks only, O(files) metadata) and
     run the DISTRIBUTED reader for the per-file invariants —
     read_hfl2_dir(verify_bloom=True) enforces magic/index/DIFF/sort/bloom
     inside each reading task."""
+    step = ROLLUP_BUCKETS_PER_REGION if rollup else 1
     with open(os.path.join(path, "_manifest.json")) as f:
         manifest = json.load(f)
     per_region: dict[int, list[dict]] = {}
     for m in manifest:
         per_region.setdefault(m["region"], []).append(m)
+        # region == bucket-prefix holds for the span ends even at
+        # deep=False (manifest-only, O(files) metadata)
+        _check_bucket_prefix(m["min_key_hex"], m["region"], step, m["file"])
+        _check_bucket_prefix(m["max_key_hex"], m["region"], step, m["file"])
     for region, files in per_region.items():
         if len(files) > MAX_FILES_PER_REGION:
             raise AssertionError(
@@ -673,13 +689,17 @@ def validate_hfl2_layout(path: str, rollup: bool = False, deep: bool = True) -> 
     # manifest agrees with each file's own meta block
     if deep:
         for m in manifest:
-            _records, meta = read_hfl2_file(os.path.join(path, m["file"]))
+            records, meta = read_hfl2_file(os.path.join(path, m["file"]))
             if (meta["min_key_hex"], meta["max_key_hex"], meta["rows"]) != (
                 m["min_key_hex"],
                 m["max_key_hex"],
                 m["rows"],
             ):
                 raise AssertionError(f"{m['file']}: manifest/meta disagree")
+            for rec in records:
+                _check_bucket_prefix(
+                    rec[0].hex().upper(), m["region"], step, m["file"]
+                )
     # region key ranges must not overlap (region order = key order)
     spans = sorted(
         (

@@ -161,3 +161,33 @@ def test_hfl2_distributed_write_read(spark, kv, tmp_path):
     open(victim, "wb").write(bytes(blob))
     with pytest.raises(AssertionError, match="length mismatch"):
         hfile.read_hfl2_file(victim)
+
+
+def test_hfl2_wrong_region_mapping_is_caught(spark, kv, tmp_path):
+    """A regression that maps rows to wrong-but-monotone regions (e.g.
+    region = bucket div 8 while claiming rollup=False) must fail the
+    bucket-prefix check — manifest spans alone stay non-overlapping."""
+    path = str(tmp_path / "hfl2_badregion")
+    hfile.write_hfl2_files(kv, path, num_partitions=8)
+    mpath = os.path.join(path, "_manifest.json")
+    manifest = json.load(open(mpath))
+    assert any(m["region"] >= 8 for m in manifest)
+    for m in manifest:
+        m["region"] = m["region"] // 8  # monotone but wrong under rollup=False
+    json.dump(manifest, open(mpath, "w"))
+    with pytest.raises(AssertionError, match="not in region"):
+        hfile.validate_layout(spark, path, rollup=False, deep=False)
+
+
+def test_hfl1_wrong_region_mapping_is_caught(spark, kv, tmp_path):
+    path = str(tmp_path / "hfl1_badregion")
+    hfile.write_hfl1_files(kv, path)
+    mpath = os.path.join(path, "_manifest.json")
+    manifest = json.load(open(mpath))
+    bad = max(manifest, key=lambda m: m["region"])
+    assert bad["region"] >= 8
+    for m in manifest:
+        m["region"] = m["region"] // 8
+    json.dump(manifest, open(mpath, "w"))
+    with pytest.raises(AssertionError, match="not in region|disagree"):
+        hfile.validate_layout(spark, path, rollup=False)

@@ -328,3 +328,43 @@ def test_q125_permissive_corrupt_classification(spark, sf_dir):
     assert out["n_bad"] == base["bad"]
     assert out["n_good"] == base["n"] - base["bad"]
     assert out["sum_cents_good"] == base["good_sum"]
+
+
+def test_sketch_accuracy_keeps_null_key_group(spark):
+    """NULL-key groups must survive the profile join (null-safe <=>):
+    DuckDB's GROUP BY keeps the NULL group, so dropping it would break
+    the q115 gate the moment the key column goes nullable."""
+    rows = [(None if i % 5 == 0 else f"k{i % 3}", i * 7 % 97, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, u int, v long")
+    out = analytics.sketch_accuracy(df, "k", "u", "v").collect()
+    keys = {r["k"] for r in out}
+    assert None in keys and len(keys) == 4
+    nrow = next(r for r in out if r["k"] is None)
+    assert nrow["n_rows"] == 100
+    assert nrow["hll_within_bound"] and nrow["gk_rank_within_bound"]
+
+
+def test_gate_scratch_dirs_are_unique_per_call():
+    """A re-run must not overwrite part files an earlier call's lazy
+    readback frame still references."""
+    from hbase_bulkload_service_spark.registry_wave4 import _scratch
+
+    a, b = _scratch("probe"), _scratch("probe")
+    assert a != b
+
+
+def test_bench_compare_survives_disjoint_query_sets():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import bench_compare
+    finally:
+        sys.path.pop(0)
+
+    cal = {"spark_shuffle_ms": 100.0, "py_loop_ms": 100.0}
+    old = {"queries": {"q1": 1.0}, "calibration": cal}
+    new = {"queries": {"q2": 2.0}, "calibration": cal}
+    rep = bench_compare.compare(old, new)
+    assert rep["n_common"] == 0 and rep["total_raw_ratio"] is None
+    assert "note" in rep

@@ -76,6 +76,22 @@ def compare(old: dict, new: dict) -> dict:
     norm = [r["norm_ratio"] for r in rows if r["norm_ratio"]]
     tot_o = sum(old["queries"][q] for q in common)
     tot_n = sum(new["queries"][q] for q in common)
+    if not common or tot_o == 0 or not norm:
+        # rotated-apart query sets (or a truncated tail recovery) can
+        # leave no comparable queries — report that instead of crashing
+        return {
+            "n_common": len(common),
+            "speed_ratio_shuffle": round(speed_ratio, 3),
+            "speed_ratio_pyloop": round(py_ratio, 3),
+            "total_old_s": round(tot_o, 1),
+            "total_new_s": round(tot_n, 1),
+            "total_raw_ratio": None,
+            "total_norm_ratio": None,
+            "median_norm_ratio": None,
+            "worst": [],
+            "rows": rows,
+            "note": "no comparable queries between the two runs",
+        }
     return {
         "n_common": len(common),
         "speed_ratio_shuffle": round(speed_ratio, 3),
