@@ -1,0 +1,146 @@
+"""Declarative data-quality expectations over DataFrames (the
+Deequ / Great-Expectations family of checks, re-expressed Spark-first).
+
+The reference engine's only quality gate is the hard dirty-record drop
+(empty rowkey — ``HFileGenerator.java`` filter, SURVEY §2.B4); a
+production ingest pipeline needs the *audit* form too: evaluate a suite
+of expectations and report per-expectation failure counts without
+mutating the data. That is what this module provides.
+
+Expectation kinds:
+
+- **row checks** — any boolean Column per row (not-null, range,
+  accepted values, regex, cross-column predicates). A NULL predicate
+  counts as a FAILURE (SQL three-valued logic would otherwise let a
+  NULL-laden column pass every range check).
+- **uniqueness** — key (or composite key) duplication. ``n_failed`` is
+  the duplicate SURPLUS (rows beyond the first per key group,
+  ``COUNT(*) - COUNT(DISTINCT key)``), computed over rows whose key
+  parts are all non-null (pair with a not-null row check to cover the
+  rest).
+- **referential integrity** — child FK values that have no match in a
+  parent key column; NULL FKs are not checked (SQL FK semantics —
+  cover them with a not-null row check if they are illegal).
+
+Scale shape (the 100 TB contract):
+
+- ALL row checks and uniqueness checks over one DataFrame fuse into a
+  SINGLE aggregate pass — one scan of the fact table no matter how many
+  expectations, map-side partial aggregation, a one-row result that is
+  then unpivoted driver-free with ``stack``. Each uniqueness check adds
+  one expand branch (the COUNT DISTINCT), which is the standard Spark
+  cost for exact distinct aggregation.
+- each FK check is one left join keyed on the FK — the parent side is
+  reduced to distinct keys first (dimension-sized), so Catalyst/AQE
+  broadcasts it in the common dim-table case; the fact side never
+  re-shuffles more than once per FK column.
+- the result is a tiny per-expectation frame (one row per expectation);
+  everything stays lazy — no ``collect`` anywhere, the audit composes
+  into larger jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["expectations_audit"]
+
+
+def expectations_audit(
+    df: DataFrame,
+    row_checks: list[tuple[str, Column]] | None = None,
+    unique_keys: list[tuple[str, list[str]]] | None = None,
+    fk_checks: list[tuple[str, str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Evaluate a suite of data-quality expectations against ``df``.
+
+    Args:
+        df: the table under audit.
+        row_checks: ``(name, predicate)`` pairs; the predicate is a
+            boolean Column evaluated per row, NULL counted as failed.
+        unique_keys: ``(name, [key_col, ...])`` pairs; duplicate-surplus
+            uniqueness over non-null key tuples.
+        fk_checks: ``(name, child_col, parent_df, parent_col)`` —
+            non-null ``child_col`` values must exist in
+            ``parent_df[parent_col]``.
+
+    Returns one row per expectation:
+    ``(expectation string, n_checked long, n_failed long, ok boolean)``.
+    """
+    row_checks = list(row_checks or [])
+    unique_keys = list(unique_keys or [])
+    fk_checks = list(fk_checks or [])
+    if not (row_checks or unique_keys or fk_checks):
+        raise ValueError("expectations_audit: no expectations given")
+    names = [n for n, _ in row_checks] + [n for n, _ in unique_keys] + [
+        n for n, *_ in fk_checks
+    ]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names in {names}")
+
+    parts: list[DataFrame] = []
+    if row_checks or unique_keys:
+        aggs: list[Column] = [F.count(F.lit(1)).alias("_n_all")]
+        for i, (_, cond) in enumerate(row_checks):
+            # NULL predicate == failure: ~coalesce(cond, false)
+            aggs.append(
+                F.sum(
+                    F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+                ).alias(f"_rf_{i}")
+            )
+        for i, (_, keys) in enumerate(unique_keys):
+            if not keys:
+                raise ValueError("unique_keys entry with empty key list")
+            nonnull = F.lit(True)
+            for k in keys:
+                nonnull = nonnull & F.col(k).isNotNull()
+            aggs.append(F.sum(F.when(nonnull, 1).otherwise(0)).alias(f"_un_{i}"))
+            aggs.append(
+                F.count_distinct(*[F.col(k) for k in keys]).alias(f"_ud_{i}")
+            )
+        one = df.agg(*aggs)
+        # driver-free unpivot of the 1-row aggregate into one row per
+        # expectation: stack(n, name, checked, failed, ...)
+        stack_args: list[str] = []
+        for i, (name, _) in enumerate(row_checks):
+            stack_args += [f"'{name}'", "_n_all", f"_rf_{i}"]
+        for i, (name, _) in enumerate(unique_keys):
+            stack_args += [f"'{name}'", f"_un_{i}", f"_un_{i} - _ud_{i}"]
+        n = len(row_checks) + len(unique_keys)
+        parts.append(
+            one.selectExpr(
+                f"stack({n}, {', '.join(stack_args)})"
+                " AS (expectation, n_checked, n_failed)"
+            )
+        )
+    for name, child_col, parent, parent_col in fk_checks:
+        # parent reduced to distinct keys (dim-sized -> broadcastable);
+        # the marker column survives the left join iff the key matched
+        pk = parent.select(
+            F.col(parent_col).alias("_k"), F.lit(1).alias("_hit")
+        ).distinct()
+        j = (
+            df.select(F.col(child_col).alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .join(pk, "_k", "left")
+        )
+        parts.append(
+            j.agg(
+                F.lit(name).alias("expectation"),
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias(
+                    "n_failed"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # SUM over an empty table is NULL — both counters normalize to 0
+    return out.select(
+        "expectation",
+        F.coalesce(F.col("n_checked"), F.lit(0)).cast("long").alias("n_checked"),
+        F.coalesce(F.col("n_failed"), F.lit(0)).cast("long").alias("n_failed"),
+        (F.coalesce(F.col("n_failed"), F.lit(0)) == 0).alias("ok"),
+    )

@@ -981,3 +981,83 @@ def build_postings(
         )
     )
     return stats.join(plist, "term", "left")
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 100,
+    min_co: int = 2,
+    rel_ppm: bool = False,
+) -> DataFrame:
+    """Term-pair association mining (the PMI / lift family): for every
+    pair of mid-frequency terms, how much more often do they co-occur in
+    the same document than independence predicts? ``score_ppb`` is the
+    exact integer lift in parts-per-billion — ``P(a,b) / (P(a)·P(b)) =
+    co_df·N / (df_a·df_b)`` scaled by 1e9 (PMI is the log of this;
+    monotone, so ranking/thresholding is identical and no libm crosses
+    the verdict). The collocation-discovery / phrase-mining primitive
+    over a training corpus.
+
+    ``rel_ppm=True`` reads ``min_df``/``max_df`` as parts-per-million of
+    the corpus size (``df·1e6`` within ``[min·N, max·N]``, exact integer
+    compare) — the form that keeps one configuration meaningful from a
+    1k-doc dev slice to the full corpus, since absolute dfs scale with N.
+
+    100 TB shape — df-band blocking is the scale lever: the pair space is
+    generated per document by a self-join of BAND terms only, so per-doc
+    fan-out is bounded by (band terms per doc choose 2), never
+    (all terms choose 2). Stopwords fall out of the band at the top
+    (exactly the skew that would otherwise make the doc_id self-join
+    quadratic in the hot keys), hapaxes at the bottom. One shuffle for
+    the df table (hash agg), one keyed self-join on doc_id, one hash agg
+    on the pair — all linear in the surviving (doc, band-term) incidence
+    list. N rides in via a broadcast 1-row cross join (no driver
+    action). Exactness bound: the int64 product co_df·N·1e9 requires
+    max(co_df)·N <= 9.2e9 (at larger corpora, widen to ppm or
+    pre-divide — the band cap bounds co_df).
+    """
+    if not (1 <= min_df <= max_df):
+        raise ValueError("need 1 <= min_df <= max_df")
+    terms = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(words_of(F.col(text_col)))).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    dfs = terms.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.count("*").cast("long").alias("n_docs")
+    )  # 1-row frame, lazy
+    if rel_ppm:
+        band = dfs.join(F.broadcast(n_docs)).filter(
+            (F.col("df") * 1_000_000 >= F.lit(min_df) * F.col("n_docs"))
+            & (F.col("df") * 1_000_000 <= F.lit(max_df) * F.col("n_docs"))
+        ).select("term", "df")
+    else:
+        band = dfs.filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    bt = terms.join(band, "term")  # (doc_id, term, df) — band terms only
+    a = bt.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = bt.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count("*").alias("co_df"))
+        .filter(F.col("co_df") >= min_co)
+    )
+    return pairs.join(F.broadcast(n_docs)).select(
+        "term_a",
+        "term_b",
+        F.col("df_a").cast("long").alias("df_a"),
+        F.col("df_b").cast("long").alias("df_b"),
+        F.col("co_df").cast("long").alias("co_df"),
+        F.expr("co_df * 1000000000L * n_docs div (df_a * df_b)").alias(
+            "score_ppb"
+        ),
+    )

@@ -957,3 +957,4 @@ from hbase_bulkload_service_spark import registry_wave4  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave7  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave8  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave9  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave10  # noqa: E402,F401

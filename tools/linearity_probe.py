@@ -55,6 +55,8 @@ PROBE_QUERIES = [
     "q127_token_budget_mix",   # metadata-scale alloc + grouped prefix_sum cut
     "q128_boilerplate_lines",  # two digest-keyed exchanges + doc rebuild agg
     "q129_postings",           # (term,doc) pre-agg; stop-cap elides long lists
+    "q130_expectations_audit",  # one fused agg scan per table + FK joins
+    "q131_rollup_totals",      # single Expand + hash agg, one scan
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -77,6 +79,7 @@ PROBE_QUERIES_PERTURBED = [
     "q113_triangle_counts",  # disjoint per-rep copies of the linkage graph -> triangles scale linearly
     "q114_pagerank",         # same graph; 5 fixed rounds, each one keyed exchange
     "q118_kmeans_iterative",  # k x dim centroid round-trips; per-vector broadcast scoring (embeddings only grow under the perturbed amplifier)
+    "q132_term_cooccurrence",  # rel-df band; per-rep tokens add vocab linearly, per-doc fan-out stays bounded
 ]
 
 
