@@ -25,8 +25,8 @@ SF0001 = "/root/testdata/sf0.001"
 #   1. q101-q114 — the 14 wave-7 queries registered after round 3's
 #      window filled; never driver-verified (CORRECTNESS_r02∪r03 covers
 #      the other 100/114 with zero failures).
-#   2. q115-q125 — the 11 new round-4 queries (verified same-round).
-#   3. Back-fill: 25 rotation slots of r02-green queries (verified in
+#   2. q115-q132 — the new round-4 queries (verified same-round).
+#   3. Back-fill: rotation slots of r02-green queries (verified in
 #      r02, not re-checked since) in registration order, so old queries
 #      get periodic re-verification. After this round every registered
 #      query has at least one driver row in r02∪r03∪r04.
@@ -67,6 +67,11 @@ PRIORITY = [
     "q127_token_budget_mix",
     "q128_boilerplate_lines",
     "q129_postings",
+    "q130_expectations_audit",
+    "q131_rollup_totals",
+    "q132_term_cooccurrence",
+    "q133_capped_stratum_sample",
+    "q134_containment_pairs",
     # -- 3. rotation: r02-greens not re-checked since round 2 --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -84,11 +89,6 @@ PRIORITY = [
     "q23_streaming_dedup",
     "q21_streaming_lookup",
     "q17_asof_join",
-    "q18_session_windows",
-    "q06_htable_scan_project",
-    "q07_htable_sql_agg",
-    "q08_htable_point_get",
-    "q16_delete_rows",
 ]
 
 

@@ -389,3 +389,88 @@ def token_budget_mix(
     return cum.join(F.broadcast(alloc), source_col).withColumn(
         "keep", F.col("cum_tokens") <= F.col("alloc_tokens")
     )
+
+
+def capped_stratum_sample(
+    docs: DataFrame,
+    cap: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    prefilter_ppm: int | None = None,
+) -> DataFrame:
+    """Exact deterministic k-per-stratum sample: each stratum keeps its
+    ``cap`` rows with the smallest ``md5(seed:key)`` (ties by key) — a
+    uniform without-replacement draw that is reproducible across runs,
+    task retries, and repartitionings, and whose seeds give independent
+    draws. The EXACT-BUDGET counterpart to :func:`stratified_sample`'s
+    rate-based form (rates give a binomial count; evaluation sets and
+    per-stratum quotas need exactly k).
+
+    Scale path — ``prefilter_ppm``: the naive plan windows the FULL
+    corpus on a low-cardinality skewed key (every row of a 100 TB
+    stratum shuffles to sort out its top k). With a prefilter, rows
+    whose 32-bit md5-prefix value is >= ``prefilter_ppm/1e6 · 2^32``
+    are dropped MAP-SIDE before the window, so only the expected
+    ``prefilter_ppm/1e6`` fraction ever shuffles. LOSSLESS BY
+    CONSTRUCTION OR LOUD: the window order is the md5 string order,
+    whose leading 8 hex chars are exactly the prefix value — if a
+    stratum retains >= min(cap, total) survivors, every true top-k row
+    is among them (any dropped row's prefix exceeds >= cap surviving
+    prefixes, hence its full order does too); the operator VERIFIES
+    that bound per stratum inside the plan (assert_true on the
+    stratum-count join) and fails loudly instead of silently
+    under-sampling, telling the caller to raise prefilter_ppm. Size
+    the ppm at ~(cap / min_stratum_rows) · 1e6 · safety; the
+    verification costs one tiny per-stratum count agg on each side.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    if prefilter_ppm is not None and not (0 < prefilter_ppm <= 1_000_000):
+        raise ValueError("prefilter_ppm must be in (0, 1e6]")
+    ord_key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
+    )
+    x = docs.withColumn("__ord", ord_key)
+    guard_branch = None
+    if prefilter_ppm is not None:
+        prefix_val = F.conv(F.substring("__ord", 1, 8), 16, 10).cast("long")
+        threshold = (prefilter_ppm * (1 << 32)) // 1_000_000
+        totals = docs.groupBy(strata_col).agg(F.count("*").alias("__total"))
+        x = x.filter(prefix_val < F.lit(threshold))
+        survivors = x.groupBy(strata_col).agg(F.count("*").alias("__surv"))
+        # loud losslessness guard: assert_true raises per offending
+        # stratum while the WHERE below evaluates it; on success it is
+        # NULL, so the branch contributes zero rows. Structured as a
+        # UNION branch (typed-NULL projection of the output schema), NOT
+        # a join onto the sampled rows — a join guard never evaluates
+        # when the prefilter leaves a stratum EMPTY (the worst
+        # under-sample), and AQE's empty-relation propagation can skip
+        # a broadcast side entirely.
+        guard = totals.join(survivors, strata_col, "left").select(
+            F.assert_true(
+                F.coalesce(F.col("__surv"), F.lit(0))
+                >= F.least(F.lit(cap), F.col("__total")),
+                F.concat(
+                    F.lit(
+                        "capped_stratum_sample: prefilter dropped below "
+                        f"min(cap={cap}, stratum size) for stratum "
+                    ),
+                    F.col(strata_col).cast("string"),
+                    F.lit(f" — raise prefilter_ppm (={prefilter_ppm})"),
+                ),
+            ).alias("__guard"),
+        )
+        guard_branch = guard.where(F.col("__guard").isNotNull()).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in docs.schema.fields
+            ]
+        )
+    w = Window.partitionBy(strata_col).orderBy(F.col("__ord"), F.col(key_col))
+    out = (
+        x.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__ord", "__rk")
+    )
+    return out if guard_branch is None else out.unionByName(guard_branch)

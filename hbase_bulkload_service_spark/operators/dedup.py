@@ -770,3 +770,109 @@ def fuzzy_self_join_k1(
         .select("id_a", "id_b", F.levenshtein("_sa", "_sb").alias("dist"))
         .filter(F.col("dist") <= 1)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    threshold_ppm: int = 600_000,
+    df_max: int = NGRAM_DF_MAX,
+) -> DataFrame:
+    """Asymmetric near-SUPERSET detection: directional containment
+    ``|grams(inner) ∩ grams(outer)| / |grams(inner)|`` — the quote /
+    excerpt / wrapped-repost shape that symmetric Jaccard structurally
+    misses (a 100-word doc quoted inside a 10k-word doc has Jaccard
+    ≈ 0.01 but containment ≈ 1.0). The second detection axis of the
+    ExactSubstr family (span_dedup catches verbatim spans; this catches
+    high-overlap gram sets without requiring contiguity).
+
+    Output: one row per ORDERED pair above the threshold —
+    (doc_inner, doc_outer, inter, n_inner, containment_ppm), integer
+    ppm so no float crosses the verdict.
+
+    Scale shape mirrors ngram_jaccard_pairs: rare-gram blocking (global
+    df ≤ df_max caps the candidate join at Σ_{df≤cap} df², immune to
+    template-heavy corpora), then a LOSSLESS upper-bound prune before
+    the array verify — inter ≤ inter_rare + common(inner), so a pair
+    that cannot reach the threshold even in the best case never ships
+    its gram arrays. Unlike the Jaccard variant there is NO length-band
+    blocking: containment pairs live at wildly different lengths by
+    nature, so the rare index is global. Recall trade (documented, same
+    as q36): an inner doc built ENTIRELY of above-cap grams has no rare
+    gram to collide on; near-supersets share doc-specific grams in
+    practice. Directionality is free: candidates are generated ordered
+    (a ≠ b), so both directions of an overlapping pair are scored
+    independently and a symmetric near-dup simply yields two rows.
+    """
+    if not (0 < threshold_ppm <= 1_000_000):
+        raise ValueError("threshold_ppm must be in (0, 1e6]")
+    garr = gram_arrays(docs, text_col, n).persist()
+    g = garr.select("doc_id", F.explode("grams").alias("gram"))
+    rare = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_max)
+        .select("gram")
+    )
+    gr = g.join(rare, "gram").persist()
+    cachereg.register(garr, gr)
+    cand = (
+        gr.alias("a")
+        .join(gr.alias("b"), "gram")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_inner"),
+            F.col("b.doc_id").alias("doc_outer"),
+        )
+        .agg(F.count("*").alias("inter_rare"))
+    )
+    stats = (
+        garr.select("doc_id", F.size("grams").alias("sz"))
+        .join(
+            gr.groupBy("doc_id").agg(F.count("*").alias("n_rare")),
+            "doc_id",
+            "left",
+        )
+        .na.fill({"n_rare": 0})
+        .withColumn("n_common", F.col("sz") - F.col("n_rare"))
+    )
+    si = stats.select(
+        F.col("doc_id").alias("doc_inner"),
+        F.col("sz").alias("n_inner"),
+        F.col("n_common").alias("c_inner"),
+    )
+    # lossless prune: inter <= inter_rare + common(inner) — grams of the
+    # inner doc above the df cap may all be present in the outer doc,
+    # rare ones beyond inter_rare cannot be
+    pruned = (
+        cand.join(si, "doc_inner")
+        .filter(
+            (F.col("inter_rare") + F.col("c_inner")) * 1_000_000
+            >= F.lit(threshold_ppm) * F.col("n_inner")
+        )
+        .select("doc_inner", "doc_outer", "n_inner")
+        # survivors are byte-small but verify-expensive: spread them out
+        # explicitly (user partition counts are AQE-coalesce-exempt —
+        # the q36 single-task-verify trap)
+        .repartition(64, "doc_inner", "doc_outer")
+    )
+    a = garr.select(
+        F.col("doc_id").alias("doc_inner"), F.col("grams").alias("g_in")
+    )
+    b = garr.select(
+        F.col("doc_id").alias("doc_outer"), F.col("grams").alias("g_out")
+    )
+    inter = F.size(F.array_intersect(F.col("g_in"), F.col("g_out")))
+    return (
+        pruned.join(a, "doc_inner")
+        .join(b, "doc_outer")
+        .select(
+            "doc_inner",
+            "doc_outer",
+            inter.cast("long").alias("inter"),
+            F.col("n_inner").cast("long").alias("n_inner"),
+            F.expr("inter * 1000000L div n_inner").alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+    )

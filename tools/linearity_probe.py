@@ -57,6 +57,7 @@ PROBE_QUERIES = [
     "q129_postings",           # (term,doc) pre-agg; stop-cap elides long lists
     "q130_expectations_audit",  # one fused agg scan per table + FK joins
     "q131_rollup_totals",      # single Expand + hash agg, one scan
+    "q133_capped_stratum_sample",  # map-side prefilter; only ~ppm fraction windows
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -80,6 +81,7 @@ PROBE_QUERIES_PERTURBED = [
     "q114_pagerank",         # same graph; 5 fixed rounds, each one keyed exchange
     "q118_kmeans_iterative",  # k x dim centroid round-trips; per-vector broadcast scoring (embeddings only grow under the perturbed amplifier)
     "q132_term_cooccurrence",  # rel-df band; per-rep tokens add vocab linearly, per-doc fan-out stays bounded
+    "q134_containment_pairs",  # rare-gram blocked ordered pairs; perturbed reps don't contain each other
 ]
 
 
