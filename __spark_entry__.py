@@ -25,7 +25,7 @@ SF0001 = "/root/testdata/sf0.001"
 #   1. q101-q114 — the 14 wave-7 queries registered after round 3's
 #      window filled; never driver-verified (CORRECTNESS_r02∪r03 covers
 #      the other 100/114 with zero failures).
-#   2. q115-q132 — the new round-4 queries (verified same-round).
+#   2. q115-q137 — the new round-4 queries (verified same-round).
 #   3. Back-fill: rotation slots of r02-green queries (verified in
 #      r02, not re-checked since) in registration order, so old queries
 #      get periodic re-verification. After this round every registered
@@ -72,6 +72,10 @@ PRIORITY = [
     "q132_term_cooccurrence",
     "q133_capped_stratum_sample",
     "q134_containment_pairs",
+    "q135_winsorized_stats",
+    "q136_group_mode",
+    "q137_streaming_expectations",
+    "q138_time_weighted_avg",
     # -- 3. rotation: r02-greens not re-checked since round 2 --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -85,10 +89,6 @@ PRIORITY = [
     "q14_time_slices",
     "q22_interval_join",
     "q19_streaming_rollup",
-    "q20_streaming_upsert",
-    "q23_streaming_dedup",
-    "q21_streaming_lookup",
-    "q17_asof_join",
 ]
 
 

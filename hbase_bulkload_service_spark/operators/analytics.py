@@ -743,3 +743,107 @@ def prefix_sum(
             yield out
 
     return joined.mapInPandas(cum, out_schema)
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized (clipped-tail) statistics — the standard
+    robust-mean move before aggregating noisy metrics: values below the
+    group's lo_p quantile clamp up to it, values above hi_p clamp down,
+    and the clipped sum/count feed a mean that outliers cannot drag.
+    Quantiles use the PERCENTILE_DISC rank-``ceil(p·n)`` definition
+    (an actual element, integer-exact — same convention as
+    group_quantiles, so both engines pick the identical cut points).
+
+    Output per group: ``n``, ``lo`` / ``hi`` (the cut values),
+    ``win_sum`` (sum after clamping), ``n_clip_lo`` / ``n_clip_hi``
+    (rows that clamped). All integers when the input is integer.
+
+    Plan: ONE keyed exchange — the rank window, the count window, and
+    the two cut-point windows (max over the rank prefix ==
+    value-at-rank, since the order is ascending) all share the
+    partitioning, and the final groupBy re-uses it (no second
+    shuffle). Same 100 TB profile as any windowed analytic; the
+    cardinality-1-skew caveat from group_quantiles applies.
+    """
+    if not (0.0 < lo_p < hi_p <= 1.0):
+        raise ValueError("need 0 < lo_p < hi_p <= 1")
+    w = Window.partitionBy(key_col).orderBy("v")
+    wall = Window.partitionBy(key_col)
+    v = F.col("v")
+    # NULL values are EXCLUDED (documented): Spark sorts NULLS FIRST
+    # ascending, DuckDB NULLS LAST — an in-band NULL would silently skew
+    # the rank-based cut points differently per engine
+    ranked = df.select(
+        key_col, F.col(value_col).alias("v")
+    ).filter(v.isNotNull()).select(
+        key_col,
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    lo_rank = F.ceil(F.lit(lo_p) * F.col("n")).cast("int")
+    hi_rank = F.ceil(F.lit(hi_p) * F.col("n")).cast("int")
+    cut = ranked.select(
+        key_col,
+        "v",
+        "n",
+        F.max(F.when(F.col("rn") <= lo_rank, v)).over(wall).alias("lo"),
+        F.max(F.when(F.col("rn") <= hi_rank, v)).over(wall).alias("hi"),
+    )
+    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return cut.groupBy(key_col).agg(
+        F.max("n").alias("n"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum(clamped).alias("win_sum"),
+        F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).alias("n_clip_lo"),
+        F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).alias("n_clip_hi"),
+    )
+
+
+def group_mode(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Exact per-group mode (most frequent value; ties resolve to the
+    SMALLEST value so the result is deterministic and engine-portable).
+    Output: (key, mode_value, mode_count, n_distinct).
+
+    Plan: hash agg on (key, value) — map-side combined, so the shuffle
+    carries distinct pairs, not rows — then a (cnt DESC, value ASC)
+    row_number window on the key. The window input is the distinct-pair
+    table (bounded by value cardinality per key), NOT the raw corpus:
+    at 100 TB the heavy lifting happens in the combiner.
+
+    NULL values are excluded (mode of the non-null values): Spark's ASC
+    sort puts NULL first, DuckDB's puts it last, so an in-band NULL
+    tie-breaks differently per engine.
+    """
+    counted = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col, value_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("cnt").desc(), F.col(value_col).asc()
+    )
+    wall = Window.partitionBy(key_col)
+    return (
+        counted.select(
+            key_col,
+            F.col(value_col).alias("mode_value"),
+            "cnt",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wall).alias("n_distinct"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            key_col,
+            "mode_value",
+            F.col("cnt").alias("mode_count"),
+            "n_distinct",
+        )
+    )

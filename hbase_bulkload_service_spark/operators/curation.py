@@ -428,6 +428,9 @@ def capped_stratum_sample(
         raise ValueError("cap must be >= 1")
     if prefilter_ppm is not None and not (0 < prefilter_ppm <= 1_000_000):
         raise ValueError("prefilter_ppm must be in (0, 1e6]")
+    clash = {"__ord", "__rk", "__s"} & set(docs.columns)
+    if clash:
+        raise ValueError(f"reserved column name(s) in input: {sorted(clash)}")
     ord_key = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
     )
@@ -438,7 +441,9 @@ def capped_stratum_sample(
         threshold = (prefilter_ppm * (1 << 32)) // 1_000_000
         totals = docs.groupBy(strata_col).agg(F.count("*").alias("__total"))
         x = x.filter(prefix_val < F.lit(threshold))
-        survivors = x.groupBy(strata_col).agg(F.count("*").alias("__surv"))
+        survivors = x.groupBy(F.col(strata_col).alias("__s")).agg(
+            F.count("*").alias("__surv")
+        )
         # loud losslessness guard: assert_true raises per offending
         # stratum while the WHERE below evaluates it; on success it is
         # NULL, so the branch contributes zero rows. Structured as a
@@ -447,7 +452,11 @@ def capped_stratum_sample(
         # when the prefilter leaves a stratum EMPTY (the worst
         # under-sample), and AQE's empty-relation propagation can skip
         # a broadcast side entirely.
-        guard = totals.join(survivors, strata_col, "left").select(
+        # null-safe join: a NULL stratum is a legal group and must not
+        # trip (or dodge) the guard through NULL != NULL semantics
+        guard = totals.join(
+            survivors, F.col(strata_col).eqNullSafe(F.col("__s")), "left"
+        ).select(
             F.assert_true(
                 F.coalesce(F.col("__surv"), F.lit(0))
                 >= F.least(F.lit(cap), F.col("__total")),

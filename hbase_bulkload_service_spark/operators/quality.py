@@ -78,6 +78,15 @@ def expectations_audit(
     ]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate expectation names in {names}")
+    # names are spliced into the stack(...) SQL below as string literals —
+    # reject anything that could escape the quoting
+    import re
+
+    bad_names = [n for n in names if not re.fullmatch(r"[A-Za-z0-9_.\- ]+", n)]
+    if bad_names:
+        raise ValueError(
+            f"expectation names must be alphanumeric/_/./-/space: {bad_names}"
+        )
 
     parts: list[DataFrame] = []
     if row_checks or unique_keys:

@@ -418,3 +418,62 @@ def counter_deltas(
         )
         .filter(F.col("dt_ms").isNotNull())
     )
+
+
+def time_weighted_avg(
+    samples: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    value_col: str = "cents",
+    id_col: str = "event_id",
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Time-weighted average downsample over IRREGULAR samples — the
+    aggregation plain AVG gets wrong on telemetry (a sensor that reports
+    once per second while idle and once per hour while steady would
+    otherwise drown the steady state): each sample's value holds until
+    the NEXT sample in its bucket (last sample holds to bucket end), so
+    the mean is weighted by holding time. OpenTSDB's downsample-with-
+    interpolation family (reference domain: Aggregators/Downsampler);
+    this is the zero-order-hold variant, which stays integer-exact.
+
+    Output per (series, bucket): ``n`` samples, ``num`` = Σ value·hold_ms,
+    ``span_ms`` = bucket_end − first_sample_ts, and ``twa`` = num div
+    span_ms (exact truncating quotient — equals floor for the
+    non-negative values this is defined over). Duplicate-timestamp
+    samples get hold time 0 except the last by ``id_col`` order
+    (deterministic, engine-portable).
+
+    Plan: ONE keyed exchange — the lead() window on (series, bucket) and
+    the final agg share the partitioning. int64 bound: |value|·bucket_ms
+    per row, Σ per bucket ≤ max|value|·bucket_ms — at cents·1-hour
+    buckets that is ~4e10, five decades inside int64.
+    """
+    if bucket_ms < 1:
+        raise ValueError("bucket_ms must be >= 1")
+    ts, v = F.col(ts_col), F.col(value_col)
+    x = samples.filter(ts.isNotNull() & v.isNotNull()).select(
+        series_col,
+        ts.alias("__ts"),
+        v.alias("__v"),
+        F.col(id_col).alias("__id"),
+        F.expr(f"{ts_col} div {bucket_ms}").alias("bucket"),
+    )
+    w = Window.partitionBy(series_col, "bucket").orderBy("__ts", "__id")
+    bucket_end = (F.col("bucket") + 1) * bucket_ms
+    hold = F.coalesce(F.lead("__ts").over(w), bucket_end) - F.col("__ts")
+    held = x.select(series_col, "bucket", "__v", "__ts", hold.alias("__hold"))
+    return held.groupBy(series_col, "bucket").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__v") * F.col("__hold")).alias("num"),
+        ((F.max(F.col("bucket")) + 1) * bucket_ms - F.min("__ts")).alias(
+            "span_ms"
+        ),
+    ).select(
+        series_col,
+        "bucket",
+        "n",
+        "num",
+        "span_ms",
+        F.expr("num div span_ms").alias("twa"),
+    )

@@ -1,0 +1,246 @@
+"""Registry wave 12 (q135+) — robust statistics + streaming quality:
+
+- q135 winsorized (clipped-tail) per-group statistics — the robust-mean
+  preprocessing step, PERCENTILE_DISC cut points, integer-exact;
+- q136 exact per-group mode (most frequent value, deterministic ties);
+- q137 streaming data-quality monitor — the continuous twin of q130's
+  expectations audit (row-check layer), finite-replay verified against
+  the same first-principles counts.
+
+Same portability rules as registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.operators import analytics
+from hbase_bulkload_service_spark.operators import tsdb as tsdb_ops
+from hbase_bulkload_service_spark.registry import register
+from hbase_bulkload_service_spark.sources.tables import load, load_events
+
+
+# ===========================================================================
+# q135 — winsorized per-group statistics
+# ===========================================================================
+
+
+@register(
+    "q135_winsorized_stats",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+    ),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    c AS (
+      SELECT event_type, v, n,
+             MAX(CASE WHEN rn <= CAST(ceil(0.05 * n) AS INT) THEN v END)
+               OVER (PARTITION BY event_type) AS lo,
+             MAX(CASE WHEN rn <= CAST(ceil(0.95 * n) AS INT) THEN v END)
+               OVER (PARTITION BY event_type) AS hi
+      FROM r
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(lo) AS BIGINT) AS lo,
+           CAST(MAX(hi) AS BIGINT) AS hi,
+           CAST(SUM(LEAST(GREATEST(v, lo), hi)) AS BIGINT) AS win_sum,
+           CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi
+    FROM c GROUP BY event_type
+    """,
+)
+def q135_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type value statistics: clamp the integer-cents
+    value at the exact p05/p95 PERCENTILE_DISC cut points and aggregate
+    the clipped sum + clip counts — the outlier-proof mean. ONE keyed
+    exchange (rank/count/cut windows + the final agg all share the
+    event_type partitioning)."""
+    e = load_events(spark, sf_dir, spread=True).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("v")
+    )
+    return analytics.winsorized_stats(e, "event_type", "v", 0.05, 0.95)
+
+
+# ===========================================================================
+# q136 — exact per-group mode
+# ===========================================================================
+
+
+@register(
+    "q136_group_mode",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+    ),
+    c AS (
+      SELECT event_type, v, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, v, cnt,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, v ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM c
+    )
+    SELECT event_type,
+           CAST(v AS BIGINT) AS mode_value,
+           CAST(cnt AS BIGINT) AS mode_count,
+           CAST(nd AS BIGINT) AS n_distinct
+    FROM r WHERE rn = 1
+    """,
+)
+def q136_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent cents value per event type (ties to the smallest
+    value — deterministic cross-engine). The window runs over the
+    DISTINCT-PAIR table, not the raw rows: the map-side combiner does
+    the heavy lifting, the exchange carries (type, value) cardinality."""
+    e = load_events(spark, sf_dir, spread=True).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("v")
+    )
+    return analytics.group_mode(e, "event_type", "v")
+
+
+# ===========================================================================
+# q137 — streaming data-quality monitor (q130's continuous twin)
+# ===========================================================================
+
+
+@register(
+    "q137_streaming_expectations",
+    """
+    WITH u AS (
+    SELECT 'orders_key_not_null' AS expectation,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'),
+                                           FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_price_positive',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_priority_urgent',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(o_orderpriority = '1-URGENT',
+                                           FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    )
+    SELECT expectation, n_checked, n_failed, n_failed = 0 AS ok FROM u
+    """,
+)
+def q137_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q130's row-check suite run as a STREAM over the orders table
+    (finite availableNow replay): per-micro-batch failure counters fold
+    into running per-expectation totals whose final snapshot must equal
+    the batch audit bit-for-bit. Bounded state: one counter row per
+    expectation."""
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    schema = load(spark, sf_dir, "orders").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    audited = st.streaming_expectations(
+        stream,
+        [
+            ("orders_key_not_null", F.col("o_orderkey").isNotNull()),
+            (
+                "orders_status_domain",
+                F.col("o_orderstatus").isin("F", "O", "P"),
+            ),
+            ("orders_price_positive", F.col("o_totalprice") > 0),
+            (
+                "orders_priority_urgent",
+                F.col("o_orderpriority") == "1-URGENT",
+            ),
+        ],
+    )
+    q = (
+        audited.writeStream.format("memory")
+        .queryName("q137_expect_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    st.await_finite(q, 300)
+    return spark.table("q137_expect_mem")
+
+
+# ===========================================================================
+# q138 — time-weighted average downsample (zero-order hold)
+# ===========================================================================
+
+
+@register(
+    "q138_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, event_id, ts_ms, cents,
+             ts_ms // 3600000 AS bucket
+      FROM e
+    ),
+    h AS (
+      SELECT event_type, bucket, cents, ts_ms,
+             COALESCE(
+               lead(ts_ms) OVER (
+                 PARTITION BY event_type, bucket ORDER BY ts_ms, event_id
+               ),
+               (bucket + 1) * 3600000
+             ) - ts_ms AS hold_ms
+      FROM b
+    )
+    SELECT event_type,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents * hold_ms) AS BIGINT) AS num,
+           CAST((MAX(bucket) + 1) * 3600000 - MIN(ts_ms) AS BIGINT)
+             AS span_ms,
+           CAST(SUM(cents * hold_ms)
+                // ((MAX(bucket) + 1) * 3600000 - MIN(ts_ms)) AS BIGINT)
+             AS twa
+    FROM h GROUP BY event_type, bucket
+    """,
+)
+def q138_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly zero-order-hold time-weighted average of the event value
+    per event type — the downsample that is robust to irregular sample
+    spacing (OpenTSDB downsampler family). ONE keyed exchange: the
+    hold-time lead() window and the final agg share the
+    (event_type, bucket) partitioning; integer-exact throughout."""
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_type",
+        "event_id",
+        "ts_ms",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return tsdb_ops.time_weighted_avg(
+        ev, series_col="event_type", ts_col="ts_ms",
+        value_col="cents", id_col="event_id", bucket_ms=3_600_000,
+    )

@@ -412,3 +412,53 @@ def streaming_incremental_dedup(
     return missed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["h"]
     )
+
+
+def streaming_expectations(stream_df, row_checks):
+    """Streaming data-quality monitor — the continuous twin of
+    quality.expectations_audit's row-check layer: each micro-batch folds
+    its rows into running per-expectation (n_checked, n_failed)
+    counters, so a pipeline can watch quality degrade in-flight instead
+    of discovering it in tomorrow's batch audit. NULL predicate results
+    count as failures (same three-valued-logic stance as the batch op).
+
+    Only ROW predicates stream: uniqueness and FK checks need
+    corpus-wide distinct state, which unbounded streams cannot hold
+    exactly — run those in the periodic batch audit (the split is the
+    standard lambda posture and is documented in SCALE.md).
+
+    Shape: one explode to (expectation, fail) pairs — width = number of
+    checks, a constant — then a streaming groupBy agg on the expectation
+    name (bounded state: one row per check). Works with complete-mode
+    sinks and availableNow finite replays.
+    """
+    from pyspark.sql import functions as F
+
+    if not row_checks:
+        raise ValueError("streaming_expectations: no row checks given")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("expectation"),
+                F.when(~F.coalesce(cond, F.lit(False)), 1)
+                .otherwise(0)
+                .alias("fail"),
+            )
+            for name, cond in row_checks
+        ]
+    )
+    return (
+        stream_df.select(F.explode(pairs).alias("e"))
+        .select("e.expectation", "e.fail")
+        .groupBy("expectation")
+        .agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum("fail").cast("long").alias("n_failed"),
+        )
+        .select(
+            "expectation",
+            "n_checked",
+            "n_failed",
+            (F.col("n_failed") == 0).alias("ok"),
+        )
+    )

@@ -217,3 +217,13 @@ def test_rollup_gate_plans_single_expand_aggregate(spark, sf_dir):
     assert plan.count("ReadSchema") == 1  # exactly one parquet scan
     gids = {r["gid"] for r in df.collect()}
     assert gids == {0, 1, 3}  # detail, per-source subtotal, grand total
+
+
+def test_audit_rejects_injection_prone_names(spark):
+    """Expectation names are spliced into stack(...) SQL as literals —
+    quotes/parens must be rejected, not silently break the expression."""
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="alphanumeric"):
+        quality.expectations_audit(
+            df, row_checks=[("bad'name", F.col("k") > 0)]
+        )

@@ -159,3 +159,27 @@ def test_containment_threshold_guard(spark):
         dedup.containment_pairs(docs, threshold_ppm=0)
     with pytest.raises(ValueError, match="threshold_ppm"):
         dedup.containment_pairs(docs, threshold_ppm=1_000_001)
+
+
+def test_capped_sample_null_stratum_guard_is_null_safe(spark):
+    """A NULL stratum is a legal group: the prefilter guard must track
+    it (null-safe join) — and sampling must still draw from it."""
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 else "en") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    out = curation.capped_stratum_sample(
+        docs, cap=10, strata_col="lang", seed=2, prefilter_ppm=800_000
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {"en": 10, None: 10}
+
+
+def test_capped_sample_rejects_reserved_columns(spark):
+    import pytest as _pt
+
+    docs = spark.createDataFrame([(1, "en", "x")],
+                                 "doc_id long, lang string, __ord string")
+    with _pt.raises(ValueError, match="reserved column"):
+        curation.capped_stratum_sample(docs, cap=1, strata_col="lang")

@@ -58,6 +58,9 @@ PROBE_QUERIES = [
     "q130_expectations_audit",  # one fused agg scan per table + FK joins
     "q131_rollup_totals",      # single Expand + hash agg, one scan
     "q133_capped_stratum_sample",  # map-side prefilter; only ~ppm fraction windows
+    "q135_winsorized_stats",   # one keyed exchange: rank/cut windows + agg share it
+    "q136_group_mode",         # combiner-bounded pair agg + tiny window
+    "q138_time_weighted_avg",  # one keyed exchange: hold window + agg share it
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
