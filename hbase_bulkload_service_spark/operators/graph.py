@@ -72,6 +72,13 @@ def triangle_counts(
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
         F.when(fwd, ky).otherwise(kx).alias("dst_key"),
     ).localCheckpoint(eager=False)
+    # NOTE: pinning these joins wide with numbered repartitions (the q36
+    # AQE-coalesce fix) was A/B-tested and REGRESSED 4.0 -> 8.4 s at
+    # sf0.1: unlike q36's pandas-heavy verify, the wedge join is cheap
+    # enough per row that extra exchanges + 192-task scheduling overhead
+    # dominate. AQE's byte-based coalesce is the right call here; at
+    # cluster scale the shuffle bytes grow with m and AQE widens on its
+    # own.
     w1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_key").alias("kv"))
     w2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_key").alias("kw"))
     wedges = (
