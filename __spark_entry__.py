@@ -25,7 +25,7 @@ SF0001 = "/root/testdata/sf0.001"
 #   1. q101-q114 — the 14 wave-7 queries registered after round 3's
 #      window filled; never driver-verified (CORRECTNESS_r02∪r03 covers
 #      the other 100/114 with zero failures).
-#   2. q115-q137 — the new round-4 queries (verified same-round).
+#   2. q115-q138 — the new round-4 queries (verified same-round).
 #   3. Back-fill: rotation slots of r02-green queries (verified in
 #      r02, not re-checked since) in registration order, so old queries
 #      get periodic re-verification. After this round every registered

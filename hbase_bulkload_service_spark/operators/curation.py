@@ -405,7 +405,10 @@ def capped_stratum_sample(
     task retries, and repartitionings, and whose seeds give independent
     draws. The EXACT-BUDGET counterpart to :func:`stratified_sample`'s
     rate-based form (rates give a binomial count; evaluation sets and
-    per-stratum quotas need exactly k).
+    per-stratum quotas need exactly k). ``key_col`` must be a unique
+    non-null id: NULL keys raise loudly in-plan (a NULL md5 draw key is
+    nondeterministic and engine-divergent), duplicate keys make the
+    tie-break arbitrary among their copies.
 
     Scale path — ``prefilter_ppm``: the naive plan windows the FULL
     corpus on a low-cardinality skewed key (every row of a 100 TB
@@ -431,6 +434,21 @@ def capped_stratum_sample(
     clash = {"__ord", "__rk", "__s"} & set(docs.columns)
     if clash:
         raise ValueError(f"reserved column name(s) in input: {sorted(clash)}")
+    # NULL draw keys are rejected LOUDLY, per row and map-side (free: the
+    # assert returns NULL on success so the filter keeps every row). A
+    # NULL key would get a NULL md5 — ranked first by Spark's NULLS FIRST,
+    # dropped by the prefilter (NULL < threshold is NULL), nondeterministic
+    # among multiple NULLs, and ordered last by other engines: every path
+    # silently breaks the determinism contract, so none may be reached.
+    docs = docs.filter(
+        F.assert_true(
+            F.col(key_col).isNotNull(),
+            F.lit(
+                f"capped_stratum_sample: NULL {key_col} — the draw key "
+                "must be a unique non-null id"
+            ),
+        ).isNull()
+    )
     ord_key = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
     )

@@ -28,6 +28,18 @@ from hbase_bulkload_service_spark.sources.tables import load
 # ===========================================================================
 
 
+def _orders_row_checks():
+    """The orders row-check suite — shared by q130 (batch audit) and
+    q137 (streaming monitor), whose contract is bit-for-bit equality
+    with this exact suite; a single definition removes drift risk."""
+    return [
+        ("orders_key_not_null", F.col("o_orderkey").isNotNull()),
+        ("orders_status_domain", F.col("o_orderstatus").isin("F", "O", "P")),
+        ("orders_price_positive", F.col("o_totalprice") > 0),
+        ("orders_priority_urgent", F.col("o_orderpriority") == "1-URGENT"),
+    ]
+
+
 @register(
     "q130_expectations_audit",
     """
@@ -122,18 +134,7 @@ def q130_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem", spread=True)
     a1 = quality.expectations_audit(
         orders,
-        row_checks=[
-            ("orders_key_not_null", F.col("o_orderkey").isNotNull()),
-            (
-                "orders_status_domain",
-                F.col("o_orderstatus").isin("F", "O", "P"),
-            ),
-            ("orders_price_positive", F.col("o_totalprice") > 0),
-            (
-                "orders_priority_urgent",
-                F.col("o_orderpriority") == "1-URGENT",
-            ),
-        ],
+        row_checks=_orders_row_checks(),
         unique_keys=[("orders_key_unique", ["o_orderkey"])],
         fk_checks=[("orders_custkey_fk", "o_custkey", customer, "c_custkey")],
     )

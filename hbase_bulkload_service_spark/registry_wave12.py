@@ -31,6 +31,7 @@ from hbase_bulkload_service_spark.sources.tables import load, load_events
     """
     WITH e AS (
       SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+      WHERE value IS NOT NULL
     ),
     r AS (
       SELECT event_type, v,
@@ -80,6 +81,7 @@ def q135_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+      WHERE value IS NOT NULL
     ),
     c AS (
       SELECT event_type, v, COUNT(*) AS cnt FROM e GROUP BY 1, 2
@@ -162,21 +164,11 @@ def q137_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "orders.parquet")
         .parquet(sf_dir)
     )
-    audited = st.streaming_expectations(
-        stream,
-        [
-            ("orders_key_not_null", F.col("o_orderkey").isNotNull()),
-            (
-                "orders_status_domain",
-                F.col("o_orderstatus").isin("F", "O", "P"),
-            ),
-            ("orders_price_positive", F.col("o_totalprice") > 0),
-            (
-                "orders_priority_urgent",
-                F.col("o_orderpriority") == "1-URGENT",
-            ),
-        ],
+    from hbase_bulkload_service_spark.registry_wave10 import (
+        _orders_row_checks,
     )
+
+    audited = st.streaming_expectations(stream, _orders_row_checks())
     q = (
         audited.writeStream.format("memory")
         .queryName("q137_expect_mem")

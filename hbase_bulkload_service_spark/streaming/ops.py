@@ -436,6 +436,11 @@ def streaming_expectations(stream_df, row_checks):
 
     if not row_checks:
         raise ValueError("streaming_expectations: no row checks given")
+    names = [n for n, _ in row_checks]
+    if len(set(names)) != len(names):
+        # same stance as the batch twin: merged counters under one name
+        # would report 2x n_checked and summed unrelated failures
+        raise ValueError(f"duplicate expectation names in {names}")
     pairs = F.array(
         *[
             F.struct(

@@ -183,3 +183,15 @@ def test_capped_sample_rejects_reserved_columns(spark):
                                  "doc_id long, lang string, __ord string")
     with _pt.raises(ValueError, match="reserved column"):
         curation.capped_stratum_sample(docs, cap=1, strata_col="lang")
+
+
+def test_capped_sample_null_key_raises_loudly(spark):
+    """NULL draw keys must raise in-plan (every path — Spark NULLS FIRST
+    rank, prefilter NULL-comparison drop, cross-engine order — silently
+    breaks determinism otherwise)."""
+    docs = spark.createDataFrame(
+        [(1, "en"), (None, "en"), (3, "en")], "doc_id long, lang string"
+    )
+    out = curation.capped_stratum_sample(docs, cap=2, strata_col="lang")
+    with pytest.raises(Exception, match="unique non-null id"):
+        out.collect()

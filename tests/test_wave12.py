@@ -251,3 +251,12 @@ def test_twa_single_exchange_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_streaming_expectations_rejects_duplicate_names(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="duplicate expectation"):
+        st.streaming_expectations(
+            df,
+            [("x", F.col("id") > 0), ("x", F.col("id") < 0)],
+        )
