@@ -236,3 +236,94 @@ def q138_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, series_col="event_type", ts_col="ts_ms",
         value_col="cents", id_col="event_id", bucket_ms=3_600_000,
     )
+
+
+# ===========================================================================
+# q139 — end-to-end corpus build: funnel -> stratified cap -> manifest
+# ===========================================================================
+
+from hbase_bulkload_service_spark.registry import ORACLE as _ORACLE
+
+_CAP139 = 40
+_SEED139 = 11
+
+
+@register(
+    "q139_corpus_build_e2e",
+    f"""
+    WITH funnel AS ({_ORACLE["q45_corpus_curation"]}),
+    kept AS (
+      SELECT f.doc_id, f.n_tokens, d.lang
+      FROM funnel f JOIN documents d USING (doc_id)
+      WHERE f.verdict = 'kept'
+    ),
+    kc AS (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang),
+    r AS (
+      SELECT doc_id, lang, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{_SEED139}:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM kept
+    ),
+    s AS (SELECT * FROM r WHERE rk <= {_CAP139})
+    SELECT s.lang,
+           CAST(MAX(kc.n_kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS sampled_tokens,
+           md5(string_agg(CAST(s.doc_id AS VARCHAR), ','
+               ORDER BY s.doc_id)) AS manifest_md5
+    FROM s JOIN kc ON kc.lang = s.lang
+    GROUP BY s.lang
+    """,
+)
+def q139_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus build verified as ONE hash: q45's
+    curation funnel (lang -> quality -> exact dedup -> LSH near-dedup)
+    feeds the exact k-per-stratum sampler (q133's operator, cap {_CAP139}
+    per source-language label), and each stratum emits its kept count,
+    sampled count, sampled token total, and an md5 MANIFEST of the
+    sorted sampled doc_ids — so the oracle match proves the composed
+    pipeline selects the IDENTICAL document set end-to-end, not merely
+    matching aggregates per stage. This is the gate a user of the
+    composed engine actually cares about: operators verified in
+    isolation can still disagree after composition (column drift, NULL
+    leaks, order assumptions); this row pins the composition."""
+    from hbase_bulkload_service_spark.operators import curation
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    led = curation.curate_corpus(docs)
+    kept = (
+        led.filter(F.col("verdict") == "kept")
+        .select("doc_id", "n_tokens")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    samp = curation.capped_stratum_sample(
+        kept, cap=_CAP139, strata_col="lang", key_col="doc_id",
+        seed=_SEED139,
+    )
+    kc = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    return (
+        samp.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_tokens").cast("long").alias("sampled_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col("doc_id"))),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("manifest_md5"),
+        )
+        .join(kc, "lang")
+        .select(
+            "lang",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            "sampled_tokens",
+            "manifest_md5",
+        )
+    )

@@ -260,3 +260,24 @@ def test_streaming_expectations_rejects_duplicate_names(spark):
             df,
             [("x", F.col("id") > 0), ("x", F.col("id") < 0)],
         )
+
+
+# ---------------------------------------------------------------------------
+# q139 composed pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_build_manifest_is_deterministic_and_capped(spark, sf_dir):
+    """The composed funnel->sample->manifest pipeline must reproduce the
+    identical manifest across runs and never exceed the stratum cap."""
+    from hbase_bulkload_service_spark.registry_wave12 import (
+        _CAP139,
+        q139_corpus_build_e2e,
+    )
+
+    a = {r["lang"]: tuple(r) for r in q139_corpus_build_e2e(spark, sf_dir).collect()}
+    b = {r["lang"]: tuple(r) for r in q139_corpus_build_e2e(spark, sf_dir).collect()}
+    assert a == b and len(a) >= 2
+    for lang, (_l, n_kept, n_sampled, tok, md) in a.items():
+        assert n_sampled == min(_CAP139, n_kept)
+        assert tok > 0 and len(md) == 32

@@ -61,6 +61,7 @@ PROBE_QUERIES = [
     "q135_winsorized_stats",   # one keyed exchange: rank/cut windows + agg share it
     "q136_group_mode",         # combiner-bounded pair agg + tiny window
     "q138_time_weighted_avg",  # one keyed exchange: hold window + agg share it
+    "q139_corpus_build_e2e",   # q45 funnel + cap window; probes the composed path
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
