@@ -33,6 +33,11 @@ SF0001 = "/root/testdata/sf0.001"
 # ALL queries pass the in-repo driver replica (tools/selfcheck.py) —
 # see CORRECTNESS_SELF_r04.json; that replica went 49/49 against the
 # real driver in round 3.
+# ROUND-5 ROTATION PLAN: after r04 every query has a driver row in
+# r02∪r03∪r04. Next round, lead with any NEW queries, then back-fill
+# the window with the queries whose last driver row is OLDEST —
+# r02-greens not rotated since (q07-q09, q15-q18, q20-q25, q27-q49
+# sample), so each query gets periodically re-verified.
 PRIORITY = [
     # -- 1. never driver-verified (wave 7) --
     "q101_span_dedup",
