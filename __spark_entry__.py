@@ -82,6 +82,7 @@ PRIORITY = [
     "q137_streaming_expectations",
     "q138_time_weighted_avg",
     "q139_corpus_build_e2e",
+    "q140_snapshot_diff",
     # -- 3. rotation: r02-greens not re-checked since round 2 --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -93,7 +94,6 @@ PRIORITY = [
     "q12_hour_range_filter",
     "q13_rollup_5m",
     "q14_time_slices",
-    "q19_streaming_rollup",
 ]
 
 

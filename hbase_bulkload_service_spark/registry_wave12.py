@@ -327,3 +327,87 @@ def q139_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "manifest_md5",
         )
     )
+
+
+# ===========================================================================
+# q140 — dataset snapshot diff (corpus versioning)
+# ===========================================================================
+
+_NT140 = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "q140_snapshot_diff",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM base WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' new'
+      FROM base WHERE doc_id % 13 = 0
+    ),
+    od AS (
+      SELECT doc_id AS key, md5(COALESCE({_NT140}, '')) AS old_md5 FROM base
+    ),
+    nd AS (
+      SELECT doc_id AS key, md5(COALESCE({_NT140}, '')) AS new_md5 FROM v2
+    ),
+    j AS (
+      SELECT COALESCE(od.key, nd.key) AS key, old_md5, new_md5
+      FROM od FULL OUTER JOIN nd ON od.key = nd.key
+    ),
+    c AS (
+      SELECT key,
+             CASE WHEN old_md5 IS NULL THEN 'added'
+                  WHEN new_md5 IS NULL THEN 'removed'
+                  WHEN old_md5 <> new_md5 THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM j
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+           md5(string_agg(CAST(key AS VARCHAR), ',' ORDER BY key))
+             AS manifest_md5
+    FROM c GROUP BY change
+    """,
+)
+def q140_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff: a deterministic v2 snapshot (every 11th doc
+    removed, every 7th survivor edited, every 13th doc re-added under a
+    new id) is diffed against v1 with curation.snapshot_diff — per
+    change class the row count AND an md5 manifest of the sorted keys,
+    so the hash match proves the exact membership of added / removed /
+    changed / unchanged, not just their sizes. One keyed full-outer
+    join of (key, md5) digests — raw text never shuffles."""
+    from hbase_bulkload_service_spark.operators import curation
+
+    base = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    v2 = base.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        base.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" new")).alias("text"),
+        )
+    )
+    d = curation.snapshot_diff(base, v2, key_col="doc_id", text_col="text")
+    return d.groupBy("change").agg(
+        F.count("*").cast("long").alias("n"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("key"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("manifest_md5"),
+    )

@@ -281,3 +281,38 @@ def test_corpus_build_manifest_is_deterministic_and_capped(spark, sf_dir):
     for lang, (_l, n_kept, n_sampled, tok, md) in a.items():
         assert n_sampled == min(_CAP139, n_kept)
         assert tok > 0 and len(md) == 32
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classes(spark):
+    from hbase_bulkload_service_spark.operators import curation
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish"),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same  text "), (2, "has changed"), (5, "brand new"),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["key"]: r["change"] for r in
+           curation.snapshot_diff(old, new).collect()}
+    # doc 1: whitespace-only difference -> normalized equal -> unchanged
+    assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_text_is_changed(spark):
+    from hbase_bulkload_service_spark.operators import curation
+
+    old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "now has text")],
+                                "doc_id long, text string")
+    r = curation.snapshot_diff(old, new).collect()[0]
+    assert r["change"] == "changed"  # NULL hashes as '' — content axis

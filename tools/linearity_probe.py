@@ -62,6 +62,7 @@ PROBE_QUERIES = [
     "q136_group_mode",         # combiner-bounded pair agg + tiny window
     "q138_time_weighted_avg",  # one keyed exchange: hold window + agg share it
     "q139_corpus_build_e2e",   # q45 funnel + cap window; probes the composed path
+    "q140_snapshot_diff",      # one keyed full-outer join of (key, md5) digests
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
