@@ -34,10 +34,12 @@ SF0001 = "/root/testdata/sf0.001"
 # see CORRECTNESS_SELF_r04.json; that replica went 49/49 against the
 # real driver in round 3.
 # ROUND-5 ROTATION PLAN: after r04 every query has a driver row in
-# r02∪r03∪r04. Next round, lead with any NEW queries, then back-fill
-# the window with the queries whose last driver row is OLDEST —
-# r02-greens not rotated since (q07-q09, q15-q18, q20-q25, q27-q49
-# sample), so each query gets periodically re-verified.
+# r02∪r03∪r04 (the round-4 window is exactly q101-q150 — the wave-13
+# additions displaced the r02-green rotation slots, which were
+# re-verification only). Next round, lead with any NEW queries, then
+# back-fill the window with the queries whose last driver row is
+# OLDEST — the r02-greens (q01-q25 and the q27-q49 sample), so each
+# query gets periodically re-verified.
 PRIORITY = [
     # -- 1. never driver-verified (wave 7) --
     "q101_span_dedup",
@@ -83,17 +85,17 @@ PRIORITY = [
     "q138_time_weighted_avg",
     "q139_corpus_build_e2e",
     "q140_snapshot_diff",
-    # -- 3. rotation: r02-greens not re-checked since round 2 --
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_topk_orders",
-    "q04_point_get",
-    "q05_lookup_join",
-    "q10_salt_bucket",
-    "q11_latest_version_dedup",
-    "q12_hour_range_filter",
-    "q13_rollup_5m",
-    "q14_time_slices",
+    # -- 3. wave 13 (new this round; each displaced a rotation slot) --
+    "q141_grid_fill",
+    "q142_mad_outliers",
+    "q143_group_trend",
+    "q144_seasonal_profile",
+    "q145_balanced_oversample",
+    "q146_rank_fusion",
+    "q147_embedding_drift",
+    "q148_histogram_drift",
+    "q149_kcore",
+    "q150_stream_alignment",
 ]
 
 

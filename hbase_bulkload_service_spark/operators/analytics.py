@@ -847,3 +847,302 @@ def group_mode(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
             "n_distinct",
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame, key_col: str, value_col: str, k: int = 3
+) -> DataFrame:
+    """Robust per-group outlier profile via median absolute deviation —
+    the outlier detector that survives what breaks zscore_outliers: a
+    single extreme value inflates the stddev enough to mask itself,
+    while the median and MAD barely move. Output per group:
+    ``(key, n, med, mad, n_outliers)`` where an outlier is
+    ``|v - med| > k * mad`` (strict, integer-exact).
+
+    Both medians are exact rank selections (value at rank
+    ``(n+1) div 2`` of the ascending sort — PERCENTILE_DISC semantics,
+    no interpolation, so integers stay integers cross-engine).
+
+    Plan: ONE keyed exchange — the value-rank window, the deviation-rank
+    window, and the final agg all partition on the group key (two
+    partition-local sort passes, no re-shuffle). NULL values are
+    excluded (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST — an
+    in-band NULL would skew the rank cut differently per engine).
+    Same cardinality-skew caveat as group_quantiles: a single giant
+    group serializes into one task.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    v = F.col("v")
+    wv = Window.partitionBy(key_col).orderBy("v")
+    wall = Window.partitionBy(key_col)
+    ranked = (
+        df.select(key_col, F.col(value_col).alias("v"))
+        .filter(v.isNotNull())
+        .select(
+            key_col,
+            "v",
+            F.row_number().over(wv).alias("rn"),
+            F.count("*").over(wall).alias("n"),
+        )
+    )
+    med_rank = F.expr("(n + 1) div 2")
+    with_med = ranked.select(
+        key_col,
+        "v",
+        "n",
+        F.max(F.when(F.col("rn") <= med_rank, v)).over(wall).alias("med"),
+    )
+    dev = F.abs(v - F.col("med"))
+    wd = Window.partitionBy(key_col).orderBy("dev")
+    deviated = with_med.select(
+        key_col, "n", "med", dev.alias("dev")
+    ).select(
+        key_col,
+        "n",
+        "med",
+        "dev",
+        F.row_number().over(wd).alias("rn2"),
+    )
+    with_mad = deviated.select(
+        key_col,
+        "n",
+        "med",
+        "dev",
+        F.max(F.when(F.col("rn2") <= med_rank, F.col("dev")))
+        .over(wall)
+        .alias("mad"),
+    )
+    return with_mad.groupBy(key_col).agg(
+        F.max("n").alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+def group_trend(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact per-group least-squares trend — the drift detector: is this
+    metric / quality score / token count rising or falling over time?
+    Emits the slope as an exact integer RATIONAL ``(num, den)`` —
+    ``slope = num/den = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)`` — plus a
+    truncating ``slope_ppm = num div (den div 1e6)`` convenience
+    (NULL when den < 1e6 or the group is degenerate: n < 2 or all x
+    equal). No float ever crosses the verdict.
+
+    x is CENTERED at the per-group minimum before the moments are
+    summed, which is what makes int64 arithmetic possible at all:
+    epoch-millis x values square to ~3.6e24, centered-and-scaled ones
+    don't. Caller contract: scale x so that
+    ``n^2 * max(xc*y, xc^2) < 2^63`` per group — and note the n^2: a
+    10x row-count growth costs 100x headroom (the 10x linearity probe
+    OVERFLOWED a minutes-unit configuration that was fine at sf0.1;
+    the q143 gate uses hours for two decades of margin). At corpus
+    scale, bucket x coarsely or regress per-slot aggregates; an
+    overflow raises loudly under ANSI mode rather than corrupting the
+    slope.
+
+    Plan: ONE keyed exchange — the min-x window and the moment agg share
+    the group-key partitioning; the moment sums are map-side combined.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    wall = Window.partitionBy(key_col)
+    centered = df.filter(x.isNotNull() & y.isNotNull()).select(
+        key_col,
+        (x - F.min(x).over(wall)).alias("xc"),
+        y.alias("yv"),
+    )
+    agg = centered.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xc") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+    )
+    return agg.select(
+        key_col,
+        "n",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+    ).withColumn(
+        "slope_ppm", F.expr("num div nullif(den div 1000000, 0)")
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    slot_ms: int = 3_600_000,
+) -> DataFrame:
+    """Periodic (seasonal) baseline per series — the hour-of-day /
+    day-of-week profile anomaly detectors diff against: slot =
+    ``(ts div slot_ms) % period``, and per (key, slot) the count, sum,
+    and a seasonality index ``idx_ppm`` = slot mean / series mean in
+    truncating integer ppm (``(sum*1e6 div n) div (tsum div tn)``,
+    NULL for a zero series mean). idx_ppm > 1e6 ⇒ the slot runs hot.
+
+    Epoch arithmetic only — hour-of-day means UTC hour, timezone-proof
+    by construction (shifting the phase is the caller's one-liner).
+
+    Plan: hash agg on (key, slot) — map-side combined, the exchange
+    carries at most key_cardinality x period rows — then series totals
+    via a window on the already-tiny profile table. int64 bound:
+    sum*1e6 < 2^63 ⇒ per-slot value sums below ~9.2e12, document-scale
+    cents clear it by orders of magnitude.
+    """
+    if period < 1 or slot_ms < 1:
+        raise ValueError("period and slot_ms must be >= 1")
+    ts, v = F.col(ts_col), F.col(value_col)
+    slot = F.expr(f"({ts_col} div {slot_ms}) % {period}")
+    prof = (
+        df.filter(ts.isNotNull() & v.isNotNull())
+        .groupBy(key_col, slot.alias("slot"))
+        .agg(F.count("*").alias("n"), F.sum(v).alias("sum_v"))
+    )
+    wall = Window.partitionBy(key_col)
+    return prof.select(
+        key_col,
+        "slot",
+        "n",
+        "sum_v",
+        F.expr(
+            "(sum_v * 1000000 div n) div "
+            "nullif(sum(sum_v) over (partition by {k}) div "
+            "sum(n) over (partition by {k}), 0)".format(k=key_col)
+        ).alias("idx_ppm"),
+    )
+
+
+def histogram_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lo: int,
+    width: int,
+    n_buckets: int,
+    flag_ppm: int = 2000,
+) -> DataFrame:
+    """Distribution drift between two dataset snapshots as a fixed-bin
+    histogram delta — the population-stability check run before
+    swapping a training corpus or promoting a model: per bin, each
+    side's row share in truncating integer ppm and the share delta,
+    flagged when ``|delta_ppm| > flag_ppm``. Out-of-range values clamp
+    into the edge bins (a drifting tail lands in bin 0 / n-1 and flags
+    there, instead of silently widening the domain).
+
+    Output per non-empty bin: (bucket, n_a, n_b, ppm_a, ppm_b,
+    delta_ppm, flagged); a side absent from a bin contributes 0.
+
+    Plan: two tagged scans union → ONE hash agg on the bucket id
+    (map-side combined — the exchange carries at most n_buckets rows
+    per mapper) → side totals as a global agg broadcast back with a
+    1-row cross join. Nothing after the combiner exceeds n_buckets
+    rows; the comparison never joins the corpora row-wise.
+    """
+    if width < 1 or n_buckets < 1:
+        raise ValueError("width and n_buckets must be >= 1")
+    v = F.col(value_col)
+    bucket = F.least(
+        F.greatest(F.expr(f"({value_col} - {lo}) div {width}"), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    tagged = df_a.filter(v.isNotNull()).select(
+        bucket.alias("bucket"), F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    ).unionByName(
+        df_b.filter(v.isNotNull()).select(
+            bucket.alias("bucket"), F.lit(0).alias("ia"), F.lit(1).alias("ib")
+        )
+    )
+    per_bin = tagged.groupBy("bucket").agg(
+        F.sum("ia").cast("long").alias("n_a"),
+        F.sum("ib").cast("long").alias("n_b"),
+    )
+    totals = per_bin.groupBy().agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    ppm_a = F.expr("n_a * 1000000 div nullif(tot_a, 0)")
+    ppm_b = F.expr("n_b * 1000000 div nullif(tot_b, 0)")
+    return (
+        per_bin.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            ppm_a.alias("ppm_a"),
+            ppm_b.alias("ppm_b"),
+            (ppm_a - ppm_b).alias("delta_ppm"),
+            (F.abs(ppm_a - ppm_b) > flag_ppm).alias("flagged"),
+        )
+    )
+
+
+def cogroup_merge_stats(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-key alignment of two event streams via COGROUPED
+    applyInPandas — the two-sided grouped-map surface (each side's rows
+    for one key arrive together as pandas frames): merge both streams
+    in ``(ts, id)`` order and report how they interleave — counts, the
+    number of side SWITCHES in the merged order, and an md5 of the
+    merged side-sequence string (e.g. 'aabab...') that pins the exact
+    interleaving, not a summary of it. The alternation profile is the
+    cheap behavioral signal (browse-then-buy vs buy-in-bursts) and the
+    merged-sequence hash is the building block for order-sensitive
+    session features that pure SQL windows CAN also express — which is
+    exactly why this operator exists: it gates the cogroup plumbing
+    against a first-principles SQL oracle, so the genuinely
+    imperative per-key mergers that follow it (sequence alignment,
+    legacy parsers) inherit verified scaffolding.
+
+    Output per key present on either side: (key, n_a, n_b, n_switches,
+    seq_md5).
+
+    Scale shape: ONE exchange keyed on ``key_col`` (Spark co-partitions
+    both sides), Arrow-batched; state per task is one key's rows.
+    Same skew caveat as any grouped-map: a single 100 TB key serializes
+    — bound per-key cardinality upstream.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def merge(pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        key = pa[key_col].iloc[0] if len(pa) else pb[key_col].iloc[0]
+        fa = pa[[ts_col, id_col]].assign(side="a")
+        fb = pb[[ts_col, id_col]].assign(side="b")
+        m = pd.concat([fa, fb], ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        seq = "".join(m["side"])
+        switches = sum(
+            1 for x, y in zip(seq, seq[1:]) if x != y
+        )
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "n_a": [len(fa)],
+                "n_b": [len(fb)],
+                "n_switches": [switches],
+                "seq_md5": [hashlib.md5(seq.encode()).hexdigest()],
+            }
+        )
+
+    key_type = df_a.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, n_a long, n_b long,"
+        " n_switches long, seq_md5 string"
+    )
+    ga = df_a.select(key_col, ts_col, id_col).groupBy(key_col)
+    gb = df_b.select(key_col, ts_col, id_col).groupBy(key_col)
+    return ga.cogroup(gb).applyInPandas(merge, out_schema)

@@ -545,3 +545,59 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("key", change.alias("change"), "old_md5", "new_md5")
+
+
+def balanced_oversample(
+    docs: DataFrame,
+    class_col: str,
+    key_col: str = "doc_id",
+    target: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic resample-with-replacement to EXACTLY ``target`` rows
+    per class — the upsampling half of class balancing (the downsampling
+    half is capped_stratum_sample): minority classes replicate, majority
+    classes subsample, one formula covers both. Each row's replica count
+    is ``target div n`` plus one more for the ``target mod n`` rows with
+    the smallest ``md5(seed:key)`` draw (for ``n > target`` that is
+    0 + 1 for the top-``target`` — exactly the without-replacement cap).
+    Reproducible across runs / retries / partitionings; seeds give
+    independent remainder draws.
+
+    Output: one row per REPLICA — (key, class, rep) with rep in
+    [1, replicas-of-key] — Σ rep-rows per class == target exactly.
+
+    ``key_col`` must be unique non-null per row (same contract and
+    reason as capped_stratum_sample).
+
+    Plan: ONE keyed exchange — the md5-order rank window and the class
+    count share the class partitioning; replication is a map-side
+    sequence-explode AFTER the window (the exchange carries each source
+    row once, never the replicas). Skew caveat: a 100 TB single class
+    windows through one task chain — pair with the prefilter trick if a
+    class is corpus-sized and target is small.
+    """
+    if target < 1:
+        raise ValueError("target must be >= 1")
+    key, cls = F.col(key_col), F.col(class_col)
+    draw = F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
+    w = Window.partitionBy(class_col).orderBy(draw.asc(), key.asc())
+    wall = Window.partitionBy(class_col)
+    ranked = docs.select(
+        key_col,
+        class_col,
+        F.row_number().over(w).alias("__rk"),
+        F.count("*").over(wall).alias("__n"),
+    )
+    reps = F.expr(f"{target} div __n") + F.when(
+        F.col("__rk") <= F.expr(f"{target} % __n"), 1
+    ).otherwise(0)
+    return (
+        ranked.select(key_col, class_col, reps.alias("__reps"))
+        .filter(F.col("__reps") >= 1)
+        .select(
+            key_col,
+            class_col,
+            F.explode(F.sequence(F.lit(1), F.col("__reps"))).alias("rep"),
+        )
+    )

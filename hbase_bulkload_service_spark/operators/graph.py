@@ -217,3 +217,57 @@ def connected_components_rounds(
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lbl").alias("component"))
+
+
+def kcore_rounds(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Fixed-round k-core peel over the undirected pair graph: each round
+    drops every node whose CURRENT degree is below ``k`` and restricts
+    the edge set to surviving endpoints; after enough rounds the
+    remainder is exactly the k-core (the maximal subgraph of min-degree
+    k) — the standard densest-region extractor that separates genuine
+    duplicate cliques / spam farms from the long tail of incidental
+    pairs, by PRUNING (degrees only) rather than enumeration (compare
+    triangle_counts). A FIXED round count makes the intermediate state
+    bit-reproducible, hence SQL-unrollable for the oracle gate (same
+    recipe as pagerank / connected_components_rounds); peeling is
+    monotone, so extra rounds past convergence are no-ops, not errors.
+
+    Scale shape per round: one degree hash-agg + two keyed LEFT SEMI
+    joins (edges against survivors, per endpoint) — no pair
+    enumeration, state is the shrinking edge set; localCheckpoint per
+    round keeps plan depth O(1). Convergence needs at most |V| rounds
+    in theory; blocking graphs peel in a handful.
+
+    Output: (node, degree) over the edge set remaining after ``rounds``
+    peels — empty when the k-core is empty.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    cur = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("x").alias("node"))
+            .unionAll(cur.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "x"), "x", "left_semi")
+            .join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.select(F.col("x").alias("node"))
+        .unionAll(cur.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )

@@ -723,3 +723,129 @@ def ann_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             ),
         )
     )
+
+
+def rank_fusion(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    k_out: int = 5,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings — the standard
+    zero-tuning hybrid-search combiner (Cormack et al.): each list
+    contributes ``scale div (k_rrf + rank)`` per (query, candidate) and
+    candidates re-rank by the summed score. Integer throughout: the
+    truncating quotient is identical cross-engine, so fused ORDER — not
+    just membership — is oracle-exact. Ties by neighbor id.
+
+    Inputs: each ranking is (query_id, rank, neighbor_id, ...); extra
+    columns are dropped. Output: (query_id, rank, neighbor_id,
+    rrf_score, n_lists) — n_lists = how many input rankings proposed
+    the candidate (agreement diagnostic).
+
+    Plan: union of k-bounded lists (each already tiny relative to the
+    corpora that produced them) → hash agg on (query_id, neighbor_id)
+    → per-query top-k window. Cost is queries x k x n_lists rows — the
+    fusion itself never touches corpus-sized data; scale lives entirely
+    in the upstream searchers.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k_rrf < 0 or k_out < 1:
+        raise ValueError("k_rrf must be >= 0 and k_out >= 1")
+    parts = [
+        r.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"{scale} div ({k_rrf} + rank)").alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum("__c").alias("rrf_score"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_out)
+        .select("query_id", "rank", "neighbor_id", "rrf_score", "n_lists")
+    )
+
+
+def centroid_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots, per
+    class label: quantize each vector to integer micros, average per
+    (label, dimension) with truncating division, and report the L1 and
+    L-inf distance between the two snapshots' centroids — the cheap
+    first-line monitor for "did the embedding space move" (encoder
+    retrained, upstream corpus shifted, pipeline bug zeroed a field)
+    before spending on ANN-recall re-evaluation. Integer end to end, so
+    the drift NUMBERS are oracle-exact, not just directionally right.
+
+    Output per label: (label, n_a, n_b, l1_micros, linf_micros); the
+    distances are NULL when a side has no vectors for the label
+    (drift from an absent snapshot is undefined — surface it, don't
+    zero it).
+
+    Plan: union of the two tagged scans → posexplode to (label, dim)
+    → ONE hash agg keyed (label, dim) with conditional sums (map-side
+    combined: the exchange carries labels x dims x 2 sums, not
+    vectors) → a labels-sized final agg. 100 TB of vectors reduce at
+    the combiner; nothing downstream of the first agg exceeds
+    |labels| x dim rows.
+    """
+    tagged = emb_a.select(
+        F.col(label_col).alias("lbl"), F.col(vec_col).alias("v"),
+        F.lit("a").alias("side"),
+    ).unionByName(
+        emb_b.select(
+            F.col(label_col).alias("lbl"), F.col(vec_col).alias("v"),
+            F.lit("b").alias("side"),
+        )
+    )
+    per_dim = (
+        tagged.select(
+            "lbl", "side", F.posexplode("v").alias("pos", "comp")
+        )
+        .filter(F.col("pos") < dim)
+        .select(
+            "lbl",
+            "side",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("comp").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("vm"),
+        )
+        .groupBy("lbl", "dim")
+        .agg(
+            F.sum(F.when(F.col("side") == "a", F.col("vm"))).alias("sa"),
+            F.sum(F.when(F.col("side") == "b", F.col("vm"))).alias("sb"),
+            F.count(F.when(F.col("side") == "a", 1)).alias("na"),
+            F.count(F.when(F.col("side") == "b", 1)).alias("nb"),
+        )
+    )
+    delta = F.abs(
+        F.expr("sa div nullif(na, 0)") - F.expr("sb div nullif(nb, 0)")
+    )
+    return (
+        per_dim.select("lbl", "na", "nb", delta.alias("d"))
+        .groupBy(F.col("lbl").alias(label_col))
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum("d").alias("l1_micros"),
+            F.max("d").alias("linf_micros"),
+        )
+    )

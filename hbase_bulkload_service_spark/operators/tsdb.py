@@ -477,3 +477,75 @@ def time_weighted_avg(
         "span_ms",
         F.expr("num div span_ms").alias("twa"),
     )
+
+
+def grid_fill(
+    samples: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    value_col: str = "cents",
+    id_col: str = "event_id",
+    step_ms: int = 900_000,
+) -> DataFrame:
+    """Dense-grid resample with zero-order-hold fill — the OpenTSDB
+    downsample *fill policy* (reference domain: the Downsampler's
+    FillPolicy; complements time_weighted_avg, which aggregates within
+    observed buckets but leaves gaps as missing rows): emit EVERY
+    ``step_ms`` slot between a series' first and last observation, each
+    slot carrying the latest observed value at-or-before its range
+    (forward fill). Dashboards, joins against other regular series, and
+    window models all need the regular grid, not the sparse samples.
+
+    Output per (series, bucket): ``filled`` — the held value (never
+    NULL: the grid starts at an observed bucket) — and ``is_observed``
+    (FALSE = gap slot synthesized by the fill). Within an observed
+    bucket the representative is the LAST sample by ``(ts, id)`` —
+    deterministic and engine-portable.
+
+    Scale shape: the per-bucket representative window and the grid
+    left-join are keyed on (series, bucket) — one exchange, reused by
+    the join; the fill window re-keys on series alone. Every post-scan
+    structure is GRID-sized (n_series x span/step), not corpus-sized:
+    100 TB of raw samples collapse to per-bucket representatives at the
+    first exchange. The grid explode is map-side from the per-series
+    span row. Caller guards: step_ms must be coarse enough that
+    span/step per series stays executor-friendly (a 10-year span at 1 ms
+    steps is a 3e11-row grid — raise step_ms, don't shard the fill).
+    """
+    if step_ms < 1:
+        raise ValueError("step_ms must be >= 1")
+    ts, v = F.col(ts_col), F.col(value_col)
+    x = samples.filter(ts.isNotNull() & v.isNotNull()).select(
+        series_col,
+        ts.alias("__ts"),
+        v.alias("__v"),
+        F.col(id_col).alias("__id"),
+        F.expr(f"{ts_col} div {step_ms}").alias("bucket"),
+    )
+    w = Window.partitionBy(series_col, "bucket").orderBy(
+        F.col("__ts").desc(), F.col("__id").desc()
+    )
+    obs = (
+        x.select(series_col, "bucket", "__v", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == 1)
+        .select(series_col, "bucket", F.col("__v").alias("__obs"))
+    )
+    span = obs.groupBy(series_col).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = span.select(
+        series_col,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("bucket"),
+    )
+    j = grid.join(obs, [series_col, "bucket"], "left")
+    wf = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        series_col,
+        "bucket",
+        F.last("__obs", ignorenulls=True).over(wf).alias("filled"),
+        F.col("__obs").isNotNull().alias("is_observed"),
+    )

@@ -63,6 +63,13 @@ PROBE_QUERIES = [
     "q138_time_weighted_avg",  # one keyed exchange: hold window + agg share it
     "q139_corpus_build_e2e",   # q45 funnel + cap window; probes the composed path
     "q140_snapshot_diff",      # one keyed full-outer join of (key, md5) digests
+    "q141_grid_fill",          # per-bucket representative window; grid bounded by span/step
+    "q142_mad_outliers",       # one keyed exchange, two rank windows share it
+    "q143_group_trend",        # centering window + moment agg share one exchange
+    "q144_seasonal_profile",   # combiner-bounded (key, slot) agg
+    "q145_balanced_oversample",  # one class-keyed window; replicas explode map-side
+    "q148_histogram_drift",    # bucket hash agg, combiner-bounded
+    "q150_stream_alignment",   # cogroup keyed on user_id; keys grow, per-key state constant
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -87,7 +94,13 @@ PROBE_QUERIES_PERTURBED = [
     "q118_kmeans_iterative",  # k x dim centroid round-trips; per-vector broadcast scoring (embeddings only grow under the perturbed amplifier)
     "q132_term_cooccurrence",  # rel-df band; per-rep tokens add vocab linearly, per-doc fan-out stays bounded
     "q134_containment_pairs",  # rare-gram blocked ordered pairs; perturbed reps don't contain each other
+    "q147_embedding_drift",    # per-(label, dim) combiner agg; embeddings grow under this amplifier
+    "q149_kcore",              # degree aggs + semi joins over per-rep-disjoint linkage graphs
 ]
+# q146_rank_fusion is NOT probed: the fusion itself is k-bounded
+# (queries x k x n_lists rows); its scale cost lives entirely in the
+# upstream searchers, which are probed via q38-family arguments in
+# SCALE.md and q122/q124's gates.
 
 
 def _api(spark, path):
