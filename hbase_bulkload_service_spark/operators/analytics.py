@@ -1089,6 +1089,7 @@ def cogroup_merge_stats(
     key_col: str,
     ts_col: str,
     id_col: str,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-key alignment of two event streams via COGROUPED
     applyInPandas — the two-sided grouped-map surface (each side's rows
@@ -1112,6 +1113,16 @@ def cogroup_merge_stats(
     both sides), Arrow-batched; state per task is one key's rows.
     Same skew caveat as any grouped-map: a single 100 TB key serializes
     — bound per-key cardinality upstream.
+
+    The keying exchange is issued EXPLICITLY (user-numbered
+    ``repartition(n, key)`` on both sides, which elides cogroup's own
+    exchange) rather than left to the planner: per-GROUP Python-call
+    overhead dominates this operator at small byte sizes, and AQE's
+    byte-based coalesce folds the tiny shuffle into ONE task — the q36
+    single-task-verify trap (measured on the q150 gate at sf0.1: 8.8 →
+    2.3 s; user partition counts are AQE-exempt). At cluster scale the
+    bytes are large and the explicit width is what AQE would pick
+    anyway. ``num_partitions`` defaults to 2x the session parallelism.
     """
     import hashlib
 
@@ -1143,6 +1154,18 @@ def cogroup_merge_stats(
         f"{key_col} {key_type}, n_a long, n_b long,"
         " n_switches long, seq_md5 string"
     )
-    ga = df_a.select(key_col, ts_col, id_col).groupBy(key_col)
-    gb = df_b.select(key_col, ts_col, id_col).groupBy(key_col)
+    if num_partitions is None:
+        num_partitions = (
+            df_a.sparkSession.sparkContext.defaultParallelism * 2
+        )
+    ga = (
+        df_a.select(key_col, ts_col, id_col)
+        .repartition(num_partitions, key_col)
+        .groupBy(key_col)
+    )
+    gb = (
+        df_b.select(key_col, ts_col, id_col)
+        .repartition(num_partitions, key_col)
+        .groupBy(key_col)
+    )
     return ga.cogroup(gb).applyInPandas(merge, out_schema)
