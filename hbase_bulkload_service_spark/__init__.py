@@ -18,3 +18,23 @@ package re-expresses its full query + data-processing surface Spark-first:
 """
 
 __version__ = "0.1.0"
+
+# Query-registry import chain — DEPENDENCY ORDER. Living here (the
+# package __init__) rather than at registry.py's bottom makes direct
+# submodule imports safe: Python initializes the parent package before
+# any submodule, so by the time `import ..registry_wave13` (or a test's
+# `from ..registry_wave8 import q125...`) resolves, every earlier wave —
+# and the shared fragments they export (DOCS_NORM_CTE, _sh_cte, the
+# fuzzy-edges CTE) — is fully initialized. Registration order is also
+# the driver-facing query order, so this list is load-bearing twice.
+from hbase_bulkload_service_spark import registry  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_llm  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_ext  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave4  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave7  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave8  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave9  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave10  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave11  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave12  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave13  # noqa: E402,F401

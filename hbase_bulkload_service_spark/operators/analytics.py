@@ -1158,13 +1158,31 @@ def cogroup_merge_stats(
         num_partitions = (
             df_a.sparkSession.sparkContext.defaultParallelism * 2
         )
+
+    # NULL group keys rejected LOUDLY, map-side (the capped_stratum
+    # pattern): Spark groups NULLs together, but Arrow->pandas turns a
+    # null int64 key into float64 NaN, which fails the cast back to the
+    # declared long key column — a deep worker-side crash (or, for
+    # string keys, a silent oracle divergence) instead of a contract
+    # error at the source.
+    def _require_key(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.assert_true(
+                F.col(key_col).isNotNull(),
+                F.lit(
+                    f"cogroup_merge_stats: NULL {key_col} — group keys "
+                    "must be non-null"
+                ),
+            ).isNull()
+        )
+
     ga = (
-        df_a.select(key_col, ts_col, id_col)
+        _require_key(df_a.select(key_col, ts_col, id_col))
         .repartition(num_partitions, key_col)
         .groupBy(key_col)
     )
     gb = (
-        df_b.select(key_col, ts_col, id_col)
+        _require_key(df_b.select(key_col, ts_col, id_col))
         .repartition(num_partitions, key_col)
         .groupBy(key_col)
     )

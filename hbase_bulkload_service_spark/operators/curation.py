@@ -580,6 +580,20 @@ def balanced_oversample(
     if target < 1:
         raise ValueError("target must be >= 1")
     key, cls = F.col(key_col), F.col(class_col)
+    # NULL draw keys rejected LOUDLY, map-side and per row — the same
+    # in-plan assert as capped_stratum_sample (concat_ws SKIPS the NULL,
+    # so every NULL-key row would share one draw value with a NULL
+    # tie-break: nondeterministic remainder assignment, and divergent
+    # from the oracle's NULL-propagating '||' concatenation)
+    docs = docs.filter(
+        F.assert_true(
+            key.isNotNull(),
+            F.lit(
+                f"balanced_oversample: NULL {key_col} — the draw key "
+                "must be a unique non-null id"
+            ),
+        ).isNull()
+    )
     draw = F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
     w = Window.partitionBy(class_col).orderBy(draw.asc(), key.asc())
     wall = Window.partitionBy(class_col)

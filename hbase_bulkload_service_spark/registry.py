@@ -949,15 +949,11 @@ def q09_cells_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# wave-2 queries (LLM-data-pipeline + maintenance) register on import; the
-# circular import is benign — `register` is defined above this line.
-from hbase_bulkload_service_spark import registry_llm  # noqa: E402,F401
-from hbase_bulkload_service_spark import registry_ext  # noqa: E402,F401
-from hbase_bulkload_service_spark import registry_wave4  # noqa: E402,F401
-from hbase_bulkload_service_spark import registry_wave7  # noqa: E402,F401
-from hbase_bulkload_service_spark import registry_wave8  # noqa: E402,F401
-from hbase_bulkload_service_spark import registry_wave9  # noqa: E402,F401
-from hbase_bulkload_service_spark import registry_wave10  # noqa: E402,F401
-from hbase_bulkload_service_spark import registry_wave11  # noqa: E402,F401
-from hbase_bulkload_service_spark import registry_wave12  # noqa: E402,F401
-from hbase_bulkload_service_spark import registry_wave13  # noqa: E402,F401
+# The wave registries (registry_llm, registry_ext, registry_wave4..13)
+# register on import. The chain lives in the PACKAGE __init__, not here:
+# Python initializes the parent package before any submodule, so routing
+# the chain through __init__ guarantees every wave is fully initialized
+# in dependency order even when a test imports one wave directly —
+# chain-at-the-bottom-of-registry left cross-wave fragment imports
+# (DOCS_NORM_CTE, _FUZZY_EDGES_CTE, ...) exposed to partial-init crashes
+# whenever the first import hit a mid-chain module.

@@ -424,18 +424,12 @@ def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q38-q39 — similarity search
 # ===========================================================================
 
-def _duck_dot(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_transform(range(1, 65), "
-        f"i -> ({a}[i])::DOUBLE * ({b}[i])::DOUBLE), (x, y) -> x + y)"
-    )
-
-
-def _duck_cos_micros(a: str, b: str) -> str:
-    return (
-        f"CAST(FLOOR({_duck_dot(a, b)} / "
-        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})) * 1000000) AS BIGINT)"
-    )
+# shared with other waves via the registry-independent oracle_frags
+# module (circular-import-proof — see its module docstring)
+from hbase_bulkload_service_spark.oracle_frags import (  # noqa: E402
+    duck_cos_micros as _duck_cos_micros,
+    duck_dot as _duck_dot,  # noqa: F401
+)
 
 
 @register(

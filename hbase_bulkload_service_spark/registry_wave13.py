@@ -272,7 +272,7 @@ _SEED145 = 7
     """,
 )
 def q145_balanced_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Class-balanced resample of the corpus to exactly {_TGT145} rows
+    """Class-balanced resample of the corpus to exactly _TGT145=120 rows
     per language — minority langs replicate deterministically, the
     majority lang subsamples, same md5-draw formula both ways
     (curation.balanced_oversample). The manifest hash pins the exact
@@ -306,8 +306,10 @@ def q145_balanced_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q146 — reciprocal-rank fusion of two ANN rankings (hybrid retrieval)
 # ===========================================================================
 
-from hbase_bulkload_service_spark.registry_llm import (  # noqa: E402
-    _duck_cos_micros,
+from hbase_bulkload_service_spark.oracle_frags import (  # noqa: E402
+    DUCK_QUANT_CTES,
+    duck_cos_micros as _duck_cos_micros,
+    duck_quant_score,
 )
 
 _K146_IN = 20  # depth of each input ranking
@@ -333,30 +335,12 @@ _KRRF = 60
                                 ORDER BY sc DESC, neighbor_id) AS rank
       FROM sf
     ),
-    vm AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vm
-      FROM embeddings
-    ),
-    qs AS (
-      SELECT vec_id, vm, list_max(list_transform(vm, x -> abs(x))) AS sc
-      FROM vm
-    ),
-    qq AS (
-      SELECT vec_id, sc,
-             CASE WHEN sc = 0
-                  THEN list_transform(vm, x -> CAST(0 AS BIGINT))
-                  ELSE list_transform(vm, x -> (x * 127) // sc) END AS qv
-      FROM qs
-    ),
+    {DUCK_QUANT_CTES},
     q2 AS (SELECT vec_id AS query_id, qv AS qa, sc AS sa
            FROM qq WHERE vec_id % 100 = 0),
     s2 AS (
       SELECT q2.query_id, e.vec_id AS neighbor_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, 65), i -> q2.qa[i] * e.qv[i])),
-               (a, b) -> a + b) * q2.sa * e.sc AS sc
+             {duck_quant_score("q2", "e")} AS sc
       FROM q2, qq e WHERE e.vec_id <> q2.query_id
     ),
     rb AS (
@@ -526,8 +510,8 @@ def q148_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q149 — fixed-round k-core peel over the fuzzy-linkage graph
 # ===========================================================================
 
-from hbase_bulkload_service_spark.registry_wave7 import (  # noqa: E402
-    _FUZZY_EDGES_CTE,
+from hbase_bulkload_service_spark.oracle_frags import (  # noqa: E402
+    FUZZY_EDGES_CTE as _FUZZY_EDGES_CTE,
 )
 
 _K149 = 27
@@ -565,11 +549,11 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
 
 @register("q149_kcore", _kcore_unrolled_sql(_K149, _ROUNDS149))
 def q149_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Densest-region extraction: {k}-core peel ({r} fixed rounds,
-    graph.kcore_rounds) over the same fuzzy-linkage graph q113/q114
-    analyze — surviving nodes with their in-core degree. Pruning by
-    degrees only (no pair enumeration); the oracle unrolls each peel
-    round as chained CTEs.""".format(k=_K149, r=_ROUNDS149)
+    """Densest-region extraction: k-core peel (k=_K149=27, _ROUNDS149=3
+    fixed rounds, graph.kcore_rounds) over the same fuzzy-linkage graph
+    q113/q114 analyze — surviving nodes with their in-core degree.
+    Pruning by degrees only (no pair enumeration); the oracle unrolls
+    each peel round as chained CTEs."""
     from hbase_bulkload_service_spark.operators import dedup, graph
 
     cust = load(spark, sf_dir, "customer", spread=True)

@@ -582,21 +582,11 @@ def q112_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q113 — per-node triangle counts over the fuzzy-linkage graph
 # ===========================================================================
 
-_FUZZY_EDGES_CTE = """
-    v AS (
-      SELECT c_custkey AS id, c_name AS s,
-             md5(unnest(list_distinct(list_append(
-               list_transform(range(1, length(c_name) + 1),
-                              i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
-               c_name)))) AS var
-      FROM customer
-    ),
-    e AS (
-      SELECT DISTINCT a.id AS x, b.id AS y
-      FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
-      WHERE levenshtein(a.s, b.s) <= 1
-    )
-"""
+# shared with q149 (registry_wave13) via the registry-independent
+# oracle_frags module (circular-import-proof — see its module docstring)
+from hbase_bulkload_service_spark.oracle_frags import (  # noqa: E402
+    FUZZY_EDGES_CTE as _FUZZY_EDGES_CTE,
+)
 
 
 @register(

@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.functions.codec import decode_double_be
 from hbase_bulkload_service_spark.operators import analytics, similarity, tsdb
+from hbase_bulkload_service_spark.oracle_frags import (
+    DUCK_QUANT_CTES,
+    duck_quant_score,
+)
 from hbase_bulkload_service_spark.registry import (
     DUCK_SALT_BUCKET,
     TSDB_CELLS_CTE,
@@ -394,32 +398,13 @@ def q121_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q122_quantized_topk",
-    """
-    WITH vm AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vm
-      FROM embeddings
-    ),
-    qs AS (
-      SELECT vec_id, vm,
-             list_max(list_transform(vm, x -> abs(x))) AS sc
-      FROM vm
-    ),
-    qq AS (
-      SELECT vec_id, sc,
-             CASE WHEN sc = 0
-                  THEN list_transform(vm, x -> CAST(0 AS BIGINT))
-                  ELSE list_transform(vm, x -> (x * 127) // sc) END AS qv
-      FROM qs
-    ),
+    f"""
+    WITH {DUCK_QUANT_CTES},
     q AS (SELECT vec_id AS query_id, qv AS qa, sc AS sa
           FROM qq WHERE vec_id % 100 = 0),
     s AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, 65), i -> q.qa[i] * e.qv[i])),
-               (a, b) -> a + b) * q.sa * e.sc AS score_q
+             {duck_quant_score("q", "e")} AS score_q
       FROM q, qq e WHERE e.vec_id <> q.query_id
     )
     SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score_q FROM (

@@ -364,3 +364,18 @@ def test_cogroup_duplicate_ts_ordered_by_id(spark):
     b = spark.createDataFrame([(1, 10, 2)], "k long, ts long, id long")
     r = analytics.cogroup_merge_stats(a, b, "k", "ts", "id").collect()[0]
     assert r["seq_md5"] == hashlib.md5(b"ba").hexdigest()  # id 2 first
+
+
+def test_oversample_rejects_null_keys_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, "c"), (None, "c")], "doc_id long, cls string"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        curation.balanced_oversample(df, "cls", "doc_id", target=2).collect()
+
+
+def test_cogroup_rejects_null_keys_loudly(spark):
+    a = spark.createDataFrame([(None, 1, 1)], "k long, ts long, id long")
+    b = spark.createDataFrame([(1, 1, 1)], "k long, ts long, id long")
+    with pytest.raises(Exception, match="NULL k"):
+        analytics.cogroup_merge_stats(a, b, "k", "ts", "id").collect()
