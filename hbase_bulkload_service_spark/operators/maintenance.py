@@ -503,11 +503,16 @@ def plan_merges_df(
                      "a_name", "b_name", "end_tag", "last_name"],
         )
 
-    walked = ordered.mapInPandas(walk, _MERGE_WALK_SCHEMA)
+    # The walk feeds two consumers (driver-side summary composition +
+    # the merge-row join below): persist so the catalog scans ONCE, with
+    # the cache registered for bounded eviction (cachereg's release
+    # contract replaces the old "two metadata-scale scans instead of a
+    # cache-lifetime promise" trade this code used to make).
+    from hbase_bulkload_service_spark import cachereg
+
+    walked = ordered.mapInPandas(walk, _MERGE_WALK_SCHEMA).persist()
+    cachereg.register(walked)
     # First pass: ONLY the 3-rows-per-partition summaries reach the driver.
-    # The second pass below recomputes the walk for the merge rows — two
-    # metadata-scale scans instead of caching, so the returned frame is
-    # lazy and needs no cache-lifetime contract.
     summaries = {
         (r["pid"], r["start_tag"]): r
         for r in walked.filter(F.col("kind") == "s").collect()
