@@ -236,3 +236,137 @@ def test_snapshot_diff_differential(spark, tmp_path, old, new):
         FROM od FULL OUTER JOIN nd ON od.key = nd.key
         """,
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_keys, st.integers(2**50, 2**60)), min_size=1, max_size=30
+    ),
+    nb=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_fixed_width_histogram_differential_huge_values(
+    spark, tmp_path, rows, nb
+):
+    """Values far beyond 2^53 — the double-division class an earlier
+    review flagged: float bucket math rounds across boundaries up here,
+    integer `div` must not."""
+    lo, hi = 2**50, 2**60
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = analytics.fixed_width_histogram(df, "k", "v", lo, hi, nb).select(
+        "k", "bucket", "cnt"
+    )
+    w = -((hi - lo) // -nb)
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        f"""
+        SELECT k, CAST(LEAST({nb - 1}, GREATEST(0, (v - {lo}) // {w}))
+                 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t GROUP BY 1, 2
+        """,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["g1", "g2"])),
+            st.integers(-(10**6), 10**6),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r,  # unique (group, value) -> unique order
+    ),
+    shards=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_prefix_sum_differential_with_null_groups(
+    spark, tmp_path, rows, shards
+):
+    """prefix_sum (range exchange + frozen shard offsets + Arrow cumsum)
+    vs the naive global window — including NULL group keys, which the
+    operator handles via a null-safe offsets join."""
+    rows = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    out = analytics.prefix_sum(
+        df, "v", order_cols=["v", "id"], part_cols=["g"], n_shards=shards
+    ).select("g", "v", "id", "cum")
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        """
+        SELECT g, v, id,
+               CAST(SUM(v) OVER (PARTITION BY g ORDER BY v, id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t
+        """,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3600_000), st.integers(-(10**4), 10**4)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_time_weighted_avg_differential_duplicate_ts(spark, tmp_path, rows):
+    """Duplicate timestamps are likely under this generator — the
+    zero-hold-except-last-by-id contract must agree cross-engine."""
+    rows = [("s", ts, v, i) for i, (ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k string, ts long, v long, id long")
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    out = tsdb.time_weighted_avg(
+        df, series_col="k", ts_col="ts", value_col="v", id_col="id",
+        bucket_ms=600_000,
+    )
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        """
+        WITH b AS (SELECT k, ts, v, id, ts // 600000 AS bucket FROM t),
+        h AS (SELECT k, bucket, v, ts,
+                COALESCE(lead(ts) OVER (PARTITION BY k, bucket
+                                        ORDER BY ts, id),
+                         (bucket + 1) * 600000) - ts AS hold
+              FROM b)
+        SELECT k, CAST(bucket AS BIGINT) bucket, CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(v * hold) AS BIGINT) num,
+               CAST((MAX(bucket) + 1) * 600000 - MIN(ts) AS BIGINT) span_ms,
+               CAST(SUM(v * hold)
+                    // ((MAX(bucket) + 1) * 600000 - MIN(ts)) AS BIGINT) twa
+        FROM h GROUP BY k, bucket
+        """,
+    )
+
+
+@given(
+    n_docs=st.integers(1, 30),
+    cap=st.integers(1, 10),
+    seed=st.integers(0, 5),
+)
+@settings(**_SETTINGS)
+def test_capped_stratum_sample_differential(spark, tmp_path, n_docs, cap, seed):
+    """The deterministic md5 draw replayed in DuckDB — same winners."""
+    df = spark.createDataFrame(
+        [(i, "s1" if i % 3 else "s2") for i in range(n_docs)],
+        "doc_id long, lang string",
+    )
+    out = curation.capped_stratum_sample(
+        df, cap=cap, strata_col="lang", key_col="doc_id", seed=seed
+    ).select("doc_id", "lang")
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        f"""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('{seed}:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) rk
+          FROM t
+        )
+        SELECT doc_id, lang FROM r WHERE rk <= {cap}
+        """,
+    )
