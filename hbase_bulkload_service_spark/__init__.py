@@ -38,3 +38,4 @@ from hbase_bulkload_service_spark import registry_wave10  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave11  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave12  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave13  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave14  # noqa: E402,F401

@@ -1187,3 +1187,71 @@ def cogroup_merge_stats(
         .groupBy(key_col)
     )
     return ga.cogroup(gb).applyInPandas(merge, out_schema)
+
+
+def topn_other(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    value_col: str,
+    n: int,
+) -> DataFrame:
+    """Top-N contributors per group with the long tail folded into one
+    ``__other__`` row — the dashboard cardinality cap (every "top 10
+    series + other" panel): per group keep the ``n`` items with the
+    largest value sums (ties by item ascending, deterministic), and
+    collapse everything else into a single row so the output is at most
+    ``n + 1`` rows per group no matter how many distinct items exist.
+
+    Output per group: ``item`` (or the literal ``__other__``), ``total``
+    (sum of value), ``n_rows`` (contributing input rows), ``rank``
+    (1..n; the other-row carries n+1) and ``is_other``.
+
+    Scale shape: the input collapses to (group, item) cardinality at
+    the FIRST hash aggregate (map-side combine does the 100 TB work);
+    the rank window and the tail re-aggregate run on that reduced
+    relation, re-using its group keying. ``__other__`` must not collide
+    with a real item — rejected loudly in-plan (assert_true), since a
+    silent merge would corrupt the fold.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    item = F.col(item_col)
+    base = df.filter(
+        F.assert_true(
+            item.isNull() | (item.cast("string") != "__other__"),
+            F.lit(
+                f"topn_other: input {item_col} contains the reserved "
+                "label '__other__'"
+            ),
+        ).isNull()
+    )
+    agg = base.groupBy(group_col, item_col).agg(
+        F.sum(value_col).alias("total"), F.count("*").alias("n_rows")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("total").desc(), item.asc()
+    )
+    r = agg.withColumn("rank", F.row_number().over(w))
+    top = r.filter(F.col("rank") <= n).select(
+        group_col,
+        item.cast("string").alias("item"),
+        "total",
+        "n_rows",
+        "rank",
+        F.lit(False).alias("is_other"),
+    )
+    other = (
+        r.filter(F.col("rank") > n)
+        .groupBy(group_col)
+        .agg(F.sum("total").alias("total"), F.sum("n_rows").alias("n_rows"))
+        .select(
+            group_col,
+            F.lit("__other__").alias("item"),
+            "total",
+            "n_rows",
+            F.lit(n + 1).alias("rank"),
+            F.lit(True).alias("is_other"),
+        )
+    )
+    return top.unionByName(other)

@@ -615,3 +615,165 @@ def balanced_oversample(
             F.explode(F.sequence(F.lit(1), F.col("__reps"))).alias("rep"),
         )
     )
+
+
+def dataset_split(
+    docs: DataFrame,
+    weights_ppm: dict[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment with EXACT per-stratum
+    quotas — the dataset-release split: within each stratum, rows are
+    ordered by ``md5(seed:key)`` (ties by key — the same reproducible
+    draw as capped_stratum_sample) and the first ``quota(split_1)`` rows
+    go to split 1, the next to split 2, and so on. Quotas are the
+    LARGEST-REMAINDER apportionment of the stratum size over
+    ``weights_ppm`` (values must sum to exactly 1_000_000), so every
+    row is assigned, split sizes are exact to the row (not binomial —
+    a 1%-val split of a 300-row stratum is exactly 3 rows), and the
+    assignment is stable across runs, retries, and repartitionings.
+
+    Output: the input columns plus ``split``. NULL draw keys are
+    rejected loudly in-plan (nondeterministic order, the
+    capped_stratum_sample contract).
+
+    Scale shape: ONE stratum-keyed exchange for the rank window; the
+    quota table is (n_strata x n_splits) rows — computed from the
+    stratum counts and BROADCAST into a range join against the rank, so
+    no second corpus-sized shuffle. The apportionment windows run on
+    that tiny relation only.
+    """
+    if not weights_ppm:
+        raise ValueError("weights_ppm must be non-empty")
+    if any(w < 0 for w in weights_ppm.values()):
+        raise ValueError("weights must be non-negative")
+    if sum(weights_ppm.values()) != 1_000_000:
+        raise ValueError("weights_ppm must sum to exactly 1_000_000")
+    clash = {"__ord", "__rk", "__s", "split"} & set(docs.columns)
+    if clash:
+        raise ValueError(f"reserved column name(s) in input: {sorted(clash)}")
+    docs = docs.filter(
+        F.assert_true(
+            F.col(key_col).isNotNull(),
+            F.lit(
+                f"dataset_split: NULL {key_col} — the draw key must be "
+                "a unique non-null id"
+            ),
+        ).isNull()
+    )
+    spark = docs.sparkSession
+    splits = spark.createDataFrame(
+        [(i, name, w) for i, (name, w) in enumerate(weights_ppm.items())],
+        "__idx int, split string, __w long",
+    )
+    counts = docs.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.count("*").alias("__n")
+    )
+    # largest-remainder apportionment per stratum: floor quotas, then
+    # +1 to the splits with the largest remainders until the leftover
+    # (n - sum of floors) is spent; ties by declaration order.
+    alloc = counts.crossJoin(splits).select(
+        "__s",
+        "__n",
+        "__idx",
+        "split",
+        F.expr("(__n * __w) div 1000000").alias("__floor"),
+        ((F.col("__n") * F.col("__w")) % 1_000_000).alias("__rem"),
+    )
+    w_strat = Window.partitionBy("__s")
+    w_rem = Window.partitionBy("__s").orderBy(
+        F.col("__rem").desc(), F.col("__idx").asc()
+    )
+    w_cum = (
+        Window.partitionBy("__s")
+        .orderBy(F.col("__idx").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    quotas = (
+        alloc.withColumn(
+            "__leftover", F.col("__n") - F.sum("__floor").over(w_strat)
+        )
+        .withColumn("__rr", F.row_number().over(w_rem))
+        .withColumn(
+            "__quota",
+            F.col("__floor")
+            + F.when(F.col("__rr") <= F.col("__leftover"), 1).otherwise(0),
+        )
+        .withColumn("__hi", F.sum("__quota").over(w_cum))
+        .withColumn("__lo", F.col("__hi") - F.col("__quota"))
+        .select("__s", "split", "__lo", "__hi")
+    )
+    ord_key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
+    )
+    w_rank = Window.partitionBy(strata_col).orderBy(ord_key, F.col(key_col))
+    ranked = docs.withColumn("__rk", F.row_number().over(w_rank))
+    out = ranked.join(
+        F.broadcast(quotas),
+        F.col(strata_col).eqNullSafe(F.col("__s"))
+        & (F.col("__rk") > F.col("__lo"))
+        & (F.col("__rk") <= F.col("__hi")),
+    )
+    return out.drop("__rk", "__s", "__lo", "__hi")
+
+
+def source_reputation(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    dup_threshold_ppm: int = 200_000,
+) -> DataFrame:
+    """Per-source corpus reputation — the domain-level trust signal the
+    RefinedWeb/C4-style pipelines apply BEFORE document-level filters
+    (a source whose content is mostly duplicated elsewhere is boiler-
+    plate or a mirror; dropping it wholesale is cheaper and safer than
+    judging its documents one by one): for each source, document count,
+    total characters, the number of documents whose (normalized) text
+    occurs in MORE THAN ONE document corpus-wide, that duplication rate
+    in integer ppm, and a ``flagged`` verdict against
+    ``dup_threshold_ppm``.
+
+    Scale shape: raw text NEVER shuffles — each doc collapses to a
+    16-byte md5 digest map-side; the first hash aggregate reduces the
+    corpus to (source, digest) cardinality with map-side combine, the
+    global digest counts derive from THAT relation (digest-sized, not
+    corpus-sized), and the digest-keyed equi-join runs between two
+    digest-cardinality relations. Output is one row per source.
+    NULL text hashes as empty text (every doc counts, the
+    strip_boilerplate convention).
+    """
+    digest = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    per_sd = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            digest.alias("__digest"),
+            F.coalesce(F.col(chars_col), F.lit(0)).alias("__chars"),
+        )
+        .groupBy("source", "__digest")
+        .agg(F.count("*").alias("__cnt"), F.sum("__chars").alias("__chr"))
+    )
+    global_counts = per_sd.groupBy("__digest").agg(
+        F.sum("__cnt").alias("__gcnt")
+    )
+    joined = per_sd.join(global_counts, "__digest")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("__cnt").alias("n_docs"),
+            F.sum(F.when(F.col("__gcnt") > 1, F.col("__cnt")).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.sum("__chr").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "total_chars",
+            F.expr("(n_dup_docs * 1000000) div n_docs").alias("dup_ppm"),
+        )
+        .withColumn("flagged", F.col("dup_ppm") > dup_threshold_ppm)
+    )

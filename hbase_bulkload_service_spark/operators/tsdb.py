@@ -549,3 +549,126 @@ def grid_fill(
         F.last("__obs", ignorenulls=True).over(wf).alias("filled"),
         F.col("__obs").isNotNull().alias("is_observed"),
     )
+
+
+def counter_rate(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type", "user_id"),
+    ts_col: str = "ts_ms",
+    value_col: str = "cents",
+    tiebreak_col: str = "event_id",
+    drop_resets: bool = False,
+) -> DataFrame:
+    """Rate conversion for MONOTONIC counters with reset detection — the
+    OpenTSDB RateOptions{counter=true} semantics (reference domain:
+    tsdb rate queries; complements :func:`counter_deltas`, which is the
+    gauge-delta primitive with no counter interpretation): a counter
+    only ever increases, so a NEGATIVE consecutive delta means the
+    process restarted and the counter rebased at zero. Per interior
+    sample this emits
+
+    - ``delta``: the counter increase over the interval — the raw lag
+      difference normally; on a reset, the post-reset VALUE itself
+      (the increase since the restart, OpenTSDB's rebase rule), or the
+      row is dropped entirely with ``drop_resets=True`` (the
+      conservative mode when restarts carry pre-reset residue);
+    - ``dt_ms`` and ``rate_micros``: ``delta * 1_000_000_000 div
+      dt_ms`` = micro-units per SECOND, integer-exact.
+
+    Zero-width intervals (duplicate timestamps within a series) have no
+    defined rate and are dropped — callers needing them must de-dup
+    first (latest_version_dedup). Values must be non-negative (counter
+    semantics; also keeps `div` floor==trunc so DuckDB `//` agrees).
+    int64 bound: |delta| must stay under ~9.2e9 (delta * 1e9 headroom).
+
+    Scale shape: identical to counter_deltas — ONE keyed exchange
+    feeding a shared lag window, then map-side arithmetic. Nothing
+    after the exchange is wider than the input row.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    v = F.col(value_col)
+    x = events.select(
+        *key_cols,
+        tiebreak_col,
+        F.col(ts_col),
+        v,
+        (v - F.lag(value_col).over(w)).alias("__raw_delta"),
+        (F.col(ts_col) - F.lag(ts_col).over(w)).alias("dt_ms"),
+    ).filter(F.col("dt_ms").isNotNull() & (F.col("dt_ms") > 0))
+    reset = F.col("__raw_delta") < 0
+    if drop_resets:
+        x = x.filter(~reset)
+        delta = F.col("__raw_delta")
+        is_reset = F.lit(False)
+    else:
+        delta = F.when(reset, v).otherwise(F.col("__raw_delta"))
+        is_reset = reset
+    return x.select(
+        *key_cols,
+        tiebreak_col,
+        ts_col,
+        value_col,
+        delta.alias("delta"),
+        "dt_ms",
+        is_reset.alias("is_reset"),
+    ).withColumn(
+        "rate_micros", F.expr("(delta * 1000000000) div dt_ms")
+    )
+
+
+def align_series_ratio(
+    samples: DataFrame,
+    series_a: str,
+    series_b: str,
+    series_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    value_col: str = "cents",
+    id_col: str = "event_id",
+    step_ms: int = 900_000,
+) -> DataFrame:
+    """Binary expression over two ALIGNED series — the OpenTSDB
+    expression / Graphite divideSeries surface (reference domain: tsdb
+    multi-metric queries): resample both series onto the same
+    zero-order-hold grid (:func:`grid_fill` semantics) and emit, per
+    bucket where BOTH are defined, the held values and their ratio in
+    integer ppm (``a * 1_000_000 div b``; NULL when b = 0 — a CASE, not
+    an error, so a flat-zero denominator doesn't kill the query).
+    Values must be non-negative (keeps div floor==trunc engine-portable,
+    same contract as time_weighted_avg).
+
+    Plan: ONE pass builds the shared grid — the two series ride the
+    same grid_fill subtree and a conditional-aggregate pivot on
+    (bucket) separates them WITHOUT a self-join (a filter-and-self-join
+    would recompute the grid subtree twice). Exchanges: the per-bucket
+    representative window, the grid left-join, the per-series fill
+    window, then one bucket-keyed agg — all grid- or sample-sized,
+    never corpus-sized.
+    """
+    two = samples.filter(F.col(series_col).isin([series_a, series_b]))
+    g = grid_fill(
+        two,
+        series_col=series_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        id_col=id_col,
+        step_ms=step_ms,
+    )
+    s = F.col(series_col)
+    pivoted = g.groupBy("bucket").agg(
+        F.max(F.when(s == series_a, F.col("filled"))).alias("a_val"),
+        F.max(F.when(s == series_b, F.col("filled"))).alias("b_val"),
+        F.max(F.when(s == series_a, F.col("is_observed"))).alias("a_observed"),
+        F.max(F.when(s == series_b, F.col("is_observed"))).alias("b_observed"),
+    )
+    return pivoted.filter(
+        F.col("a_val").isNotNull() & F.col("b_val").isNotNull()
+    ).select(
+        "bucket",
+        "a_val",
+        "b_val",
+        "a_observed",
+        "b_observed",
+        F.when(
+            F.col("b_val") != 0, F.expr("(a_val * 1000000) div b_val")
+        ).alias("ratio_ppm"),
+    )

@@ -370,3 +370,116 @@ def test_capped_stratum_sample_differential(spark, tmp_path, n_docs, cap, seed):
         SELECT doc_id, lang FROM r WHERE rk <= {cap}
         """,
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.integers(0, 10_000),        # ts_ms
+            st.integers(0, 10**9),         # counter value (non-negative contract)
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    drop_resets=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_counter_rate_differential(spark, tmp_path, rows, drop_resets):
+    """Reset detection + rebase + integer rate replayed in DuckDB —
+    including duplicate timestamps (zero-width intervals dropped) and
+    constant runs (delta 0)."""
+    rows = [(k, ts, v, i) for i, (k, ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    out = tsdb.counter_rate(
+        df, key_cols=("event_type",), drop_resets=drop_resets
+    )
+    reset_clause = (
+        "AND raw_delta >= 0" if drop_resets else ""
+    )
+    is_reset = "FALSE" if drop_resets else "raw_delta < 0"
+    delta = (
+        "raw_delta" if drop_resets
+        else "CASE WHEN raw_delta < 0 THEN cents ELSE raw_delta END"
+    )
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        f"""
+        WITH d AS (
+          SELECT event_type, event_id, ts_ms, cents,
+                 cents - LAG(cents) OVER w AS raw_delta,
+                 ts_ms - LAG(ts_ms) OVER w AS dt_ms
+          FROM t
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id)
+        )
+        SELECT event_type, event_id, ts_ms, cents,
+               CAST({delta} AS BIGINT) AS delta, dt_ms,
+               {is_reset} AS is_reset,
+               CAST(({delta} * 1000000000) // dt_ms AS BIGINT) AS rate_micros
+        FROM d
+        WHERE dt_ms IS NOT NULL AND dt_ms > 0 {reset_clause}
+        """,
+    )
+
+
+@given(
+    n_en=st.integers(0, 40),
+    n_de=st.integers(0, 40),
+    seed=st.integers(0, 3),
+)
+@settings(**_SETTINGS)
+def test_dataset_split_differential(spark, tmp_path, n_en, n_de, seed):
+    """Largest-remainder apportionment + md5 draw replayed in DuckDB —
+    same rows land in the same splits for arbitrary stratum sizes
+    (including empty strata and sizes below the split count)."""
+    if n_en + n_de == 0:
+        return
+    rows = [(i, "en") for i in range(n_en)] + [
+        (1000 + i, "de") for i in range(n_de)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = curation.dataset_split(
+        df,
+        {"train": 700_000, "valid": 200_000, "test": 100_000},
+        seed=seed,
+    ).select("doc_id", "lang", "split")
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        f"""
+        WITH counts AS (SELECT lang, COUNT(*) AS n FROM t GROUP BY lang),
+        splits(idx, split, w) AS (VALUES
+          (0, 'train', 700000), (1, 'valid', 200000), (2, 'test', 100000)),
+        alloc AS (
+          SELECT lang, n, idx, split,
+                 (n * w) // 1000000 AS fl, (n * w) % 1000000 AS rem
+          FROM counts CROSS JOIN splits),
+        a2 AS (
+          SELECT *, n - SUM(fl) OVER (PARTITION BY lang) AS leftover,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY rem DESC, idx ASC) AS rr
+          FROM alloc),
+        q AS (SELECT lang, idx, split,
+                     fl + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+              FROM a2),
+        th AS (SELECT lang, split,
+                      SUM(quota) OVER (PARTITION BY lang ORDER BY idx
+                                       ROWS UNBOUNDED PRECEDING) AS hi,
+                      SUM(quota) OVER (PARTITION BY lang ORDER BY idx
+                                       ROWS UNBOUNDED PRECEDING) - quota AS lo
+               FROM q),
+        r AS (SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('{seed}:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
+              FROM t)
+        SELECT r.doc_id, r.lang, th.split
+        FROM r JOIN th
+          ON r.lang IS NOT DISTINCT FROM th.lang
+         AND r.rk > th.lo AND r.rk <= th.hi
+        """,
+    )

@@ -70,6 +70,11 @@ PROBE_QUERIES = [
     "q145_balanced_oversample",  # one class-keyed window; replicas explode map-side
     "q148_histogram_drift",    # bucket hash agg, combiner-bounded
     "q150_stream_alignment",   # cogroup keyed on user_id; keys grow, per-key state constant
+    "q151_counter_rate",       # per-series lag window, one keyed shuffle (q96 shape + reset math)
+    "q152_aligned_ratio",      # per-bucket representative window; grid bounded by span/step
+    "q153_topn_other",         # first hash agg collapses to (group, item) cardinality map-side
+    "q154_dataset_split",      # one stratum-keyed rank window; quota table broadcast
+    "q155_source_reputation",  # map-side md5; digest-cardinality aggs/joins only (no pair join, so exact-copy amplification is safe — dup counts grow, shuffle stays digest-sized)
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
