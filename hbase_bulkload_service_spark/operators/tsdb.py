@@ -672,3 +672,176 @@ def align_series_ratio(
             F.col("b_val") != 0, F.expr("(a_val * 1000000) div b_val")
         ).alias("ratio_ppm"),
     )
+
+
+def grid_fill_linear(
+    samples: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    value_col: str = "cents",
+    id_col: str = "event_id",
+    step_ms: int = 900_000,
+) -> DataFrame:
+    """Dense-grid resample with LINEAR interpolation fill — the other
+    OpenTSDB fill policy (complement of :func:`grid_fill`'s zero-order
+    hold): every ``step_ms`` slot between a series' first and last
+    observation appears; gap slots carry the integer-truncating linear
+    interpolation between the surrounding observed buckets,
+
+        ``prev_v + ((next_v - prev_v) * (bucket - prev_b))
+                    div (next_b - prev_b)``
+
+    which is engine-portable even for DECREASING series because Spark's
+    ``div`` and DuckDB's ``//`` both truncate toward zero. Within the
+    span every gap slot has both neighbors by construction (the grid
+    starts and ends at observed buckets), so ``filled`` is never NULL.
+
+    Scale shape: identical to grid_fill — per-bucket representative
+    window + grid left-join keyed on (series, bucket), then TWO fill
+    windows (forward prev-pair, backward next-pair) that share the
+    series re-key; post-scan state is grid-sized, never corpus-sized.
+    Same caller guard: step_ms must keep span/step executor-friendly.
+    """
+    if step_ms < 1:
+        raise ValueError("step_ms must be >= 1")
+    ts, v = F.col(ts_col), F.col(value_col)
+    x = samples.filter(ts.isNotNull() & v.isNotNull()).select(
+        series_col,
+        ts.alias("__ts"),
+        v.alias("__v"),
+        F.col(id_col).alias("__id"),
+        F.expr(f"{ts_col} div {step_ms}").alias("bucket"),
+    )
+    w = Window.partitionBy(series_col, "bucket").orderBy(
+        F.col("__ts").desc(), F.col("__id").desc()
+    )
+    obs = (
+        x.select(series_col, "bucket", "__v", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == 1)
+        .select(series_col, "bucket", F.col("__v").alias("__obs"))
+    )
+    span = obs.groupBy(series_col).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = span.select(
+        series_col,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("bucket"),
+    )
+    j = grid.join(obs, [series_col, "bucket"], "left")
+    wf = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("__obs").isNotNull(), F.col("bucket"))
+    h = j.select(
+        series_col,
+        "bucket",
+        F.col("__obs").isNotNull().alias("is_observed"),
+        F.last("__obs", ignorenulls=True).over(wf).alias("__pv"),
+        F.last(obs_b, ignorenulls=True).over(wf).alias("__pb"),
+        F.first("__obs", ignorenulls=True).over(wb).alias("__nv"),
+        F.first(obs_b, ignorenulls=True).over(wb).alias("__nb"),
+    )
+    filled = F.when(F.col("is_observed"), F.col("__pv")).otherwise(
+        F.expr("__pv + ((__nv - __pv) * (bucket - __pb)) div (__nb - __pb)")
+    )
+    return h.select(
+        series_col, "bucket", filled.alias("filled"), "is_observed"
+    )
+
+
+def stale_series(
+    samples: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    stale_after_ms: int = 3_600_000,
+    now_ms: int | None = None,
+) -> DataFrame:
+    """Dead-metric detection — the monitoring sweep every TSDB runs
+    against its catalog (which series stopped reporting?): per series the
+    last sample timestamp, its age against ``now_ms`` (defaults to the
+    newest sample corpus-wide, so a replayed fixture needs no wall
+    clock), and ``is_stale`` when the age exceeds ``stale_after_ms``.
+
+    Scale shape: one map-side-combined MAX agg per series (output =
+    series cardinality), plus — only in the default-now mode — a 1-row
+    global MAX joined by broadcast cross join. Nothing is corpus-sized
+    after the first combine.
+    """
+    if stale_after_ms < 1:
+        raise ValueError("stale_after_ms must be >= 1")
+    last = samples.filter(F.col(ts_col).isNotNull()).groupBy(series_col).agg(
+        F.max(ts_col).alias("last_ts_ms")
+    )
+    if now_ms is None:
+        now = last.agg(F.max("last_ts_ms").alias("__now"))
+        last = last.crossJoin(F.broadcast(now))
+        now_col = F.col("__now")
+    else:
+        now_col = F.lit(now_ms)
+    return last.select(
+        series_col,
+        "last_ts_ms",
+        (now_col - F.col("last_ts_ms")).alias("age_ms"),
+        ((now_col - F.col("last_ts_ms")) > stale_after_ms).alias("is_stale"),
+    )
+
+
+def percentile_downsample(
+    samples: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    value_col: str = "cents",
+    bucket_ms: int = 3_600_000,
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Percentile downsample — the OpenTSDB percentile aggregator family
+    (p50/p95/p99 per series per bucket, the latency-dashboard staple):
+    exact PERCENTILE_DISC per (series, bucket) — for each p the value at
+    rank ``ceil(p*n)`` ascending, always an actual element, no
+    interpolation convention to disagree on across engines (the
+    group_quantiles discipline over a composite time key).
+
+    Plan: ONE exchange on (series, bucket) — the rank and count windows
+    share it — then a map-side probe-rank explode + equality filter.
+    Per-bucket state is a partition-local sort; buckets bound the group
+    size, so skew is capped by sample rate x bucket width.
+    """
+    if bucket_ms < 1:
+        raise ValueError("bucket_ms must be >= 1")
+    bad = [p for p in ps if not 0.0 < float(p) <= 1.0]
+    if bad:
+        raise ValueError(f"percentile probes must be in (0, 1], got {bad}")
+    ts, v = F.col(ts_col), F.col(value_col)
+    x = samples.filter(ts.isNotNull() & v.isNotNull()).select(
+        series_col,
+        F.expr(f"{ts_col} div {bucket_ms}").alias("bucket"),
+        v.alias("__v"),
+    )
+    w = Window.partitionBy(series_col, "bucket").orderBy("__v")
+    wall = Window.partitionBy(series_col, "bucket")
+    ranked = x.select(
+        series_col,
+        "bucket",
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    probes = F.array(*[F.lit(float(p)) for p in ps])
+    return (
+        ranked.withColumn("p", F.explode(probes))
+        .filter(F.col("__rn") == F.ceil(F.col("p") * F.col("n")).cast("int"))
+        .select(
+            series_col,
+            "bucket",
+            "p",
+            F.col("__v").alias("quantile_value"),
+            F.col("n").alias("bucket_n"),
+        )
+    )

@@ -333,3 +333,48 @@ def q155_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return curation.source_reputation(corpus, dup_threshold_ppm=500_000)
+
+
+# ===========================================================================
+# q156 — streaming counter rate (q151's continuous twin)
+# ===========================================================================
+
+from hbase_bulkload_service_spark.registry import ORACLE as _ORACLE  # noqa: E402
+
+
+@register("q156_streaming_counter_rate", _ORACLE["q151_counter_rate"])
+def q156_streaming_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q151 as a LIVE stream (streaming/ops.streaming_counter_rate):
+    the per-series carried sample lives in applyInPandasWithState
+    state — O(1) per series, watermark-free — and the reset/rebase/rate
+    arithmetic is the same stateless layer as batch. Finite availableNow
+    replay of the corpus must reproduce q151's oracle bit-for-bit, so
+    the streaming path inherits the batch gate (the q137 idiom)."""
+    import shutil
+    import tempfile
+
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_type",
+        "user_id",
+        "event_id",
+        "ts_ms",
+        cents(F.col("value")).alias("cents"),
+    )
+    d = tempfile.mkdtemp(prefix="q156rate")
+    try:
+        ev.coalesce(4).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(ev.schema).parquet(d)
+        out = st.streaming_counter_rate(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("q156_rate_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        st.await_finite(q, 300)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q156_rate_mem")

@@ -15,6 +15,7 @@ from hbase_bulkload_service_spark.streaming.ops import (  # noqa: F401
     stream_stream_interval_join,
     streaming_bulkload,
     streaming_counter_deltas,
+    streaming_counter_rate,
     streaming_first_seen_dedup,
     streaming_incremental_dedup,
     streaming_latest_version,

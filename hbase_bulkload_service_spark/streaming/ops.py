@@ -550,3 +550,37 @@ def streaming_latest_version_tws(cells):
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_counter_rate(samples, drop_resets: bool = False):
+    """Streaming twin of ``tsdb.counter_rate`` — the LIVE monotonic-
+    counter rate (OpenTSDB RateOptions{counter=true} over an unbounded
+    stream): :func:`streaming_counter_deltas` carries one sample per
+    series in state (O(1), watermark-free), and the reset/rebase/rate
+    layer is pure map-side arithmetic on its output — the stateful and
+    stateless layers split exactly as in the batch operator, so the two
+    cannot drift semantically. Zero-width intervals are dropped
+    (no defined rate); a finite availableNow replay reproduces the
+    batch operator exactly (gated by q156 against q151's oracle).
+    """
+    from pyspark.sql import functions as F
+
+    d = streaming_counter_deltas(samples).filter(F.col("dt_ms") > 0)
+    reset = F.col("delta_cents") < 0
+    if drop_resets:
+        d = d.filter(~reset)
+        delta = F.col("delta_cents")
+        is_reset = F.lit(False)
+    else:
+        delta = F.when(reset, F.col("cents")).otherwise(F.col("delta_cents"))
+        is_reset = reset
+    return d.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        "ts_ms",
+        "cents",
+        delta.alias("delta"),
+        "dt_ms",
+        is_reset.alias("is_reset"),
+    ).withColumn("rate_micros", F.expr("(delta * 1000000000) div dt_ms"))

@@ -348,3 +348,41 @@ def test_streaming_incremental_dedup(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT * FROM inc_dedup_stream").collect()
     )
     assert got == [102, 104]
+
+
+# ---------------------------------------------------------------------------
+# streaming_counter_rate — live twin of tsdb.counter_rate (q151/q156)
+# ---------------------------------------------------------------------------
+
+def test_streaming_counter_rate_matches_batch(spark, tmp_path):
+    """One availableNow replay == the batch counter_rate, both modes."""
+    from hbase_bulkload_service_spark.operators import tsdb
+    from hbase_bulkload_service_spark.sources.tables import load_events
+
+    d = str(tmp_path / "ratesamples")
+    ev = load_events(spark, "/root/testdata/sf0.001").select(
+        "event_type", "user_id", "event_id", "ts_ms",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    cols = [
+        "event_type", "user_id", "event_id", "ts_ms", "cents",
+        "delta", "dt_ms", "is_reset", "rate_micros",
+    ]
+    for mode, drop in (("keep", False), ("drop", True)):
+        stream = spark.readStream.schema(st.SAMPLE_SCHEMA).parquet(d)
+        out = st.streaming_counter_rate(stream, drop_resets=drop)
+        _run_to_memory(out, f"stream_rate_{mode}", "append")
+        got = sorted(
+            map(tuple, spark.sql(f"SELECT * FROM stream_rate_{mode}").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                tsdb.counter_rate(ev, drop_resets=drop).select(*cols).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+        # both branches live in the fixture when resets are kept
+        if not drop:
+            assert any(r[7] for r in got) and any(not r[7] for r in got)

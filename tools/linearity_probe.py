@@ -75,6 +75,9 @@ PROBE_QUERIES = [
     "q153_topn_other",         # first hash agg collapses to (group, item) cardinality map-side
     "q154_dataset_split",      # one stratum-keyed rank window; quota table broadcast
     "q155_source_reputation",  # map-side md5; digest-cardinality aggs/joins only (no pair join, so exact-copy amplification is safe — dup counts grow, shuffle stays digest-sized)
+    "q157_grid_fill_linear",   # q141's shape + a second span-bounded fill window
+    "q158_stale_series",       # combiner-bounded MAX agg + 1-row broadcast
+    "q159_percentile_downsample",  # one (series, bucket) exchange; rank windows share it
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
