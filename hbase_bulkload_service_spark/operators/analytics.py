@@ -1255,3 +1255,56 @@ def topn_other(
         )
     )
     return top.unionByName(other)
+
+
+def user_journeys(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    tiebreak_col: str = "event_id",
+    max_steps: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top user journeys — frequent-path mining over per-user event
+    sequences (the product-analytics "what do users actually do first"
+    query; the FULL-path complement of :func:`event_transitions`' 
+    first-order matrix): each user's first ``max_steps`` events in
+    ``(ts, tiebreak)`` order form a path string ``a>b>c``; paths are
+    counted across users and the ``top_k`` most common are returned
+    with a deterministic rank (ties: count desc, path asc).
+
+    Scale shape: the rank window and the per-user path aggregate share
+    ONE user-keyed exchange; truncation to ``max_steps`` happens BEFORE
+    the path aggregate, so no user contributes more than ``max_steps``
+    rows to it. The path-count aggregate is path-cardinality (bounded
+    by |event types|^max_steps and in practice by user count) with
+    map-side combine, and the final top-k is a TakeOrdered — never a
+    full sort of the path table.
+    """
+    if max_steps < 1 or top_k < 1:
+        raise ValueError("max_steps and top_k must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    first_n = (
+        events.select(
+            user_col,
+            F.col(type_col).alias("__t"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") <= max_steps)
+    )
+    paths = first_n.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rn", "__t"))),
+                lambda s: s["__t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    top = counts.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(
+        top_k
+    )
+    w_rank = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return top.withColumn("rank", F.row_number().over(w_rank))

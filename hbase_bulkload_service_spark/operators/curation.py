@@ -651,7 +651,9 @@ def dataset_split(
         raise ValueError("weights must be non-negative")
     if sum(weights_ppm.values()) != 1_000_000:
         raise ValueError("weights_ppm must sum to exactly 1_000_000")
-    clash = {"__ord", "__rk", "__s", "split"} & set(docs.columns)
+    # __lo/__hi ride the quota join and are dropped by name at the end —
+    # a same-named user column would be silently dropped with them
+    clash = {"__ord", "__rk", "__s", "__lo", "__hi", "split"} & set(docs.columns)
     if clash:
         raise ValueError(f"reserved column name(s) in input: {sorted(clash)}")
     docs = docs.filter(
@@ -776,4 +778,50 @@ def source_reputation(
             F.expr("(n_dup_docs * 1000000) div n_docs").alias("dup_ppm"),
         )
         .withColumn("flagged", F.col("dup_ppm") > dup_threshold_ppm)
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source content-overlap matrix — the train/test-leakage and
+    mirror-detection sweep across corpora (which pairs of sources share
+    content, and how much?): for every unordered source pair, the number
+    of distinct (normalized-digest) contents present in BOTH, plus each
+    side's doc count over those shared contents. The pairwise
+    generalization of :func:`source_reputation`'s corpus-wide dup rate.
+
+    Scale shape: raw text never shuffles (map-side md5); the corpus
+    collapses to (source, digest) cardinality at the first combined
+    hash aggregate, and the pair join is a DIGEST-KEYED self-join whose
+    per-key fan-out is bounded by the SOURCE count (≤ n_sources rows
+    per digest side), not by document count — so a 100 TB corpus with
+    20 sources pairs at most 20x20 rows per distinct content. NULL text
+    hashes as empty (every doc counts).
+    """
+    digest = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    sd = (
+        docs.select(
+            F.col(source_col).alias("__src"), digest.alias("__digest")
+        )
+        .groupBy("__src", "__digest")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    a = sd.select(
+        F.col("__src").alias("source_a"),
+        F.col("__digest").alias("__d"),
+        F.col("__cnt").alias("__ca"),
+    )
+    b = sd.select(
+        F.col("__src").alias("source_b"),
+        F.col("__digest").alias("__d"),
+        F.col("__cnt").alias("__cb"),
+    )
+    pairs = a.join(b, "__d").filter(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("shared_digests"),
+        F.sum("__ca").alias("docs_a"),
+        F.sum("__cb").alias("docs_b"),
     )

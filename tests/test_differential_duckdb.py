@@ -483,3 +483,80 @@ def test_dataset_split_differential(spark, tmp_path, n_en, n_de, seed):
          AND r.rk > th.lo AND r.rk <= th.hi
         """,
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 20_000),           # ts_ms
+            st.integers(-(10**6), 10**6),     # value (negatives exercise trunc)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_align_series_ratio_differential(spark, tmp_path, rows):
+    """Shared-grid ZOH pivot + ppm ratio replayed in DuckDB on random
+    sparse two-series inputs — span intersection, held-vs-observed
+    flags, zero-denominator NULLs, and NEGATIVE values (both engines
+    truncate integer division toward zero, so the ppm ratio agrees on
+    the full domain)."""
+    rows = [(k, ts, v, i) for i, (k, ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    # no masking: Spark `div` and DuckDB `//` both truncate toward zero,
+    # so the ppm ratio agrees cross-engine even on negative values
+    out = tsdb.align_series_ratio(
+        df, series_a="a", series_b="b", step_ms=1000
+    )
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        """
+        WITH e AS (
+          SELECT event_type, ts_ms // 1000 AS bucket, cents, ts_ms, event_id
+          FROM t WHERE event_type IN ('a', 'b')
+        ),
+        b AS (
+          SELECT event_type, bucket, cents,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                                    ORDER BY ts_ms DESC, event_id DESC) rn
+          FROM e
+        ),
+        obs AS (SELECT event_type, bucket, cents FROM b WHERE rn = 1),
+        span AS (SELECT event_type, MIN(bucket) lo, MAX(bucket) hi
+                 FROM obs GROUP BY event_type),
+        grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+                 FROM span),
+        j AS (SELECT g.event_type, g.bucket, o.cents
+              FROM grid g LEFT JOIN obs o
+                ON o.event_type = g.event_type AND o.bucket = g.bucket),
+        fl AS (
+          SELECT event_type, bucket,
+                 last_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS filled,
+                 cents IS NOT NULL AS is_observed
+          FROM j
+        ),
+        p AS (
+          SELECT bucket,
+                 MAX(CASE WHEN event_type='a' THEN filled END) a_val,
+                 MAX(CASE WHEN event_type='b' THEN filled END) b_val,
+                 MAX(CASE WHEN event_type='a' THEN is_observed END) a_observed,
+                 MAX(CASE WHEN event_type='b' THEN is_observed END) b_observed
+          FROM fl GROUP BY bucket
+        )
+        SELECT CAST(bucket AS BIGINT) bucket,
+               CAST(a_val AS BIGINT) a_val, CAST(b_val AS BIGINT) b_val,
+               a_observed, b_observed,
+               CASE WHEN b_val <> 0
+                    THEN CAST((a_val * 1000000) // b_val AS BIGINT) END
+                 AS ratio_ppm
+        FROM p WHERE a_val IS NOT NULL AND b_val IS NOT NULL
+        """,
+    )

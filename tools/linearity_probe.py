@@ -78,6 +78,9 @@ PROBE_QUERIES = [
     "q157_grid_fill_linear",   # q141's shape + a second span-bounded fill window
     "q158_stale_series",       # combiner-bounded MAX agg + 1-row broadcast
     "q159_percentile_downsample",  # one (series, bucket) exchange; rank windows share it
+    "q160_user_journeys",      # user-keyed window + path agg share one exchange; top-k TakeOrdered
+    "q161_source_overlap",     # digest-keyed self-join, fan-out bounded by source count
+    "q162_rate_percentiles",   # composed: (type,user) rate exchange feeds (type,bucket) percentile exchange
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
