@@ -845,3 +845,62 @@ def percentile_downsample(
             F.col("n").alias("bucket_n"),
         )
     )
+
+
+def threshold_episodes(
+    samples: DataFrame,
+    threshold: int,
+    series_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    value_col: str = "cents",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Threshold-breach episodes — the alerting primitive every TSDB
+    monitor runs (how long was the metric above the line, how many
+    times, how bad?): consecutive above-threshold samples (in
+    ``(ts, id)`` order per series) collapse into one episode row with
+    its start/end timestamps, sample count, and peak value. The classic
+    gaps-and-islands shape, done with TWO same-keyed windows instead of
+    a self-join.
+
+    Island identity: ``rn - rn_breach`` — row number over ALL samples
+    minus row number over breach samples only — is constant within a
+    run of consecutive breaches and distinct across runs (both windows
+    are partitioned by series alone, so they SHARE one exchange; the
+    breach rank is conditional, not re-partitioned).
+
+    Scale shape: ONE series-keyed exchange (two windows + the episode
+    aggregate all reuse it); output is episode-cardinality. Episodes do
+    not cross partition keys — a series is one window partition, the
+    same bound as every lag/rank operator here.
+    """
+    ts, v = F.col(ts_col), F.col(value_col)
+    x = samples.filter(ts.isNotNull() & v.isNotNull()).select(
+        series_col,
+        ts.alias("__ts"),
+        v.alias("__v"),
+        F.col(id_col).alias("__id"),
+        (v > threshold).alias("__breach"),
+    )
+    w = Window.partitionBy(series_col).orderBy("__ts", "__id")
+    ranked = x.select(
+        series_col,
+        "__ts",
+        "__v",
+        "__breach",
+        F.row_number().over(w).alias("__rn"),
+        F.sum(F.col("__breach").cast("int")).over(w).alias("__rnb"),
+    )
+    episodes = (
+        ranked.filter(F.col("__breach"))
+        .withColumn("__grp", F.col("__rn") - F.col("__rnb"))
+        .groupBy(series_col, "__grp")
+        .agg(
+            F.min("__ts").alias("start_ts"),
+            F.max("__ts").alias("end_ts"),
+            F.count("*").alias("n_samples"),
+            F.max("__v").alias("peak"),
+        )
+        .drop("__grp")
+    )
+    return episodes

@@ -171,3 +171,52 @@ def q162_rate_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_ms=3_600_000,
         ps=(0.5, 0.99),
     )
+
+
+# ===========================================================================
+# q163 — threshold-breach episodes (gaps-and-islands alerting)
+# ===========================================================================
+
+_EPISODE_THR = 10_000  # cents; ~the top decile of the value distribution (p90 ≈ 11k)
+
+
+@register(
+    "q163_threshold_episodes",
+    f"""
+    WITH c AS (
+      SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, ts_ms, cents,
+             cents > {_EPISODE_THR} AS breach,
+             row_number() OVER w AS rn,
+             SUM(CASE WHEN cents > {_EPISODE_THR} THEN 1 ELSE 0 END)
+               OVER w AS rnb
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id)
+    )
+    SELECT event_type,
+           CAST(MIN(ts_ms) AS BIGINT) AS start_ts,
+           CAST(MAX(ts_ms) AS BIGINT) AS end_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(cents) AS BIGINT) AS peak
+    FROM r WHERE breach GROUP BY event_type, rn - rnb
+    """,
+)
+def q163_threshold_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive above-threshold runs per event type collapsed into
+    episode rows (tsdb.threshold_episodes) — the gaps-and-islands
+    alerting primitive, done with two SAME-KEYED windows (rank + breach
+    cumsum share one series exchange) instead of a self-join."""
+    from hbase_bulkload_service_spark.operators import tsdb as tsdb_ops
+    from hbase_bulkload_service_spark.registry import cents
+
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_type",
+        "event_id",
+        "ts_ms",
+        cents(F.col("value")).alias("cents"),
+    )
+    return tsdb_ops.threshold_episodes(ev, threshold=_EPISODE_THR)

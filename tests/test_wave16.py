@@ -119,3 +119,78 @@ def test_source_overlap_unordered_pairs_once(spark):
     )
     out = curation.source_overlap(df).collect()
     assert len(out) == 1 and (out[0].source_a, out[0].source_b) == ("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# threshold_episodes
+# ---------------------------------------------------------------------------
+
+
+def _samples(spark, vals, key="m"):
+    from hbase_bulkload_service_spark.operators import tsdb  # noqa: F401
+    rows = [(key, i * 10, v, i) for i, v in enumerate(vals)]
+    return spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+
+
+def test_threshold_episodes_islands(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    # breaches (>5): runs [10,20,30] at idx 1-3 and [40] at idx 6
+    df = _samples(spark, [1, 10, 20, 30, 2, 3, 40, 4])
+    out = sorted(
+        tsdb.threshold_episodes(df, threshold=5).collect(),
+        key=lambda r: r.start_ts,
+    )
+    assert len(out) == 2
+    assert (out[0].start_ts, out[0].end_ts, out[0].n_samples, out[0].peak) == (
+        10, 30, 3, 30
+    )
+    assert (out[1].start_ts, out[1].end_ts, out[1].n_samples, out[1].peak) == (
+        60, 60, 1, 40
+    )
+
+
+def test_threshold_episodes_edges(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    # run touching both ends of the series; equality is NOT a breach
+    df = _samples(spark, [9, 9, 5, 9])
+    out = sorted(
+        tsdb.threshold_episodes(df, threshold=5).collect(),
+        key=lambda r: r.start_ts,
+    )
+    assert [(r.start_ts, r.end_ts, r.n_samples) for r in out] == [
+        (0, 10, 2), (30, 30, 1)
+    ]
+
+
+def test_threshold_episodes_no_breach_empty(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    df = _samples(spark, [1, 2, 3])
+    assert tsdb.threshold_episodes(df, threshold=10).count() == 0
+
+
+def test_threshold_episodes_series_independent(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    a = _samples(spark, [10, 10], key="a")
+    b = _samples(spark, [10, 1, 10], key="b")
+    out = tsdb.threshold_episodes(a.unionByName(b), threshold=5)
+    got = {(r.event_type, r.start_ts, r.n_samples) for r in out.collect()}
+    # a: one 2-sample episode; b: two 1-sample episodes (no cross-series merge)
+    assert got == {("a", 0, 2), ("b", 0, 1), ("b", 20, 1)}
+
+
+def test_threshold_episodes_single_exchange(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    df = _samples(spark, list(range(20)))
+    plan = (
+        tsdb.threshold_episodes(df, threshold=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # rank window, breach cumsum, and the episode agg share ONE exchange
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -81,6 +81,7 @@ PROBE_QUERIES = [
     "q160_user_journeys",      # user-keyed window + path agg share one exchange; top-k TakeOrdered
     "q161_source_overlap",     # digest-keyed self-join, fan-out bounded by source count
     "q162_rate_percentiles",   # composed: (type,user) rate exchange feeds (type,bucket) percentile exchange
+    "q163_threshold_episodes",  # gaps-and-islands: two same-keyed windows + agg share one exchange
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
