@@ -560,3 +560,187 @@ def test_align_series_ratio_differential(spark, tmp_path, rows):
         FROM p WHERE a_val IS NOT NULL AND b_val IS NOT NULL
         """,
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 15_000),
+            st.integers(-(10**6), 10**6),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_grid_fill_linear_differential(spark, tmp_path, rows):
+    """Linear-interpolation fill replayed in DuckDB on random sparse
+    series — including NEGATIVE values (both engines truncate toward
+    zero) and duplicate timestamps (last-by-id representative)."""
+    rows = [(k, ts, v, i) for i, (k, ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    out = tsdb.grid_fill_linear(df, step_ms=1000)
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        """
+        WITH b AS (
+          SELECT event_type, ts_ms // 1000 AS bucket, cents,
+                 row_number() OVER (PARTITION BY event_type, ts_ms // 1000
+                                    ORDER BY ts_ms DESC, event_id DESC) rn
+          FROM t
+        ),
+        obs AS (SELECT event_type, bucket, cents FROM b WHERE rn = 1),
+        span AS (SELECT event_type, MIN(bucket) lo, MAX(bucket) hi
+                 FROM obs GROUP BY event_type),
+        grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+                 FROM span),
+        j AS (SELECT g.event_type, g.bucket, o.cents
+              FROM grid g LEFT JOIN obs o
+                ON o.event_type = g.event_type AND o.bucket = g.bucket),
+        fl AS (
+          SELECT event_type, bucket,
+                 cents IS NOT NULL AS is_observed,
+                 last_value(cents IGNORE NULLS) OVER wf AS pv,
+                 last_value(CASE WHEN cents IS NOT NULL THEN bucket END
+                            IGNORE NULLS) OVER wf AS pb,
+                 first_value(cents IGNORE NULLS) OVER wb AS nv,
+                 first_value(CASE WHEN cents IS NOT NULL THEN bucket END
+                             IGNORE NULLS) OVER wb AS nb
+          FROM j
+          WINDOW wf AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING),
+                 wb AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, CAST(bucket AS BIGINT) bucket,
+               CAST(CASE WHEN is_observed THEN pv
+                    ELSE pv + ((nv - pv) * (bucket - pb)) // (nb - pb)
+                    END AS BIGINT) AS filled,
+               is_observed
+        FROM fl
+        """,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5_000), st.integers(-(10**6), 10**6)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_percentile_downsample_differential(spark, tmp_path, rows):
+    """Exact rank selection per (series, bucket) replayed in DuckDB —
+    duplicate values and negative values included."""
+    df = spark.createDataFrame(
+        [("s", ts, v) for ts, v in rows],
+        "event_type string, ts_ms long, cents long",
+    )
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    out = tsdb.percentile_downsample(df, bucket_ms=1000, ps=(0.25, 0.5, 1.0))
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        """
+        WITH r AS (
+          SELECT event_type, ts_ms // 1000 AS bucket, cents,
+                 row_number() OVER (PARTITION BY event_type, ts_ms // 1000
+                                    ORDER BY cents) rn,
+                 COUNT(*) OVER (PARTITION BY event_type, ts_ms // 1000) n
+          FROM t
+        ),
+        ps AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                              CAST(1.0 AS DOUBLE)]) AS p)
+        SELECT event_type, CAST(bucket AS BIGINT) bucket, p,
+               cents AS quantile_value, CAST(n AS BIGINT) AS bucket_n
+        FROM r CROSS JOIN ps WHERE rn = CAST(ceil(p * n) AS INT)
+        """,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(-10, 10)),
+        min_size=1,
+        max_size=40,
+    ),
+    thr=st.integers(-5, 5),
+)
+@settings(**_SETTINGS)
+def test_threshold_episodes_differential(spark, tmp_path, rows, thr):
+    """Gaps-and-islands replayed in DuckDB — random breach patterns,
+    thresholds on both sides of the value range."""
+    rows = [(k, i * 10, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    out = tsdb.threshold_episodes(df, threshold=thr)
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        f"""
+        WITH r AS (
+          SELECT event_type, ts_ms, cents,
+                 cents > {thr} AS breach,
+                 row_number() OVER w AS rn,
+                 SUM(CASE WHEN cents > {thr} THEN 1 ELSE 0 END) OVER w AS rnb
+          FROM t
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id)
+        )
+        SELECT event_type,
+               CAST(MIN(ts_ms) AS BIGINT) AS start_ts,
+               CAST(MAX(ts_ms) AS BIGINT) AS end_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(MAX(cents) AS BIGINT) AS peak
+        FROM r WHERE breach GROUP BY event_type, rn - rnb
+        """,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 6),                      # user
+            st.sampled_from(["a", "b", "c"]),       # type
+            st.integers(0, 100),                    # ts
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_user_journeys_differential(spark, tmp_path, rows, k):
+    """Path mining replayed in DuckDB — duplicate timestamps resolved by
+    id, truncation to k steps, deterministic tie ranks."""
+    rows = [(u, t, ts, i) for i, (u, t, ts) in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_ms long, event_id long"
+    )
+    out = analytics.user_journeys(df, max_steps=k, top_k=10)
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        f"""
+        WITH r AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts_ms, event_id) rn
+          FROM t
+        ),
+        p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM r WHERE rn <= {k} GROUP BY user_id),
+        c AS (SELECT path, COUNT(*) n_users FROM p GROUP BY path),
+        tt AS (SELECT path, CAST(n_users AS BIGINT) n_users,
+                      CAST(row_number() OVER (ORDER BY n_users DESC, path ASC)
+                           AS INT) rank
+               FROM c)
+        SELECT path, n_users, rank FROM tt WHERE rank <= 10
+        """,
+    )
