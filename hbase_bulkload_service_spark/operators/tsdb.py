@@ -558,20 +558,25 @@ def counter_rate(
     value_col: str = "cents",
     tiebreak_col: str = "event_id",
     drop_resets: bool = False,
+    counter_max: int | None = None,
 ) -> DataFrame:
     """Rate conversion for MONOTONIC counters with reset detection — the
     OpenTSDB RateOptions{counter=true} semantics (reference domain:
     tsdb rate queries; complements :func:`counter_deltas`, which is the
     gauge-delta primitive with no counter interpretation): a counter
     only ever increases, so a NEGATIVE consecutive delta means the
-    process restarted and the counter rebased at zero. Per interior
+    process restarted and the counter rebased at zero — or, for a
+    fixed-width hardware counter, WRAPPED at its maximum. Per interior
     sample this emits
 
     - ``delta``: the counter increase over the interval — the raw lag
-      difference normally; on a reset, the post-reset VALUE itself
-      (the increase since the restart, OpenTSDB's rebase rule), or the
-      row is dropped entirely with ``drop_resets=True`` (the
-      conservative mode when restarts carry pre-reset residue);
+      difference normally; on a negative delta, one of the three
+      OpenTSDB RateOptions modes: the post-reset VALUE itself (the
+      rebase rule, default), ``raw + counter_max`` (the ROLLOVER rule
+      for fixed-width counters, ``counter_max=...`` — OpenTSDB's
+      counterMax), or the row dropped entirely (``drop_resets=True``,
+      the conservative mode when restarts carry pre-reset residue);
+      the two non-default modes are mutually exclusive;
     - ``dt_ms`` and ``rate_micros``: ``delta * 1_000_000_000 div
       dt_ms`` = micro-units per SECOND, integer-exact.
 
@@ -585,6 +590,10 @@ def counter_rate(
     feeding a shared lag window, then map-side arithmetic. Nothing
     after the exchange is wider than the input row.
     """
+    if drop_resets and counter_max is not None:
+        raise ValueError("drop_resets and counter_max are mutually exclusive")
+    if counter_max is not None and counter_max < 1:
+        raise ValueError("counter_max must be >= 1")
     w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
     v = F.col(value_col)
     x = events.select(
@@ -600,6 +609,11 @@ def counter_rate(
         x = x.filter(~reset)
         delta = F.col("__raw_delta")
         is_reset = F.lit(False)
+    elif counter_max is not None:
+        delta = F.when(
+            reset, F.col("__raw_delta") + F.lit(counter_max)
+        ).otherwise(F.col("__raw_delta"))
+        is_reset = reset
     else:
         delta = F.when(reset, v).otherwise(F.col("__raw_delta"))
         is_reset = reset

@@ -552,25 +552,37 @@ def streaming_latest_version_tws(cells):
     )
 
 
-def streaming_counter_rate(samples, drop_resets: bool = False):
+def streaming_counter_rate(
+    samples, drop_resets: bool = False, counter_max: int | None = None
+):
     """Streaming twin of ``tsdb.counter_rate`` — the LIVE monotonic-
     counter rate (OpenTSDB RateOptions{counter=true} over an unbounded
     stream): :func:`streaming_counter_deltas` carries one sample per
     series in state (O(1), watermark-free), and the reset/rebase/rate
     layer is pure map-side arithmetic on its output — the stateful and
     stateless layers split exactly as in the batch operator, so the two
-    cannot drift semantically. Zero-width intervals are dropped
+    cannot drift semantically (all three RateOptions modes: rebase,
+    counter_max rollover, drop). Zero-width intervals are dropped
     (no defined rate); a finite availableNow replay reproduces the
     batch operator exactly (gated by q156 against q151's oracle).
     """
     from pyspark.sql import functions as F
 
+    if drop_resets and counter_max is not None:
+        raise ValueError("drop_resets and counter_max are mutually exclusive")
+    if counter_max is not None and counter_max < 1:
+        raise ValueError("counter_max must be >= 1")
     d = streaming_counter_deltas(samples).filter(F.col("dt_ms") > 0)
     reset = F.col("delta_cents") < 0
     if drop_resets:
         d = d.filter(~reset)
         delta = F.col("delta_cents")
         is_reset = F.lit(False)
+    elif counter_max is not None:
+        delta = F.when(
+            reset, F.col("delta_cents") + F.lit(counter_max)
+        ).otherwise(F.col("delta_cents"))
+        is_reset = reset
     else:
         delta = F.when(reset, F.col("cents")).otherwise(F.col("delta_cents"))
         is_reset = reset

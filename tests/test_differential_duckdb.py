@@ -382,10 +382,10 @@ def test_capped_stratum_sample_differential(spark, tmp_path, n_docs, cap, seed):
         min_size=2,
         max_size=40,
     ),
-    drop_resets=st.booleans(),
+    mode=st.sampled_from(["rebase", "drop", "wrap"]),
 )
 @settings(**_SETTINGS)
-def test_counter_rate_differential(spark, tmp_path, rows, drop_resets):
+def test_counter_rate_differential(spark, tmp_path, rows, mode):
     """Reset detection + rebase + integer rate replayed in DuckDB —
     including duplicate timestamps (zero-width intervals dropped) and
     constant runs (delta 0)."""
@@ -395,17 +395,20 @@ def test_counter_rate_differential(spark, tmp_path, rows, drop_resets):
     )
     from hbase_bulkload_service_spark.operators import tsdb
 
+    cmax = 2**30
     out = tsdb.counter_rate(
-        df, key_cols=("event_type",), drop_resets=drop_resets
+        df,
+        key_cols=("event_type",),
+        drop_resets=(mode == "drop"),
+        counter_max=(cmax if mode == "wrap" else None),
     )
-    reset_clause = (
-        "AND raw_delta >= 0" if drop_resets else ""
-    )
-    is_reset = "FALSE" if drop_resets else "raw_delta < 0"
-    delta = (
-        "raw_delta" if drop_resets
-        else "CASE WHEN raw_delta < 0 THEN cents ELSE raw_delta END"
-    )
+    reset_clause = "AND raw_delta >= 0" if mode == "drop" else ""
+    is_reset = "FALSE" if mode == "drop" else "raw_delta < 0"
+    delta = {
+        "drop": "raw_delta",
+        "rebase": "CASE WHEN raw_delta < 0 THEN cents ELSE raw_delta END",
+        "wrap": f"CASE WHEN raw_delta < 0 THEN raw_delta + {cmax} ELSE raw_delta END",
+    }[mode]
     _compare(
         spark, tmp_path, {"t": df}, out,
         f"""

@@ -386,3 +386,33 @@ def test_streaming_counter_rate_matches_batch(spark, tmp_path):
         # both branches live in the fixture when resets are kept
         if not drop:
             assert any(r[7] for r in got) and any(not r[7] for r in got)
+
+
+def test_streaming_counter_rate_counter_max_matches_batch(spark, tmp_path):
+    from hbase_bulkload_service_spark.operators import tsdb
+    from hbase_bulkload_service_spark.sources.tables import load_events
+
+    d = str(tmp_path / "ratewrap")
+    ev = load_events(spark, "/root/testdata/sf0.001").select(
+        "event_type", "user_id", "event_id", "ts_ms",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    cmax = 1 << 20
+    stream = spark.readStream.schema(st.SAMPLE_SCHEMA).parquet(d)
+    out = st.streaming_counter_rate(stream, counter_max=cmax)
+    _run_to_memory(out, "stream_rate_wrap", "append")
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM stream_rate_wrap").collect())
+    )
+    cols = [
+        "event_type", "user_id", "event_id", "ts_ms", "cents",
+        "delta", "dt_ms", "is_reset", "rate_micros",
+    ]
+    want = sorted(
+        map(
+            tuple,
+            tsdb.counter_rate(ev, counter_max=cmax).select(*cols).collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -269,3 +269,26 @@ def test_dataset_split_quota_side_broadcast(spark):
         docs, {"a": 500_000, "b": 500_000}
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_counter_rate_counter_max_rollover(spark):
+    # 8-bit-style counter wrapping at 256: 250 -> 4 is a wrap of 10
+    rows = [("m", 1, 1000, 250), ("m", 2, 2000, 4)]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts_ms long, cents long"
+    )
+    out = tsdb.counter_rate(
+        df, key_cols=("event_type",), counter_max=256
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.delta == 4 - 250 + 256 == 10 and r.is_reset
+    assert r.rate_micros == 10 * 1_000_000_000 // 1000
+
+
+def test_counter_rate_mode_exclusivity(spark):
+    df = _counter_df(spark)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tsdb.counter_rate(df, drop_resets=True, counter_max=256)
+    with pytest.raises(ValueError, match="counter_max"):
+        tsdb.counter_rate(df, counter_max=0)
