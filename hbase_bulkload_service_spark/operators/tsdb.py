@@ -530,7 +530,13 @@ def grid_fill(
         .filter(F.col("__rn") == 1)
         .select(series_col, "bucket", F.col("__v").alias("__obs"))
     )
-    span = obs.groupBy(series_col).agg(
+    # span from the RAW filtered samples, not from obs: min/max observed
+    # bucket is identical either way, but deriving it from obs would make
+    # the whole representative-window subtree a SECOND plan occurrence
+    # (Spark does not share it across the grid side and the join side —
+    # the stage audit caught the doubled window as the query's dominant
+    # cost); from x it is one cheap map-side-combined agg
+    span = x.groupBy(series_col).agg(
         F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
     )
     grid = span.select(
@@ -734,7 +740,13 @@ def grid_fill_linear(
         .filter(F.col("__rn") == 1)
         .select(series_col, "bucket", F.col("__v").alias("__obs"))
     )
-    span = obs.groupBy(series_col).agg(
+    # span from the RAW filtered samples, not from obs: min/max observed
+    # bucket is identical either way, but deriving it from obs would make
+    # the whole representative-window subtree a SECOND plan occurrence
+    # (Spark does not share it across the grid side and the join side —
+    # the stage audit caught the doubled window as the query's dominant
+    # cost); from x it is one cheap map-side-combined agg
+    span = x.groupBy(series_col).agg(
         F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
     )
     grid = span.select(
