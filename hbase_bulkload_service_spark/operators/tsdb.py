@@ -502,10 +502,14 @@ def grid_fill(
     bucket the representative is the LAST sample by ``(ts, id)`` —
     deterministic and engine-portable.
 
-    Scale shape: the per-bucket representative window and the grid
-    left-join are keyed on (series, bucket) — one exchange, reused by
-    the join; the fill window re-keys on series alone. Every post-scan
-    structure is GRID-sized (n_series x span/step), not corpus-sized:
+    Scale shape: the corpus collapses to per-bucket representatives at
+    the (series, bucket)-keyed window exchange; the grid left-join then
+    runs between two GRID-sized relations (at bench scale the planner
+    broadcasts the representative side; at larger grids it falls back
+    to the shared (series, bucket) keying — either way no corpus-sized
+    side reaches the join), and the fill window re-keys on series
+    alone. Every post-scan structure is GRID-sized (n_series x
+    span/step), not corpus-sized:
     100 TB of raw samples collapse to per-bucket representatives at the
     first exchange. The grid explode is map-side from the per-series
     span row. Caller guards: step_ms must be coarse enough that
