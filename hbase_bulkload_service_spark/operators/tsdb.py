@@ -934,3 +934,87 @@ def threshold_episodes(
         .drop("__grp")
     )
     return episodes
+
+
+def time_weighted_percentile(
+    samples: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    value_col: str = "cents",
+    id_col: str = "event_id",
+    bucket_ms: int = 3_600_000,
+    p_ppm: int = 500_000,
+) -> DataFrame:
+    """Time-weighted percentile downsample — the percentile sibling of
+    :func:`time_weighted_avg`, completing the downsampler family (avg,
+    rank percentile, time-weighted avg, time-weighted percentile): each
+    sample is weighted by its zero-order-hold duration within the
+    bucket, and the percentile is the smallest value whose cumulative
+    hold reaches ``p_ppm`` of the bucket's total hold. This is the
+    estimator that ignores sampling-rate bias — a sensor reporting
+    every second while idle cannot drag the median away from the steady
+    state it reports hourly (plain rank percentiles, q159, weight every
+    sample equally).
+
+    Integer-exact winner rule: smallest ``value`` (ties by ts, id) with
+    ``cum_hold * 1_000_000 >= p_ppm * total_hold``. Duplicate-timestamp
+    samples carry hold 0 except the last by id (the TWA discipline) —
+    they never move the percentile.
+
+    Plan: ONE (series, bucket) exchange — the hold window (time order),
+    the cumulative-hold window (value order), and the winner rank all
+    share it; per-bucket state is a partition-local sort, capped by
+    sample rate x bucket width.
+    """
+    if bucket_ms < 1:
+        raise ValueError("bucket_ms must be >= 1")
+    if not 0 < p_ppm <= 1_000_000:
+        raise ValueError("p_ppm must be in (0, 1e6]")
+    ts, v = F.col(ts_col), F.col(value_col)
+    x = samples.filter(ts.isNotNull() & v.isNotNull()).select(
+        series_col,
+        ts.alias("__ts"),
+        v.alias("__v"),
+        F.col(id_col).alias("__id"),
+        F.expr(f"{ts_col} div {bucket_ms}").alias("bucket"),
+    )
+    w_time = Window.partitionBy(series_col, "bucket").orderBy("__ts", "__id")
+    bucket_end = (F.col("bucket") + 1) * bucket_ms
+    hold = F.coalesce(F.lead("__ts").over(w_time), bucket_end) - F.col("__ts")
+    held = x.select(
+        series_col, "bucket", "__v", "__ts", "__id", hold.alias("__hold")
+    )
+    w_val = (
+        Window.partitionBy(series_col, "bucket")
+        .orderBy("__v", "__ts", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(series_col, "bucket")
+    cum = held.select(
+        series_col,
+        "bucket",
+        "__v",
+        "__ts",
+        "__id",
+        F.sum("__hold").over(w_val).alias("__cum"),
+        F.sum("__hold").over(w_all).alias("total_hold_ms"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    candidates = cum.filter(
+        F.col("__cum") * 1_000_000 >= F.lit(p_ppm) * F.col("total_hold_ms")
+    )
+    w_rank = Window.partitionBy(series_col, "bucket").orderBy(
+        "__v", "__ts", "__id"
+    )
+    return (
+        candidates.withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") == 1)
+        .select(
+            series_col,
+            "bucket",
+            F.lit(p_ppm).alias("p_ppm"),
+            F.col("__v").alias("twp"),
+            "total_hold_ms",
+            "n",
+        )
+    )

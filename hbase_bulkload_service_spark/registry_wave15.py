@@ -183,3 +183,75 @@ def q159_percentile_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsdb_ops.percentile_downsample(
         ev, bucket_ms=3_600_000, ps=(0.5, 0.95, 0.99)
     )
+
+
+# ===========================================================================
+# q164 — time-weighted percentile downsample
+# ===========================================================================
+
+
+@register(
+    "q164_time_weighted_percentile",
+    f"""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, {_CENTS} AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, event_id, ts_ms, cents,
+             ts_ms // 3600000 AS bucket
+      FROM e
+    ),
+    h AS (
+      SELECT event_type, bucket, cents, ts_ms, event_id,
+             COALESCE(lead(ts_ms) OVER (
+                        PARTITION BY event_type, bucket
+                        ORDER BY ts_ms, event_id),
+                      (bucket + 1) * 3600000) - ts_ms AS hold
+      FROM b
+    ),
+    c AS (
+      SELECT event_type, bucket, cents, ts_ms, event_id,
+             SUM(hold) OVER (PARTITION BY event_type, bucket
+                             ORDER BY cents, ts_ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(hold) OVER (PARTITION BY event_type, bucket) AS total,
+             COUNT(*) OVER (PARTITION BY event_type, bucket) AS n
+      FROM h
+    ),
+    f AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                   ORDER BY cents, ts_ms, event_id) AS rk
+      FROM c WHERE cum * 1000000 >= 500000 * total
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(500000 AS BIGINT) AS p_ppm, cents AS twp,
+           CAST(total AS BIGINT) AS total_hold_ms, CAST(n AS BIGINT) AS n
+    FROM f WHERE rk = 1
+    """,
+)
+def q164_time_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted MEDIAN per (event type, hour)
+    (tsdb.time_weighted_percentile): each sample weighted by its
+    zero-order-hold duration — the percentile estimator a bursty
+    sampling rate cannot bias, completing the downsampler family
+    (q138 time-weighted avg, q159 rank percentile). ONE (series,
+    bucket) exchange shared by the hold window, the cumulative-hold
+    window, and the winner rank."""
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_type",
+        "event_id",
+        "ts_ms",
+        cents(F.col("value")).alias("cents"),
+    )
+    out = tsdb_ops.time_weighted_percentile(
+        ev, bucket_ms=3_600_000, p_ppm=500_000
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.col("p_ppm").cast("long").alias("p_ppm"),
+        "twp",
+        "total_hold_ms",
+        "n",
+    )

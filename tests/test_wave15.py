@@ -179,3 +179,75 @@ def test_stale_series_broadcasts_now(spark):
     )
     plan = _plan(tsdb.stale_series(df))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_percentile
+# ---------------------------------------------------------------------------
+
+
+def test_time_weighted_percentile_holds_beat_counts(spark):
+    # value 100 holds 900 of the 1000 ms bucket; nine samples of 1
+    # hold 10 ms each at the end: the time-weighted median is 100 even
+    # though 9 of 10 SAMPLES are 1 (a rank median would say 1)
+    rows = [("m", 0, 100, 0)] + [
+        ("m", 900 + i * 10, 1, i + 1) for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+    r = tsdb.time_weighted_percentile(
+        df, bucket_ms=1000, p_ppm=500_000
+    ).collect()[0]
+    assert r.twp == 100 and r.n == 10 and r.total_hold_ms == 1000
+    # rank median over the same bucket says 1 — the bias this fixes
+    rank = tsdb.percentile_downsample(df, bucket_ms=1000, ps=(0.5,)).collect()
+    assert rank[0].quantile_value == 1
+
+
+def test_time_weighted_percentile_exact_boundary(spark):
+    # two values holding 500 ms each: cum(v=1)=500, 500*1e6 >= 5e5*1000
+    # holds with equality -> the SMALLER value wins at p50 exactly
+    rows = [("m", 0, 1, 0), ("m", 500, 2, 1)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+    r = tsdb.time_weighted_percentile(df, bucket_ms=1000, p_ppm=500_000).collect()[0]
+    assert r.twp == 1
+    # p just above half -> the larger value
+    r2 = tsdb.time_weighted_percentile(df, bucket_ms=1000, p_ppm=500_001).collect()[0]
+    assert r2.twp == 2
+
+
+def test_time_weighted_percentile_duplicate_ts_zero_hold(spark):
+    # duplicate-ts sample holds 0 ms: it never becomes the percentile
+    # unless it is the last by id
+    rows = [("m", 0, 999, 0), ("m", 0, 5, 1)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+    r = tsdb.time_weighted_percentile(df, bucket_ms=1000, p_ppm=1_000_000).collect()[0]
+    # 999 holds 0ms (dup ts, earlier id); 5 holds the full bucket
+    assert r.twp == 5
+
+
+def test_time_weighted_percentile_validates(spark):
+    df = spark.createDataFrame(
+        [("m", 0, 1, 0)], "event_type string, ts_ms long, cents long, event_id long"
+    )
+    with pytest.raises(ValueError, match="p_ppm"):
+        tsdb.time_weighted_percentile(df, p_ppm=0)
+    with pytest.raises(ValueError, match="bucket_ms"):
+        tsdb.time_weighted_percentile(df, bucket_ms=0)
+
+
+def test_time_weighted_percentile_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("m", i, i, i) for i in range(50)],
+        "event_type string, ts_ms long, cents long, event_id long",
+    )
+    plan = (
+        tsdb.time_weighted_percentile(df, bucket_ms=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -82,6 +82,7 @@ PROBE_QUERIES = [
     "q161_source_overlap",     # digest-keyed self-join, fan-out bounded by source count
     "q162_rate_percentiles",   # composed: (type,user) rate exchange feeds (type,bucket) percentile exchange
     "q163_threshold_episodes",  # gaps-and-islands: two same-keyed windows + agg share one exchange
+    "q164_time_weighted_percentile",  # one (series,bucket) exchange: hold, cum, and rank windows share it
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
