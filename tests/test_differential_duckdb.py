@@ -20,6 +20,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from hbase_bulkload_service_spark.operators import analytics, curation
 
 _SETTINGS = dict(
@@ -745,5 +747,159 @@ def test_user_journeys_differential(spark, tmp_path, rows, k):
                            AS INT) rank
                FROM c)
         SELECT path, n_users, rank FROM tt WHERE rank <= 10
+        """,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.sampled_from(["i1", "i2", "i3", "i4", "i5"]),
+            st.one_of(st.none(), st.integers(-(10**6), 10**6)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_topn_other_differential(spark, tmp_path, rows, n):
+    """Top-N fold replayed in DuckDB — NULL values (SUM skips them both
+    sides), ties broken by item, tail-vs-no-tail shapes."""
+    df = spark.createDataFrame(rows, "g string, item string, v long")
+    out = analytics.topn_other(df, "g", "item", "v", n=n).select(
+        "g", "item", "total", "n_rows",
+        # Spark rank is int on top rows / lit int on other; align to long
+        F.col("rank").cast("long").alias("rank"),
+        "is_other",
+    )
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        f"""
+        WITH a AS (
+          SELECT g, item, SUM(v) AS total, COUNT(*) AS n_rows
+          FROM t GROUP BY g, item
+        ),
+        r AS (
+          SELECT g, item, total, n_rows,
+                 row_number() OVER (
+                   PARTITION BY g ORDER BY total DESC NULLS LAST, item ASC
+                 ) AS rank
+          FROM a
+        )
+        SELECT g, item, CAST(total AS BIGINT) total,
+               CAST(n_rows AS BIGINT) n_rows, CAST(rank AS BIGINT) rank,
+               FALSE AS is_other
+        FROM r WHERE rank <= {n}
+        UNION ALL
+        SELECT g, '__other__', CAST(SUM(total) AS BIGINT),
+               CAST(SUM(n_rows) AS BIGINT), CAST({n + 1} AS BIGINT), TRUE
+        FROM r WHERE rank > {n} GROUP BY g
+        """,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.one_of(st.none(), st.sampled_from(["t1", "t2", "t3", "t4"])),
+            st.integers(0, 100),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_source_reputation_differential(spark, tmp_path, rows):
+    """Dup-rate per source replayed in DuckDB — NULL text hashes as
+    empty, small text pools force heavy duplication."""
+    df = spark.createDataFrame(rows, "source string, text string, n_chars long")
+    out = curation.source_reputation(df, dup_threshold_ppm=300_000)
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        """
+        WITH d AS (
+          SELECT source, md5(COALESCE(text, '')) AS dg,
+                 COALESCE(n_chars, 0) AS ch
+          FROM t
+        ),
+        sd AS (SELECT source, dg, COUNT(*) cnt, SUM(ch) chr
+               FROM d GROUP BY source, dg),
+        g AS (SELECT dg, SUM(cnt) gcnt FROM sd GROUP BY dg),
+        s AS (
+          SELECT source, CAST(SUM(cnt) AS BIGINT) n_docs,
+                 CAST(SUM(CASE WHEN gcnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   n_dup_docs,
+                 CAST(SUM(chr) AS BIGINT) total_chars
+          FROM sd JOIN g USING (dg) GROUP BY source
+        )
+        SELECT source, n_docs, n_dup_docs, total_chars,
+               CAST((n_dup_docs * 1000000) // n_docs AS BIGINT) dup_ppm,
+               (n_dup_docs * 1000000) // n_docs > 300000 AS flagged
+        FROM s
+        """,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(-(10**5), 10**5)),
+        min_size=1,
+        max_size=30,
+    ),
+    p_ppm=st.sampled_from([1, 250_000, 500_000, 999_999, 1_000_000]),
+)
+@settings(**_SETTINGS)
+def test_time_weighted_percentile_differential(spark, tmp_path, rows, p_ppm):
+    """Hold-weighted percentile replayed in DuckDB — duplicate
+    timestamps (zero holds), negative values, boundary probes."""
+    rows = [("s", ts, v, i) for i, (ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    out = tsdb.time_weighted_percentile(
+        df, bucket_ms=1000, p_ppm=p_ppm
+    ).select(
+        "event_type", "bucket",
+        F.col("p_ppm").cast("long").alias("p_ppm"),
+        "twp", "total_hold_ms", "n",
+    )
+    _compare(
+        spark, tmp_path, {"t": df}, out,
+        f"""
+        WITH b AS (
+          SELECT event_type, event_id, ts_ms, cents,
+                 ts_ms // 1000 AS bucket
+          FROM t
+        ),
+        h AS (
+          SELECT event_type, bucket, cents, ts_ms, event_id,
+                 COALESCE(lead(ts_ms) OVER (PARTITION BY event_type, bucket
+                                            ORDER BY ts_ms, event_id),
+                          (bucket + 1) * 1000) - ts_ms AS hold
+          FROM b
+        ),
+        c AS (
+          SELECT event_type, bucket, cents, ts_ms, event_id,
+                 SUM(hold) OVER (PARTITION BY event_type, bucket
+                                 ORDER BY cents, ts_ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(hold) OVER (PARTITION BY event_type, bucket) AS total,
+                 COUNT(*) OVER (PARTITION BY event_type, bucket) AS n
+          FROM h
+        ),
+        f AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                       ORDER BY cents, ts_ms, event_id) rk
+          FROM c WHERE cum * 1000000 >= {p_ppm} * total
+        )
+        SELECT event_type, CAST(bucket AS BIGINT) bucket,
+               CAST({p_ppm} AS BIGINT) p_ppm, cents AS twp,
+               CAST(total AS BIGINT) total_hold_ms, CAST(n AS BIGINT) n
+        FROM f WHERE rk = 1
         """,
     )
