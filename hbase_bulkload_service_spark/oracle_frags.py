@@ -79,3 +79,45 @@ FUZZY_EDGES_CTE = """
       WHERE levenshtein(a.s, b.s) <= 1
     )
 """
+
+
+def duck_zoh_grid_ctes(step_ms: int, series_filter: str = "") -> str:
+    """The dense-grid + per-bucket-representative CTE chain shared by the
+    grid-fill family oracles — q141 (registry_wave13, ZOH fill), q152
+    (registry_wave14, aligned ratio) and q157 (registry_wave15, linear
+    fill). One definition so a representative-rule change (last sample
+    by (ts, id) DESC) cannot silently leave one gate testing stale
+    semantics. Produces CTEs ``e``/``b``/``obs``/``span``/``grid``/``j``;
+    callers append their fill/pivot logic over ``j``.
+
+    ``series_filter``: optional extra predicate ANDed into the base
+    selection (e.g. ``AND event_type IN ('click', 'view')``).
+    """
+    return f"""e AS (
+      SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL {series_filter}
+    ),
+    b AS (
+      SELECT event_type, ts_ms // {step_ms} AS bucket, cents,
+             row_number() OVER (
+               PARTITION BY event_type, ts_ms // {step_ms}
+               ORDER BY ts_ms DESC, event_id DESC
+             ) AS rn
+      FROM e
+    ),
+    obs AS (SELECT event_type, bucket, cents FROM b WHERE rn = 1),
+    span AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM obs GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+      FROM span
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket, o.cents
+      FROM grid g LEFT JOIN obs o
+        ON o.event_type = g.event_type AND o.bucket = g.bucket
+    )"""

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.operators import analytics
 from hbase_bulkload_service_spark.operators import tsdb as tsdb_ops
+from hbase_bulkload_service_spark.oracle_frags import duck_zoh_grid_ctes
 from hbase_bulkload_service_spark.registry import register
 from hbase_bulkload_service_spark.sources.tables import load, load_events
 
@@ -28,34 +29,8 @@ from hbase_bulkload_service_spark.sources.tables import load, load_events
 
 @register(
     "q141_grid_fill",
-    """
-    WITH e AS (
-      SELECT event_type, event_id, epoch_ms(ts) AS ts_ms,
-             CAST(FLOOR(value * 100) AS BIGINT) AS cents
-      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-    ),
-    b AS (
-      SELECT event_type, ts_ms // 900000 AS bucket, cents,
-             row_number() OVER (
-               PARTITION BY event_type, ts_ms // 900000
-               ORDER BY ts_ms DESC, event_id DESC
-             ) AS rn
-      FROM e
-    ),
-    obs AS (SELECT event_type, bucket, cents FROM b WHERE rn = 1),
-    span AS (
-      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
-      FROM obs GROUP BY event_type
-    ),
-    grid AS (
-      SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
-      FROM span
-    ),
-    j AS (
-      SELECT g.event_type, g.bucket, o.cents
-      FROM grid g LEFT JOIN obs o
-        ON o.event_type = g.event_type AND o.bucket = g.bucket
-    )
+    f"""
+    WITH {duck_zoh_grid_ctes(900_000)}
     SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
            CAST(last_value(cents IGNORE NULLS) OVER (
              PARTITION BY event_type ORDER BY bucket

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.operators import analytics, curation
 from hbase_bulkload_service_spark.operators import tsdb as tsdb_ops
+from hbase_bulkload_service_spark.oracle_frags import duck_zoh_grid_ctes
 from hbase_bulkload_service_spark.registry import cents, register
 from hbase_bulkload_service_spark.sources.tables import load, load_events
 
@@ -81,34 +82,7 @@ def q151_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q152_aligned_ratio",
     f"""
-    WITH e AS (
-      SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, {_CENTS} AS cents
-      FROM events
-      WHERE ts IS NOT NULL AND value IS NOT NULL
-        AND event_type IN ('click', 'view')
-    ),
-    b AS (
-      SELECT event_type, ts_ms // 900000 AS bucket, cents,
-             row_number() OVER (
-               PARTITION BY event_type, ts_ms // 900000
-               ORDER BY ts_ms DESC, event_id DESC
-             ) AS rn
-      FROM e
-    ),
-    obs AS (SELECT event_type, bucket, cents FROM b WHERE rn = 1),
-    span AS (
-      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
-      FROM obs GROUP BY event_type
-    ),
-    grid AS (
-      SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
-      FROM span
-    ),
-    j AS (
-      SELECT g.event_type, g.bucket, o.cents
-      FROM grid g LEFT JOIN obs o
-        ON o.event_type = g.event_type AND o.bucket = g.bucket
-    ),
+    WITH {duck_zoh_grid_ctes(900_000, "AND event_type IN ('click', 'view')")},
     fl AS (
       SELECT event_type, bucket,
              last_value(cents IGNORE NULLS) OVER (
