@@ -1018,3 +1018,56 @@ def time_weighted_percentile(
             "n",
         )
     )
+
+
+def slo_compliance(
+    samples: DataFrame,
+    threshold: int,
+    series_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    value_col: str = "cents",
+    id_col: str = "event_id",
+    step_ms: int = 900_000,
+    period_ms: int = 86_400_000,
+) -> DataFrame:
+    """SLO compliance report — the SRE reporting surface over a
+    REGULARIZED series (composition: :func:`grid_fill` then a period
+    aggregate): per (series, period) the share of grid slots whose
+    zero-order-held value sits at or under ``threshold``, in integer
+    ppm. Computing compliance on the dense grid — not on raw samples —
+    is the point: a sensor that goes quiet while breaching still
+    accrues breach time through the held value, where a raw-sample
+    ratio would count the silence as compliant by omission.
+
+    Output per (series, period): ``slots``, ``ok_slots``,
+    ``compliance_ppm`` (ok · 1e6 div slots). Periods are
+    ``bucket·step_ms div period_ms`` — step must divide the period for
+    calendar-aligned windows (validated).
+
+    Scale shape: grid_fill's exchanges (see its docstring), then one
+    combiner-bounded (series, period) aggregate over the GRID-sized
+    fill — nothing after the fill is wider than the grid.
+    """
+    if period_ms % step_ms != 0:
+        raise ValueError("step_ms must divide period_ms")
+    g = grid_fill(
+        samples,
+        series_col=series_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        id_col=id_col,
+        step_ms=step_ms,
+    )
+    period = F.expr(f"(bucket * {step_ms}) div {period_ms}")
+    return (
+        g.groupBy(F.col(series_col), period.alias("period"))
+        .agg(
+            F.count("*").alias("slots"),
+            F.sum((F.col("filled") <= threshold).cast("long")).alias(
+                "ok_slots"
+            ),
+        )
+        .withColumn(
+            "compliance_ppm", F.expr("(ok_slots * 1000000) div slots")
+        )
+    )

@@ -220,3 +220,56 @@ def q163_threshold_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("value")).alias("cents"),
     )
     return tsdb_ops.threshold_episodes(ev, threshold=_EPISODE_THR)
+
+
+# ===========================================================================
+# q165 — SLO compliance over the regularized grid
+# ===========================================================================
+
+from hbase_bulkload_service_spark.oracle_frags import (  # noqa: E402
+    duck_zoh_grid_ctes,
+)
+
+
+@register(
+    "q165_slo_compliance",
+    f"""
+    WITH {duck_zoh_grid_ctes(900_000)},
+    fl AS (
+      SELECT event_type, bucket,
+             last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING
+             ) AS filled
+      FROM j
+    )
+    SELECT event_type,
+           CAST((bucket * 900000) // 86400000 AS BIGINT) AS period,
+           CAST(COUNT(*) AS BIGINT) AS slots,
+           CAST(SUM(CASE WHEN filled <= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ok_slots,
+           CAST((SUM(CASE WHEN filled <= 10000 THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS compliance_ppm
+    FROM fl
+    GROUP BY event_type, (bucket * 900000) // 86400000
+    """,
+)
+def q165_slo_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily SLO compliance per event type over the 15-minute ZOH grid
+    (tsdb.slo_compliance — grid_fill composed into a period aggregate):
+    share of slots whose HELD value sits at or under the p90 threshold,
+    in integer ppm. Regularizing first is the semantics: silent
+    breaching intervals accrue breach time through the held value
+    instead of vanishing from a raw-sample ratio."""
+    from hbase_bulkload_service_spark.operators import tsdb as tsdb_ops
+    from hbase_bulkload_service_spark.registry import cents
+
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "event_type",
+        "event_id",
+        "ts_ms",
+        cents(F.col("value")).alias("cents"),
+    )
+    return tsdb_ops.slo_compliance(
+        ev, threshold=10_000, step_ms=900_000, period_ms=86_400_000
+    )

@@ -194,3 +194,53 @@ def test_threshold_episodes_single_exchange(spark):
     )
     # rank window, breach cumsum, and the episode agg share ONE exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# slo_compliance
+# ---------------------------------------------------------------------------
+
+
+def test_slo_compliance_counts_held_breaches(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    # breach at t=0 held silently through buckets 0..3, recovery at t=4000:
+    # raw samples are 50% breach, but the GRID says 4 of 5 slots breach
+    rows = [("m", 0, 99, 0), ("m", 4_000, 1, 1)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+    r = tsdb.slo_compliance(
+        df, threshold=10, step_ms=1000, period_ms=5000
+    ).collect()[0]
+    assert (r.slots, r.ok_slots) == (5, 1)
+    assert r.compliance_ppm == 1_000_000 // 5
+
+
+def test_slo_compliance_period_boundaries(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    rows = [("m", 0, 1, 0), ("m", 9_000, 99, 1)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, cents long, event_id long"
+    )
+    out = {
+        r.period: r
+        for r in tsdb.slo_compliance(
+            df, threshold=10, step_ms=1000, period_ms=5000
+        ).collect()
+    }
+    # grid 0..9; periods 0 (slots 0-4, all held 1 -> ok) and 1 (slots
+    # 5-9: four held 1, slot 9 observed 99 -> breach)
+    assert out[0].ok_slots == 5 and out[0].compliance_ppm == 1_000_000
+    assert out[1].slots == 5 and out[1].ok_slots == 4
+
+
+def test_slo_compliance_validates_alignment(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    df = spark.createDataFrame(
+        [("m", 0, 1, 0)], "event_type string, ts_ms long, cents long, event_id long"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        tsdb.slo_compliance(df, threshold=1, step_ms=900, period_ms=1000)
