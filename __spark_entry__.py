@@ -34,11 +34,11 @@ SF0001 = "/root/testdata/sf0.001"
 # see CORRECTNESS_SELF_r04.json; that replica went 49/49 against the
 # real driver in round 3.
 # ROUND-5 ROTATION PLAN: after r04 every query REGISTERED AT ROUND
-# END except q151-q165 has a driver row in r02∪r03∪r04 (the round-4
+# END except q151-q166 has a driver row in r02∪r03∪r04 (the round-4
 # window is exactly q101-q150 — the wave-13 additions displaced the
 # r02-green rotation slots, which were re-verification only; waves 14-15
-# q151-q165 registered after the window filled and carry selfcheck
-# evidence only). Next round: lead with q151-q165 and any newer
+# q151-q166 registered after the window filled and carry selfcheck
+# evidence only). Next round: lead with q151-q166 and any newer
 # queries, then back-fill the window with the queries whose last
 # driver row is OLDEST — the r02-greens (q01-q25 and the q27-q49
 # sample), so each query gets periodically re-verified.

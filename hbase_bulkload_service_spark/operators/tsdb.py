@@ -1071,3 +1071,59 @@ def slo_compliance(
             "compliance_ppm", F.expr("(ok_slots * 1000000) div slots")
         )
     )
+
+
+def rate_bursts(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type", "user_id"),
+    ts_col: str = "ts_ms",
+    value_col: str = "cents",
+    tiebreak_col: str = "event_id",
+    window_n: int = 4,
+    factor_num: int = 3,
+    factor_den: int = 1,
+) -> DataFrame:
+    """Burst detection over counter rates — the spike alert that
+    completes the alerting family (episodes = sustained level breach,
+    bursts = sudden CHANGE): a sample bursts when its rate is at least
+    ``factor_num/factor_den`` times the mean of its own series'
+    previous ``window_n`` rates. The comparison is division-free —
+    ``rate · den · n >= num · Σ(previous rates)`` — so it is integer-
+    exact and engine-portable with no quotient convention at all.
+    Samples without a full trailing window never flag (a baseline of
+    one noisy point is not a baseline).
+
+    Built on :func:`counter_rate` (default rebase mode); the trailing
+    window shares the rate window's series keying, so the whole
+    detector is ONE keyed exchange end to end.
+
+    Output: the counter_rate columns plus ``base_sum``/``base_n`` (the
+    trailing evidence) and ``is_burst``.
+    """
+    if window_n < 1:
+        raise ValueError("window_n must be >= 1")
+    if factor_num < 1 or factor_den < 1:
+        raise ValueError("factor_num and factor_den must be >= 1")
+    rates = counter_rate(
+        events,
+        key_cols=key_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        tiebreak_col=tiebreak_col,
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-window_n, -1)
+    )
+    x = rates.withColumn(
+        "base_sum", F.sum("rate_micros").over(w)
+    ).withColumn("base_n", F.count("rate_micros").over(w))
+    burst = (
+        (F.col("base_n") == window_n)
+        & (
+            F.col("rate_micros") * factor_den * F.col("base_n")
+            >= factor_num * F.col("base_sum")
+        )
+    )
+    return x.withColumn("is_burst", F.coalesce(burst, F.lit(False)))

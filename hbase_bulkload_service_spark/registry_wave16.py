@@ -273,3 +273,71 @@ def q165_slo_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsdb_ops.slo_compliance(
         ev, threshold=10_000, step_ms=900_000, period_ms=86_400_000
     )
+
+
+# ===========================================================================
+# q166 — burst detection over counter rates
+# ===========================================================================
+
+
+@register(
+    "q166_rate_bursts",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, user_id, event_id, ts_ms, cents,
+             cents - LAG(cents) OVER w AS raw_delta,
+             ts_ms - LAG(ts_ms) OVER w AS dt_ms
+      FROM c
+      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts_ms, event_id)
+    ),
+    f AS (SELECT * FROM d WHERE dt_ms IS NOT NULL AND dt_ms > 0),
+    r AS (
+      SELECT event_type, user_id, event_id, ts_ms, cents,
+             CAST(CASE WHEN raw_delta < 0 THEN cents ELSE raw_delta END
+                  AS BIGINT) AS delta,
+             dt_ms, raw_delta < 0 AS is_reset,
+             CAST((CASE WHEN raw_delta < 0 THEN cents ELSE raw_delta END
+                   * 1000000000) // dt_ms AS BIGINT) AS rate_micros
+      FROM f
+    ),
+    b AS (
+      SELECT *,
+             SUM(rate_micros) OVER wb AS base_sum,
+             COUNT(rate_micros) OVER wb AS base_n
+      FROM r
+      WINDOW wb AS (PARTITION BY event_type, user_id
+                    ORDER BY ts_ms, event_id
+                    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, user_id, event_id, ts_ms, cents, delta, dt_ms,
+           is_reset, rate_micros,
+           CAST(base_sum AS BIGINT) AS base_sum,
+           CAST(base_n AS BIGINT) AS base_n,
+           COALESCE(base_n = 4
+                    AND rate_micros * 1 * base_n >= 3 * base_sum,
+                    FALSE) AS is_burst
+    FROM b
+    """,
+)
+def q166_rate_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike alert per user counter series (tsdb.rate_bursts): a sample
+    bursts when its rate is >= 3x the mean of its previous 4 rates —
+    compared DIVISION-FREE (rate·n >= 3·Σprev) so the verdict is
+    integer-exact with no quotient convention. Completes the alerting
+    family (q163 episodes = sustained level, q166 = sudden change).
+    ONE keyed exchange end to end: the trailing window shares the rate
+    lag window's series keying."""
+    from hbase_bulkload_service_spark.operators import tsdb as tsdb_ops
+    from hbase_bulkload_service_spark.registry import cents
+
+    ev = load_events(spark, sf_dir, spread=True).withColumn(
+        "cents", cents(F.col("value"))
+    )
+    return tsdb_ops.rate_bursts(
+        ev, window_n=4, factor_num=3, factor_den=1
+    )

@@ -244,3 +244,72 @@ def test_slo_compliance_validates_alignment(spark):
     )
     with pytest.raises(ValueError, match="divide"):
         tsdb.slo_compliance(df, threshold=1, step_ms=900, period_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# rate_bursts
+# ---------------------------------------------------------------------------
+
+
+def test_rate_bursts_detects_spike(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    # counter increases 10/sec for 5 intervals, then 100/sec: the jump
+    # is >= 3x the trailing-4 mean -> burst; steady rows never flag
+    vals, ts = [0], [0]
+    for i in range(5):
+        vals.append(vals[-1] + 10); ts.append(ts[-1] + 1000)
+    vals.append(vals[-1] + 100); ts.append(ts[-1] + 1000)
+    rows = [("m", 1, t, v, i) for i, (t, v) in enumerate(zip(ts, vals))]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts_ms long, cents long, event_id long"
+    )
+    out = sorted(
+        tsdb.rate_bursts(df, key_cols=("event_type", "user_id"), window_n=4).collect(),
+        key=lambda r: r.ts_ms,
+    )
+    assert [r.is_burst for r in out] == [False, False, False, False, False, True]
+    last = out[-1]
+    assert last.base_n == 4 and last.base_sum == 4 * 10_000_000
+
+
+def test_rate_bursts_requires_full_window(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    # a 100x jump on the SECOND interval has only 1 trailing rate: no flag
+    rows = [("m", 1, 0, 0, 0), ("m", 1, 1000, 10, 1), ("m", 1, 2000, 1000, 2)]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts_ms long, cents long, event_id long"
+    )
+    out = tsdb.rate_bursts(
+        df, key_cols=("event_type", "user_id"), window_n=4
+    ).collect()
+    assert all(not r.is_burst for r in out)
+
+
+def test_rate_bursts_validates(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    df = spark.createDataFrame(
+        [("m", 1, 0, 0, 0)],
+        "event_type string, user_id long, ts_ms long, cents long, event_id long",
+    )
+    with pytest.raises(ValueError, match="window_n"):
+        tsdb.rate_bursts(df, window_n=0)
+    with pytest.raises(ValueError, match="factor"):
+        tsdb.rate_bursts(df, factor_num=0)
+
+
+def test_rate_bursts_single_exchange(spark):
+    from hbase_bulkload_service_spark.operators import tsdb
+
+    df = spark.createDataFrame(
+        [("m", 1, i * 1000, i * 10, i) for i in range(20)],
+        "event_type string, user_id long, ts_ms long, cents long, event_id long",
+    )
+    plan = (
+        tsdb.rate_bursts(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the rate lag window and the trailing baseline window share one
+    # (event_type, user_id) exchange
+    assert plan.count("Exchange hashpartitioning") == 1

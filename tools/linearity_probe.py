@@ -84,6 +84,7 @@ PROBE_QUERIES = [
     "q163_threshold_episodes",  # gaps-and-islands: two same-keyed windows + agg share one exchange
     "q164_time_weighted_percentile",  # one (series,bucket) exchange: hold, cum, and rank windows share it
     "q165_slo_compliance",     # grid_fill composed into a combiner-bounded (series, period) agg
+    "q166_rate_bursts",        # rate lag + trailing baseline share one series exchange
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
