@@ -521,12 +521,18 @@ def heavy_hitters(df: DataFrame, item_col: str, phi_ppm: int = 10_000) -> DataFr
     k = 2·ceil(1e6/phi_ppm) counters (Arrow-batched mapInPandas, state
     O(k) per task) and emits only the surviving (item, lower_bound)
     counters plus the partition's row count — so NOTHING item-keyed
-    shuffles at data scale; the summary is ≤ k rows per partition.
-    Misra-Gries undercounts by at most n_p/k per partition, hence by at
-    most n/k = n·phi/2 in the merged summary — strictly less than the
-    φ·n threshold, so every true heavy hitter appears in some summary:
-    the merged candidate set is a guaranteed superset (and at most
-    partitions·k rows).
+    shuffles at data scale; the summary is ≤ k rows per partition. Each
+    Arrow batch is pre-counted vectorized (value_counts) and merged as a
+    WEIGHTED MG update (mergeable-summaries form): when the summary
+    exceeds k counters, subtract the (k+1)-th largest count from all and
+    drop the non-positive. Every reduction removes ≥ (k+1)·sub mass, so
+    Σ subs ≤ n_p/(k+1): per-partition undercount ≤ n_p/(k+1), total
+    ≤ n/(k+1) < n·phi/2 — strictly less than the φ·n threshold, so every
+    true heavy hitter appears in some summary: the merged candidate set
+    is a guaranteed superset (and at most partitions·k rows). The
+    reduction runs at most once per batch (not per row — the dict is
+    rebuilt O(n·k/batch) worst case, amortized O(1)/row at Arrow batch
+    sizes), and candidate EXACTNESS never depends on it: pass 2 recounts.
 
     Pass 2 recounts ONLY the candidates exactly (broadcast semi join on
     the scan, then a hash agg over candidate rows) and applies the
@@ -544,16 +550,15 @@ def heavy_hitters(df: DataFrame, item_col: str, phi_ppm: int = 10_000) -> DataFr
         counters: dict = {}
         n_rows = 0
         for pdf in batches:
-            for item in pdf[item_col]:
-                if item is None or item != item:  # NULL / NaN
-                    continue
-                n_rows += 1
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:  # decrement-all step (dict compaction)
-                    counters = {i: c - 1 for i, c in counters.items() if c > 1}
+            vc = pdf[item_col].value_counts(dropna=True)  # vectorized count
+            n_rows += int(vc.sum())
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                # weighted-MG reduction, once per batch: subtract the
+                # (k+1)-th largest count everywhere, drop non-positives
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - sub for i, c in counters.items() if c > sub}
         out = pd.DataFrame(
             {"item": list(counters), "lb": list(counters.values())}
         )

@@ -188,55 +188,88 @@ def resize(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
 # Perceptual-hash near-duplicate detection (image-dedup family)
 # ---------------------------------------------------------------------------
 
-PHASH_CELLS = 60  # 60-bit hash: fits signed int64 WITHOUT the sign bit
-PHASH_BANDS = 4  # 4 bands x 15 bits: pigeonhole-exact for hamming <= 3
-PHASH_BAND_BITS = PHASH_CELLS // PHASH_BANDS
-# Band width is the scale lever: 15-bit bands give 32768 buckets per
-# band, so band-bucket population tracks true near-duplicate density. The
-# original 16-bit/4-bit-band layout had only 16 buckets per band — the
-# band join degenerated to ~quadratic (measured 82x shuffle for 10x docs
-# in the linearity probe); 60 bits brought the same probe to ~linear.
+PHASH_BANDS = 4  # pigeonhole-exact for hamming <= 3
+PHASH_MIN_BAND_BITS = 15  # floor: 32768 buckets/band even on tiny corpora
+PHASH_SLACK_BITS = 2  # 2^band_bits >= 4n -> random collisions <= n/4/band
+# Band width is the scale lever: with band_bits >= log2(n) + 2 the
+# random band-collision term n²/2^band_bits stays <= n/4 per band —
+# LINEAR in the corpus, at any corpus size. The original fixed layouts
+# degenerated measurably (4-bit bands: ~82x shuffle at 10x docs; fixed
+# 15-bit bands: a residual n²/32768 term the r04 probe still saw at
+# 53x) — the width must be DERIVED from n, not pinned.
 
 
-def _phash_stub(payload: bytes) -> int:
+def phash_band_bits_for(n_docs: int) -> int:
+    """Derived band width: max(15, ceil(log2(n)) + 2). Integer-exact via
+    bit_length ((n-1).bit_length() == ceil(log2(n)) for n >= 2); the
+    oracle mirrors it as greatest(15, ceil(log2(n)) + 2) — float log2 is
+    correctly rounded and agrees with bit_length at every n (powers of
+    two are exact doubles; elsewhere the true log sits > 1 ulp from the
+    integer boundary at any feasible corpus size)."""
+    if n_docs < 2:
+        return PHASH_MIN_BAND_BITS
+    return max(
+        PHASH_MIN_BAND_BITS, (n_docs - 1).bit_length() + PHASH_SLACK_BITS
+    )
+
+
+def _phash_stub(payload: bytes, cells: int = PHASH_BANDS * PHASH_MIN_BAND_BITS) -> int:
     """STUB perceptual hash over the fake decode — the aHash recipe on
-    the byte stream instead of pixels: split the payload into 60 cells,
-    set bit j when cell j's mean byte value exceeds the global mean
-    (strict, integer cross-multiplied — no float anywhere, so the hash
-    is bit-identical in any engine). Real deployment: decode, grayscale,
-    60-cell downsample, same thresholding — nothing downstream changes.
+    the byte stream instead of pixels: split the payload into ``cells``
+    cells, set bit j when cell j's mean byte value exceeds the global
+    mean (strict, integer cross-multiplied — no float anywhere, so the
+    hash is bit-identical in any engine). Real deployment: decode,
+    grayscale, ``cells``-cell downsample, same thresholding — nothing
+    downstream changes.
     """
     n = len(payload)
     if n == 0:
         return 0  # well-defined, unlike decode: zero cells -> all bits clear
     total = sum(payload)
     h = 0
-    for j in range(PHASH_CELLS):
-        lo = j * n // PHASH_CELLS
-        hi = (j + 1) * n // PHASH_CELLS
+    for j in range(cells):
+        lo = j * n // cells
+        hi = (j + 1) * n // cells
         if hi > lo and sum(payload[lo:hi]) * n > total * (hi - lo):
             h |= 1 << j
     return h
 
 
-def phash_signature(media: DataFrame) -> DataFrame:
-    """(doc_id, phash) — Arrow-batched perceptual hashing of the binary
+def _phash_bands(payload: bytes, band_bits: int) -> list[int]:
+    """The hash split into PHASH_BANDS contiguous bit bands (band k =
+    bits [k*band_bits, (k+1)*band_bits)) — kept as separate int64 values
+    so the total width PHASH_BANDS*band_bits is NOT capped by one
+    signed long (the fixed-60-bit ceiling the derived width outgrows)."""
+    h = _phash_stub(payload, PHASH_BANDS * band_bits)
+    mask = (1 << band_bits) - 1
+    return [(h >> (band_bits * k)) & mask for k in range(PHASH_BANDS)]
+
+
+def phash_signature(media: DataFrame, band_bits: int | None = None) -> DataFrame:
+    """(doc_id, bands) — Arrow-batched perceptual hashing of the binary
     payload column (mapInPandas; the payload never crosses the JVM as
-    anything but opaque bytes)."""
+    anything but opaque bytes). ``bands`` is the PHASH_BANDS-element
+    band-value array; width defaults to :func:`phash_band_bits_for` of
+    the corpus size (one metadata-cheap count job, no shuffle)."""
+    if band_bits is None:
+        band_bits = phash_band_bits_for(media.count())
+    bb = band_bits
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "phash": [_phash_stub(bytes(p)) for p in pdf["payload"]],
+                    "bands": [_phash_bands(bytes(p), bb) for p in pdf["payload"]],
                 }
             )
 
-    return media.mapInPandas(batches, schema="doc_id long, phash long")
+    return media.mapInPandas(batches, schema="doc_id long, bands array<long>")
 
 
-def phash_neardups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def phash_neardups(
+    media: DataFrame, max_hamming: int = 3, band_bits: int | None = None
+) -> DataFrame:
     """Perceptual near-duplicate pairs: all (a < b) with Hamming distance
     between phashes <= max_hamming — the image-dedup shape of web-scale
     crawl pipelines (near-identical images under re-encode/resize).
@@ -244,50 +277,36 @@ def phash_neardups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     EXACT for max_hamming <= PHASH_BANDS - 1 via multi-index Hamming
     blocking (pigeonhole: <= PHASH_BANDS-1 differing bits cannot touch
     all PHASH_BANDS bands, so a matching band always exists): band
-    equi-join makes candidates, `bit_count(xor)` verifies — no pair
-    space beyond band collisions, no cross product. Band width is the
-    scale lever: 2^PHASH_BAND_BITS buckets per band keeps the random
-    band-collision term at ~n²/2^PHASH_BAND_BITS — grow the width with
-    log2(n) (the 4-bit original degenerated to ~n²/16 candidates; the
-    linearity probe measured 82x shuffle at 10x docs before the widen)."""
+    equi-join makes candidates, per-band `bit_count(xor)` verifies — no
+    pair space beyond band collisions, no cross product. Band width is
+    DERIVED from corpus size (:func:`phash_band_bits_for`: 2^band_bits
+    >= 4n), bounding the random band-collision term n²/2^band_bits at
+    n/4 per band — linear at every scale, where any FIXED width leaves
+    a quadratic residual (measured: 82x shuffle at 10x docs with 4-bit
+    bands; 53x with fixed 15-bit bands in the r04 probe)."""
     if max_hamming > PHASH_BANDS - 1:
         raise ValueError(
             f"blocking is exact only for max_hamming <= {PHASH_BANDS - 1}"
         )
-    sig = phash_signature(media)
+    sig = phash_signature(media, band_bits=band_bits)
     bands = sig.select(
-        "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.expr(
-                            f"shiftright(phash, {PHASH_BAND_BITS * k})"
-                            f" & {(1 << PHASH_BAND_BITS) - 1}"
-                        ).alias("val"),
-                    )
-                    for k in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "phash", "b.band", "b.val")
+        "doc_id", "bands", F.posexplode("bands").alias("band", "val")
+    )
     a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "val"
+        F.col("doc_id").alias("id_a"), F.col("bands").alias("ph_a"), "band", "val"
     )
     b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "val"
+        F.col("doc_id").alias("id_b"), F.col("bands").alias("ph_b"), "band", "val"
+    )
+    ham = F.expr(
+        "aggregate(zip_with(ph_a, ph_b, (x, y) -> bit_count(x ^ y)),"
+        " 0, (acc, v) -> acc + v)"
     )
     return (
         a.join(b, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "ph_a", "ph_b")
         .distinct()
-        .select(
-            "id_a",
-            "id_b",
-            F.expr("bit_count(ph_a ^ ph_b)").cast("int").alias("hamming"),
-        )
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

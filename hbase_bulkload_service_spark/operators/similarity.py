@@ -406,6 +406,46 @@ def ivf_multi_assign(
     )
 
 
+def k_for(n_vectors: int, cell_target: int = 50) -> int:
+    """SemDeDup centroid-count rule (the published recipe, encoded):
+    enough clusters that EXPECTED CELL SIZE stays at ``cell_target`` as
+    the corpus grows — ``k = ceil(n / cell_target)``. Bounds the in-cell
+    quadratic verify at ~cell_target² per cell; with k ∝ n the flat
+    nearest-centroid scoring would itself be n·k = n²/cell_target, which
+    is why :func:`semantic_dedup` assigns through a two-level coarse
+    quantizer (~2·n·sqrt(k) cosines). :func:`pseudo_centroids` with
+    ``every=cell_target`` realizes this rule for dense id spaces."""
+    if n_vectors < 0:
+        raise ValueError("n_vectors must be >= 0")
+    if cell_target < 1:
+        raise ValueError("cell_target must be >= 1")
+    return max(1, -(-n_vectors // cell_target))
+
+
+def _nearest(
+    items: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_id: str,
+    cent_vec: str,
+    out_col: str,
+) -> DataFrame:
+    """Per-item nearest centroid (cos desc, centroid id asc) as ONE
+    broadcast cross product + a map-side-combinable max_by hash agg —
+    no per-item sort window. Passes the item vector through."""
+    scored = items.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        F.col(cent_id).alias("__cid"),
+        cosine_micros(F.col(vec_col), F.col(cent_vec)).alias("__cm"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.expr("max_by(__cid, struct(__cm, -__cid))").alias(out_col),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     tau_micros: int,
@@ -428,29 +468,62 @@ def semantic_dedup(
     O(n^2) comparison space is confined to IVF cells (equi-join on cell,
     one keyed shuffle per side), which is exactly the SemDeDup recipe:
     k-means with enough clusters that cell size, not corpus size, bounds
-    the quadratic term. The final verdict is a left join of the assignment
-    onto the per-vector min-neighbor aggregate. Cross-cell duplicates are
-    the standard recall trade; buy recall with more centroids probed via
-    :func:`ivf_multi_assign` swapped in for the assignment.
+    the quadratic term (:func:`k_for`). With k ∝ n the ASSIGNMENT is the
+    hidden quadratic — flat nearest-centroid scoring is n·k cosines — so
+    assignment goes through a TWO-LEVEL coarse quantizer (the IVF-HNSW /
+    IMI coarse-assign pattern): rank the k centroids by id, take every
+    ceil(sqrt(k))-th as a coarse centroid, map each centroid to its
+    nearest coarse centroid, send each vector to its nearest coarse cell
+    (n·sqrt(k) cosines), then score it only against that cell's
+    centroids (~n·sqrt(k) more). Total ~2·n·sqrt(k) vs n·k — at k = n/50
+    that is n^1.5/7 instead of n²/50, and the r05 linearity probe is the
+    measured receipt. Deterministic: all argmaxes break ties by id, both
+    assignment levels use the same rule, so a duplicate coarse centroid
+    starves consistently (no vector NOR centroid routes to it). A vector
+    whose true nearest fine centroid sits in a neighboring coarse cell
+    may land one cell over — the standard coarse-quantizer recall trade,
+    same lever as nprobe (:func:`ivf_multi_assign`).
 
-    The vector rides THROUGH the assignment window as a pass-through
-    column instead of being re-joined onto the (id, cell) assignment, and
-    the verdict is folded into the pair join (LEFT, with the near-dup
+    The vector rides THROUGH the assignment as a pass-through column
+    instead of being re-joined onto the (id, cell) assignment, the
+    verdict is folded into the pair join (LEFT, with the near-dup
     predicate in the join condition), and the assignment is
-    localCheckpoint'd so the crossJoin+window subtree runs ONCE, not
-    once per self-join side (Spark does not share common subplans
-    without explicit truncation)."""
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        cosine_micros(F.col(vec_col), F.col("cvec")).alias("cm"),
+    localCheckpoint'd so its subtree runs ONCE, not once per self-join
+    side (Spark does not share common subplans without explicit
+    truncation)."""
+    cents = centroids.select("centroid_id", "cvec")
+    kdf = cents.agg(F.count("*").alias("__k"))
+    # every ceil(sqrt(k))-th centroid by id rank — metadata-scale window
+    # (k rows, k = n/cell_target), same discipline as plan_merges
+    coarse = (
+        cents.withColumn(
+            "__crn", F.row_number().over(Window.orderBy("centroid_id"))
+        )
+        .crossJoin(F.broadcast(kdf))
+        .filter(
+            (F.col("__crn") - 1) % F.ceil(F.sqrt("__k")).cast("long") == 0
+        )
+        .select(
+            F.col("centroid_id").alias("coarse_id"),
+            F.col("cvec").alias("covec"),
+        )
+        .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cm").desc(), F.col("centroid_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("centroid_id").alias("cell"), vec_col)
+    c2c = _nearest(
+        cents, coarse, "centroid_id", "cvec", "coarse_id", "covec", "coarse"
+    ).localCheckpoint(eager=False)
+    vcoarse = _nearest(
+        embeddings, coarse, id_col, vec_col, "coarse_id", "covec", "coarse"
+    )
+    fscored = vcoarse.join(F.broadcast(c2c), "coarse").select(
+        id_col,
+        vcoarse[vec_col].alias(vec_col),
+        F.col("centroid_id").alias("__cid"),
+        cosine_micros(vcoarse[vec_col], c2c["cvec"]).alias("__cm"),
+    )
+    assign = fscored.groupBy(id_col).agg(
+        F.expr("max_by(__cid, struct(__cm, -__cid))").alias("cell"),
+        F.first(vec_col).alias(vec_col),
     ).localCheckpoint(eager=False)
     a = assign.select(
         F.col(id_col).alias("vec_a"),

@@ -29,6 +29,7 @@ from hbase_bulkload_service_spark.registry import register
 from hbase_bulkload_service_spark.registry_llm import (
     DOCS_NORM_CTE,
     NEARDUP_THRESHOLD_MICROS,
+    NT,
     _duck_cos_micros,
 )
 from hbase_bulkload_service_spark.sources.tables import load
@@ -91,16 +92,39 @@ def q101_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS centroid_id, embedding AS cvec
       FROM embeddings WHERE vec_id % 50 = 0
     ),
-    s AS (
-      SELECT e.vec_id, c.centroid_id,
-             {_duck_cos_micros("e.embedding", "c.cvec")} AS cm
-      FROM embeddings e, c
+    co AS (
+      SELECT centroid_id AS coarse_id, cvec AS covec FROM (
+        SELECT centroid_id, cvec,
+               row_number() OVER (ORDER BY centroid_id) AS crn,
+               CAST(ceil(sqrt(COUNT(*) OVER ())) AS BIGINT) AS ce
+        FROM c
+      ) WHERE (crn - 1) % ce = 0
+    ),
+    c2c AS (
+      SELECT centroid_id, cvec, coarse_id FROM (
+        SELECT k.centroid_id, k.cvec, o.coarse_id,
+               row_number() OVER (PARTITION BY k.centroid_id
+                 ORDER BY {_duck_cos_micros("k.cvec", "o.covec")} DESC,
+                          o.coarse_id) AS rn
+        FROM c k, co o
+      ) WHERE rn = 1
+    ),
+    vc AS (
+      SELECT vec_id, embedding, coarse_id FROM (
+        SELECT e.vec_id, e.embedding, o.coarse_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos_micros("e.embedding", "o.covec")} DESC,
+                          o.coarse_id) AS rn
+        FROM embeddings e, co o
+      ) WHERE rn = 1
     ),
     assign AS (
-      SELECT vec_id, centroid_id AS cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cm DESC, centroid_id) AS rn
-        FROM s
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, f.centroid_id AS cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_duck_cos_micros("v.embedding", "f.cvec")} DESC,
+                          f.centroid_id) AS rn
+        FROM vc v JOIN c2c f ON f.coarse_id = v.coarse_id
       ) WHERE rn = 1
     ),
     dup AS (
@@ -120,7 +144,11 @@ def q101_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup verdict per vector: IVF-cell-blocked lowest-id-wins
     semantic dedup at the q42 threshold
-    (operators/similarity.py:semantic_dedup)."""
+    (operators/similarity.py:semantic_dedup). Centroids follow the
+    k ∝ n rule (similarity.k_for via pseudo_centroids every=50) and the
+    oracle mirrors the engine's two-level coarse-quantizer assignment
+    CTE-for-CTE (coarse set = every ceil(sqrt(k))-th centroid by id
+    rank; both levels argmax by cos desc, id asc)."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
     return similarity.semantic_dedup(
         emb, NEARDUP_THRESHOLD_MICROS, similarity.pseudo_centroids(emb)
@@ -420,56 +448,78 @@ _CODES = (
 _LSUM = "list_reduce(list_prepend(CAST(0 AS BIGINT), {lst}), (a, b) -> a + b)"
 
 from hbase_bulkload_service_spark.operators.multimodal import (  # noqa: E402
-    PHASH_BAND_BITS,
     PHASH_BANDS,
-    PHASH_CELLS,
+    PHASH_MIN_BAND_BITS,
+    PHASH_SLACK_BITS,
 )
 
-_NC = PHASH_CELLS
-_PHASH_BIT = (
-    f"CASE WHEN ((j + 1) * L) // {_NC} > (j * L) // {_NC}"
+# cell g = k*bb + j (band k, in-band bit j), nc = PHASH_BANDS*bb cells
+_PHASH_CELL = (
+    "CASE WHEN (((k * bb + j) + 1) * L) // nc > ((k * bb + j) * L) // nc"
     " AND "
-    + _LSUM.format(lst=f"codes[(j * L) // {_NC} + 1 : ((j + 1) * L) // {_NC}]")
-    + f" * L > total * (((j + 1) * L) // {_NC} - (j * L) // {_NC})"
+    + _LSUM.format(
+        lst="codes[((k * bb + j) * L) // nc + 1"
+        " : (((k * bb + j) + 1) * L) // nc]"
+    )
+    + " * L > total * ((((k * bb + j) + 1) * L) // nc"
+    " - ((k * bb + j) * L) // nc)"
     " THEN CAST(1 AS BIGINT) << j ELSE 0 END"
+)
+_PHASH_HAM = _LSUM.format(
+    lst=f"list_transform(range(1, {PHASH_BANDS + 1}),"
+    " i -> CAST(bit_count(xor(ba[i], bb2[i])) AS BIGINT))"
 )
 
 
 @register(
     "q109_phash_neardups",
     f"""
-    WITH c AS (
+    WITH nb AS MATERIALIZED (
+      SELECT CAST(greatest({PHASH_MIN_BAND_BITS},
+                           ceil(log2(COUNT(*))) + {PHASH_SLACK_BITS})
+                  AS BIGINT) AS bb,
+             CAST({PHASH_BANDS} * greatest({PHASH_MIN_BAND_BITS},
+                           ceil(log2(COUNT(*))) + {PHASH_SLACK_BITS})
+                  AS BIGINT) AS nc
+      FROM documents
+    ),
+    c AS (
       SELECT doc_id, CAST(length(text) AS BIGINT) AS L, {_CODES} AS codes
       FROM documents
     ),
     t AS (SELECT doc_id, L, codes, {_LSUM.format(lst="codes")} AS total FROM c),
-    ph AS (
+    ph AS MATERIALIZED (
       SELECT doc_id,
-             {_LSUM.format(lst=f"list_transform(range(0, {_NC}), j -> {_PHASH_BIT})")}
-               AS phash
-      FROM t
+             list_transform(range(0, {PHASH_BANDS}), k ->
+               {_LSUM.format(lst=f"list_transform(range(0, bb), j -> {_PHASH_CELL})")})
+               AS bs
+      FROM t, nb
     ),
     bands AS (
-      SELECT doc_id, phash, b AS band,
-             (phash >> ({PHASH_BAND_BITS} * b)) & {(1 << PHASH_BAND_BITS) - 1}
-               AS val
+      SELECT doc_id, bs, b AS band, bs[b + 1] AS val
       FROM ph, unnest({list(range(PHASH_BANDS))}) AS u(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.bs AS ba, b.bs AS bb2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                               AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-    FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
-                             AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST({_PHASH_HAM} AS INT) AS hamming FROM pairs
+    ) WHERE hamming <= 3
     """,
 )
 def q109_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate image pairs over the binary media
-    column: integer aHash (60 cells, cross-multiplied threshold — no
-    float), multi-index Hamming blocking (4x15-bit bands, pigeonhole-exact
-    for distance <= 3), bit_count verify
+    column: integer aHash (cross-multiplied threshold — no float),
+    multi-index Hamming blocking with the band width DERIVED from corpus
+    size (multimodal.phash_band_bits_for: 2^band_bits >= 4n keeps random
+    band collisions <= n/4 per band; pigeonhole-exact for distance <= 3
+    at ANY width), per-band bit_count verify
     (operators/multimodal.py:phash_signature / phash_neardups; ASCII
     corpus => byte values == codepoints, so the oracle recomputes the
-    hash from text)."""
+    banded hash from text with the same derived width)."""
     from hbase_bulkload_service_spark.operators import multimodal
 
     media = multimodal.attach_media(load(spark, sf_dir, "documents", spread=True))
@@ -477,21 +527,98 @@ def q109_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# q110 — BPE vocabulary induction (rows-only: iterative, not SQL-expressible)
+# q110 — BPE vocabulary induction (oracle: 12 merge rounds unrolled as CTEs)
 # ===========================================================================
 
+# The oracle's merge-apply step encodes a symbol sequence as
+# SEP2·sym·SEP2·sym·…·SEP2 (SEP = chr(1), absent from the ASCII corpus;
+# SEP2 = SEP·SEP) and replaces SEP·l·SEP2·r·SEP with SEP·l·r·SEP.
+# DuckDB's replace() scans left-to-right over non-overlapping
+# occurrences — exactly the engine's greedy fold (_merge_pair):
+# * boundary-safe: a match needs l preceded by a single SEP and followed
+#   by SEP2, which in the normalized encoding forces l (and symmetrically
+#   r) to be a FULL symbol, never a symbol suffix/prefix;
+# * chain-safe: each match consumes one SEP from each flanking SEP2 run
+#   and the replacement restores both, so the result stays normalized and
+#   an adjacent occurrence still matches ([a,a,a,a] -> [aa,aa],
+#   [a,a,a] -> [aa,a] — pinned in tests/test_wave7.py).
+_BPE_N = 12
+_SEP = "chr(1)"
+_SEP2 = "(chr(1) || chr(1))"
 
-@register("q110_bpe_merges")
+
+def _bpe_round_ctes(n_rounds: int) -> str:
+    """CTE chain learning ``n_rounds`` sequential BPE merges: w0 is the
+    weighted distinct-word symbol table; each round k counts adjacent
+    pairs (every adjacency, weighted by word count), takes the argmax
+    with the engine's exact tie-break (count DESC, l ASC, r ASC; count
+    >= 2), and applies it via the replace() encoding above. An empty
+    r{k} (no pair repeats) empties w{k} via the cross join, so later
+    rounds yield no merge rows — the engine's early ``break``."""
+    parts = [
+        f"""t AS MATERIALIZED (SELECT {NT} AS nt FROM documents),
+    wd AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(nt, ' ')) AS word FROM t)
+      WHERE word <> '' GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+      SELECT cnt,
+             list_append(string_split(word, ''), '</w>') AS syms
+      FROM wd
+    )"""
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+      SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (
+        SELECT syms[i] AS l, syms[i + 1] AS r, cnt
+        FROM (SELECT cnt, syms,
+                     unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM w{k - 1})
+      )
+      GROUP BY l, r HAVING SUM(cnt) >= 2
+      ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+    )""")
+        parts.append(f"""w{k} AS MATERIALIZED (
+      SELECT cnt, parts[2:len(parts) - 1] AS syms FROM (
+        SELECT w.cnt,
+               str_split(
+                 replace({_SEP2} || array_to_string(w.syms, {_SEP2}) || {_SEP2},
+                         {_SEP} || m.l || {_SEP2} || m.r || {_SEP},
+                         {_SEP} || m.l || m.r || {_SEP}),
+                 {_SEP2}) AS parts
+        FROM w{k - 1} w, r{k} m
+      )
+    )""")
+    return ",\n    ".join(parts)
+
+
+_BPE_MERGES_SQL = (
+    "WITH "
+    + _bpe_round_ctes(_BPE_N)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f'SELECT CAST({k} AS INTEGER) AS "rank", l AS "left",'
+        f' r AS "right", pair_count FROM r{k}'
+        for k in range(1, _BPE_N + 1)
+    )
+)
+
+
+@register("q110_bpe_merges", _BPE_MERGES_SQL)
 def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 12 BPE merges learned from the corpus
-    (operators/textops.py:bpe_merges). Deliberately has no SQL oracle —
-    the merge loop is iterative with a data-dependent argmax each round
-    (same class as kmeans q49 / label propagation q44); exactness is
-    pinned in tests/test_wave7.py against a plain-Python reference
-    implementation (weighted counts, tie-breaks, overlap semantics).
-    batch=8/exact=True exercises the batched scale path — provably
-    identical output to the sequential walk (_pick_safe_batch docstring
-    carries the argument), fewer driver rounds."""
+    (operators/textops.py:bpe_merges). The merge loop is iterative with
+    a data-dependent argmax each round; the oracle unrolls the 12 rounds
+    as chained CTEs (same device as q114 PageRank / q118 k-means /
+    q121 CC) with a separator-encoded replace() reproducing the greedy
+    fold exactly (see _bpe_round_ctes). Exactness is additionally pinned
+    in tests/test_wave7.py against a plain-Python reference (weighted
+    counts, tie-breaks, overlap semantics). batch=8/exact=True exercises
+    the batched scale path — provably identical output to the sequential
+    walk the oracle unrolls (_pick_safe_batch docstring carries the
+    argument), fewer driver rounds."""
     return textops.bpe_merges(
         load(spark, sf_dir, "documents", spread=True),
         n_merges=12,
@@ -501,19 +628,64 @@ def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# q111 — BPE encode (apply learned merges; rows-only like q110)
+# q111 — BPE encode (apply learned merges; oracle re-learns + applies)
 # ===========================================================================
 
+_BPE_ENCODE_SQL = (
+    "WITH "
+    + _bpe_round_ctes(_BPE_N)
+    + f""",
+    dw AS MATERIALIZED (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split({NT}, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    v0 AS MATERIALIZED (
+      SELECT word,
+             {_SEP2} || array_to_string(
+               list_append(string_split(word, ''), '</w>'), {_SEP2})
+                     || {_SEP2} AS s
+      FROM (SELECT DISTINCT word FROM dw)
+    ),
+    """
+    + ",\n    ".join(
+        f"""v{k} AS MATERIALIZED (
+      SELECT v.word,
+             CASE WHEN m.l IS NULL THEN v.s
+                  ELSE replace(v.s,
+                               {_SEP} || m.l || {_SEP2} || m.r || {_SEP},
+                               {_SEP} || m.l || m.r || {_SEP}) END AS s
+      FROM v{k - 1} v LEFT JOIN r{k} m ON TRUE
+    )"""
+        for k in range(1, _BPE_N + 1)
+    )
+    + f""",
+    enc AS MATERIALIZED (
+      SELECT word, len(str_split(s, {_SEP2})) - 2 AS n_tok FROM v{_BPE_N}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
+           CAST((SUM(e.n_tok) * 1000000) // COUNT(*) AS BIGINT)
+             AS tokens_per_word_ppm
+    FROM dw JOIN enc e USING (word) GROUP BY doc_id
+    """
+)
 
-@register("q111_bpe_encode")
+
+@register("q111_bpe_encode", _BPE_ENCODE_SQL)
 def q111_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the q110-learned merge table and report
     per-document token counts + tokens/word ppm
     (operators/textops.py:bpe_encode — merges are driver metadata bound
-    into a pure-map fold chain; no shuffle before the output agg).
-    Rows-only gate for the same reason as q110 (the merge table feeding
-    it is iteratively learned); apply-step exactness is pinned in
-    tests/test_wave7.py against the Python reference."""
+    into a pure-map fold chain over the DISTINCT-WORD table; no shuffle
+    before the output agg). The oracle re-learns the 12 merges with
+    q110's CTE chain, then applies them in rank order to the distinct
+    vocabulary with the same replace() encoding (LEFT JOIN ON TRUE so a
+    merge-starved corpus no-ops the round instead of emptying the
+    vocabulary) and aggregates per document. Apply-step exactness is
+    also pinned in tests/test_wave7.py against the Python reference."""
     docs = load(spark, sf_dir, "documents", spread=True)
     merges = textops.bpe_merges(docs, n_merges=12, batch=8, exact=True)
     return textops.bpe_encode(docs, merges)

@@ -367,10 +367,13 @@ def test_phash_deterministic_and_close_payloads_close_hashes(spark):
         [(1, base), (2, tweaked), (3, base)], "doc_id long, text string"
     )
     media = mm.attach_media(df)
-    sigs = {r["doc_id"]: r["phash"] for r in mm.phash_signature(media).collect()}
+    sigs = {r["doc_id"]: r["bands"] for r in mm.phash_signature(media).collect()}
     assert sigs[1] == sigs[3]                      # deterministic
-    assert sigs[1] == mm._phash_stub(base.encode())  # matches the kernel
-    assert bin(sigs[1] ^ sigs[2]).count("1") <= 2    # 1-byte tweak: tiny drift
+    # 3 docs -> derived band width floors at 15 (kernel default = 60 cells)
+    assert mm.phash_band_bits_for(3) == 15
+    assert sigs[1] == mm._phash_bands(base.encode(), 15)  # matches the kernel
+    drift = sum(bin(x ^ y).count("1") for x, y in zip(sigs[1], sigs[2]))
+    assert drift <= 2                                # 1-byte tweak: tiny drift
 
 
 def test_phash_neardups_pigeonhole_recall(spark):

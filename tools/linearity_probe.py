@@ -330,6 +330,43 @@ def main() -> int:
             sk = rec[f"x{amp}"].get("shuffle_write_mb", 0.0)
             rec["wall_ratio"] = round(wk / w1, 2) if w1 else None
             rec["shuffle_ratio"] = round(sk / s1, 2) if s1 else None
+
+        # Baseline-size floor (round-5, VERDICT r04 item 8): a small x1
+        # denominator can fake a superlinear reading (q149 in r03 read
+        # 19.5x purely because its 1x shuffle was near-zero). Any query
+        # whose shuffle grows > 1.5x faster than the data is auto
+        # re-probed at 3x vs the existing Kx measurement, so the verdict
+        # (real superlinearity vs denominator artifact) is measured by
+        # default instead of adjudicated by hand: linear operators show
+        # ~(K/3)x between 3x and Kx; denominator artifacts collapse.
+        flagged = [
+            (n, r)
+            for n, r in results["queries"].items()
+            if (r.get("shuffle_ratio") or 0) > 1.5 * amp and amp > 3
+        ]
+        if flagged:
+            sc.setJobGroup("amplify-esc", "build 3x escalation inputs")
+            amp3 = _amplify(spark, work, 3)
+            pert3 = _amplify_perturbed(spark, work, 3)
+            for name, rec in flagged:
+                d3 = pert3 if rec["perturbed"] else amp3
+                sc.setJobGroup(f"{name}:x3esc", name)
+                t0 = time.time()
+                registry.QUERIES[name](spark, d3).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                w3 = round(time.time() - t0, 2)
+                spark.catalog.clearCache()
+                g3 = _group_metrics(spark).get(f"{name}:x3esc", {})
+                s3 = g3.get("shuffle_write_mb", 0.0)
+                sk = rec[f"x{amp}"].get("shuffle_write_mb", 0.0)
+                rec["escalation"] = {
+                    "x3": {**g3, "wall_s": w3},
+                    "shuffle_ratio_3_to_k": (
+                        round(sk / s3, 2) if s3 else None
+                    ),
+                    "data_ratio_3_to_k": round(amp / 3, 2),
+                }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
