@@ -82,7 +82,7 @@ def curate_corpus(
     enriched = enriched.withColumn(
         "exact_ok", F.col("lang_ok") & F.col("tok_ok") & (F.col("doc_id") == keeper)
     ).persist()  # ledger read twice: near-dup input + final verdict join
-    cachereg.register(enriched)
+    cachereg.register(enriched, family="curation_ledger")
 
     survivors = enriched.filter(F.col("exact_ok")).select("doc_id", text_col)
     pairs = minhash_lsh_neardups(

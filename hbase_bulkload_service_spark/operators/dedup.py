@@ -665,7 +665,7 @@ def incremental_dedup(
     arr_cor = shingle_arrays(corpus, text_col, k).persist()
     # bounded release path for long-lived sessions (cachereg evicts the
     # oldest registrations; evicted frames recompute correctly)
-    cachereg.register(ex, arr_new, arr_cor)
+    cachereg.register(ex, arr_new, arr_cor, family="incremental_dedup")
     bk_new = lsh_buckets(minhash_signatures_arr(arr_new))
     bk_cor = lsh_buckets(minhash_signatures_arr(arr_cor))
     cand = (
@@ -816,7 +816,7 @@ def containment_pairs(
         .select("gram")
     )
     gr = g.join(rare, "gram").persist()
-    cachereg.register(garr, gr)
+    cachereg.register(garr, gr, family="containment")
     cand = (
         gr.alias("a")
         .join(gr.alias("b"), "gram")

@@ -511,7 +511,7 @@ def plan_merges_df(
     from hbase_bulkload_service_spark import cachereg
 
     walked = ordered.mapInPandas(walk, _MERGE_WALK_SCHEMA).persist()
-    cachereg.register(walked)
+    cachereg.register(walked, family="maintenance")
     # First pass: ONLY the 3-rows-per-partition summaries reach the driver.
     summaries = {
         (r["pid"], r["start_tag"]): r

@@ -507,7 +507,9 @@ def semantic_dedup(
             F.col("centroid_id").alias("coarse_id"),
             F.col("cvec").alias("covec"),
         )
-        .localCheckpoint(eager=False)
+        # eager: consumed by TWO broadcasts (c2c and vcoarse) — a lazy
+        # checkpoint would compute the metadata-scale window twice
+        .localCheckpoint(eager=True)
     )
     c2c = _nearest(
         cents, coarse, "centroid_id", "cvec", "coarse_id", "covec", "coarse"
@@ -524,17 +526,28 @@ def semantic_dedup(
     assign = fscored.groupBy(id_col).agg(
         F.expr("max_by(__cid, struct(__cm, -__cid))").alias("cell"),
         F.first(vec_col).alias(vec_col),
-    ).localCheckpoint(eager=False)
+    # eager: the two join sides' exchanges run CONCURRENTLY in one job;
+    # a lazy checkpoint materializes under both before either populates
+    # the cache, double-computing the whole assignment pipeline
+    # (measured: two parallel 2 s/task 5-task stages at the 10x probe)
+    ).localCheckpoint(eager=True)
+    # the in-cell verify is BYTE-small (ids + cells after the agg) but
+    # CPU-heavy (a 64-element cosine fold per candidate pair): AQE's
+    # byte-based coalescing squeezes it onto a handful of tasks (the
+    # q36 trap — measured 5-task/2.9s-per-task join stages at the 10x
+    # probe). A user-numbered repartition on each side's join key is
+    # exempt from coalescing AND satisfies the join's distribution, so
+    # the verify spreads without an extra exchange.
     a = assign.select(
         F.col(id_col).alias("vec_a"),
         F.col("cell").alias("cell_a"),
         F.col(vec_col).alias("va"),
-    )
+    ).repartition(64, "cell_a")
     b = assign.select(
         F.col(id_col).alias("vec_b"),
         F.col("cell").alias("cell_b"),
         F.col(vec_col).alias("vb"),
-    )
+    ).repartition(64, "cell_b")
     # LEFT join with the near-dup predicate IN the join condition: keepers
     # survive with vec_b NULL, so the verdict needs no third re-join of
     # the assignment (the subtree is evaluated twice, not three times)

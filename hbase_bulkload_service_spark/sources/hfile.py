@@ -283,6 +283,17 @@ def read_hfl1_file(fname: str):
         records.append((key, fam, qual, val))
         off = rec_end
     (trailer_len,) = struct.unpack_from(">I", data, off)
+    # positive end-of-parse check: the walk must land EXACTLY on the
+    # trailer_len field and the trailer must close the file — otherwise
+    # trailer bytes that happened to parse as a fitting record header
+    # were swallowed as a record (detected here explicitly, not via the
+    # incidental count mismatch below)
+    if off + 4 + trailer_len != len(data):
+        raise AssertionError(
+            f"{fname}: record walk ended at {off}, but trailer of"
+            f" {trailer_len} bytes does not close the {len(data)}-byte file"
+            " (misparsed record boundary)"
+        )
     trailer = data[off + 4 : off + 4 + trailer_len]
     (count,) = struct.unpack_from(">I", trailer, 0)
     if count != len(records):
@@ -660,7 +671,9 @@ def read_hfl2_dir(spark, path: str, verify_bloom: bool = False) -> DataFrame:
     )
 
 
-def validate_hfl2_layout(path: str, rollup: bool = False, deep: bool = True) -> None:
+def validate_hfl2_layout(
+    path: str, rollup: bool = False, deep: bool = True
+) -> dict:
     """Adoption check for the binary container (H7 over HFL2): every file
     parses clean (magic, index, DIFF decode, sort), per-region file count
     ≤ 2048, file key ranges match the manifest, region == its keys'
@@ -670,7 +683,12 @@ def validate_hfl2_layout(path: str, rollup: bool = False, deep: bool = True) -> 
     ``deep=False`` (manifest-level checks only, O(files) metadata) and
     run the DISTRIBUTED reader for the per-file invariants —
     read_hfl2_dir(verify_bloom=True) enforces magic/index/DIFF/sort/bloom
-    inside each reading task."""
+    inside each reading task.
+
+    Returns a summary of what WAS checked: with deep=False,
+    ``per_record_validated`` is False and ``pending`` names the
+    distributed step the caller still owes — gates assert on it instead
+    of silently assuming full coverage (VERDICT r04 advice)."""
     step = ROLLUP_BUCKETS_PER_REGION if rollup else 1
     with open(os.path.join(path, "_manifest.json")) as f:
         manifest = json.load(f)
@@ -712,3 +730,18 @@ def validate_hfl2_layout(path: str, rollup: bool = False, deep: bool = True) -> 
     for (lo_a, hi_a, ra), (lo_b, _hi_b, rb) in zip(spans, spans[1:]):
         if lo_b < hi_a and ra != rb:
             raise AssertionError(f"regions {ra} and {rb} overlap in key space")
+    return {
+        "files": len(manifest),
+        "regions": len(per_region),
+        "checked": [
+            "manifest-span-bucket-prefix",
+            "files-per-region-cap",
+            "region-span-disjointness",
+        ]
+        + (["per-record-parse+prefix", "manifest-meta-agreement"] if deep else []),
+        "per_record_validated": bool(deep),
+        "pending": None
+        if deep
+        else "read_hfl2_dir(verify_bloom=True) — distributed per-file"
+        " magic/index/DIFF/sort/bloom invariants",
+    }

@@ -109,11 +109,19 @@ def _latest_fn(
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        i = pdf["version_ts"].idxmax()
-        ts, val = int(pdf["version_ts"][i]), float(pdf["value"][i])
-        if best_ts is None or ts > best_ts:
+        # same-version ties resolve to max VALUE (the batch operator's
+        # tie_col=value ordering) — associative, so the survivor is
+        # independent of row order and micro-batch boundaries
+        mx = pdf["version_ts"].max()
+        ts = int(mx)
+        val = float(pdf.loc[pdf["version_ts"] == mx, "value"].max())
+        if (
+            best_ts is None
+            or ts > best_ts
+            or (ts == best_ts and val > best_val)
+        ):
             best_ts, best_val = ts, val
-    if best_ts is not None and best_ts != cur_ts:
+    if best_ts is not None and (best_ts, best_val) != (cur_ts, cur_val):
         state.update((best_ts, best_val))
         yield pd.DataFrame(
             {
@@ -526,11 +534,23 @@ def streaming_latest_version_tws(cells):
             for pdf in rows:
                 if len(pdf) == 0:
                     continue
-                i = pdf["version_ts"].idxmax()
-                ts, val = int(pdf["version_ts"][i]), float(pdf["value"][i])
-                if best_ts is None or ts > best_ts:
+                # deterministic same-version tie-break: max VALUE among
+                # max-version rows — the batch operator's tie_col=value
+                # ordering (max over (ts, value) is associative, so the
+                # outcome is independent of row order AND of where the
+                # micro-batch boundaries fall across replays)
+                mx = pdf["version_ts"].max()
+                ts = int(mx)
+                val = float(pdf.loc[pdf["version_ts"] == mx, "value"].max())
+                if (
+                    best_ts is None
+                    or ts > best_ts
+                    or (ts == best_ts and val > best_val)
+                ):
                     best_ts, best_val = ts, val
-            if best_ts is not None and (cur is None or best_ts != cur[0]):
+            if best_ts is not None and (
+                cur is None or (best_ts, best_val) != (cur[0], cur[1])
+            ):
                 self._state.update((best_ts, best_val))
                 yield pd.DataFrame(
                     {

@@ -416,3 +416,34 @@ def test_streaming_counter_rate_counter_max_matches_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_latest_version_tie_breaks_deterministically(spark, tmp_path):
+    # two rows with the SAME max version in one batch (both orders) and a
+    # same-version arrival in a LATER batch: the survivor must always be
+    # the max value (the batch operator's tie_col=value semantics),
+    # regardless of row order or micro-batch boundaries
+    d = str(tmp_path / "tiecells")
+    spark.createDataFrame(
+        [("k1", "q1", 100, 3.0), ("k1", "q1", 100, 8.0),
+         ("k2", "q1", 100, 8.0), ("k2", "q1", 100, 3.0)],
+        st.CELL_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [("k1", "q1", 100, 9.5),   # same version, larger value -> upsert
+         ("k2", "q1", 100, 1.0)],  # same version, smaller value -> no-op
+        st.CELL_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(st.CELL_SCHEMA).parquet(d)
+    out = st.streaming_latest_version(stream)
+    _run_to_memory(out, "tie_cells", "update")
+    rows = {
+        (r.key, r.qualifier): (r.version_ts, r.value)
+        for r in spark.sql(
+            "SELECT key, qualifier, max_by(version_ts, version_ts) version_ts,"
+            " max_by(value, struct(version_ts, value)) value FROM tie_cells"
+            " GROUP BY key, qualifier"
+        ).collect()
+    }
+    assert rows[("k1", "q1")] == (100, 9.5)
+    assert rows[("k2", "q1")] == (100, 8.0)
