@@ -62,6 +62,7 @@ PRIORITY = [
     "q111_bpe_encode",
     # -- 3. new round-5 queries (insert here; each displaces one
     #       rotation slot below) --
+    "q167_hfilev3_container",
     # -- 4. oldest-driver-row back-fill (r02-greens, registration order) --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -94,7 +95,6 @@ PRIORITY = [
     "q33_token_count",
     "q34_fingerprint",
     "q35_minhash_lsh",
-    "q36_ngram_jaccard",
 ]
 
 

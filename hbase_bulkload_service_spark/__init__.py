@@ -41,3 +41,4 @@ from hbase_bulkload_service_spark import registry_wave13  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave14  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave15  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave16  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave17  # noqa: E402,F401

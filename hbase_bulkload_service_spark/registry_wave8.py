@@ -70,9 +70,10 @@ def q115_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # config enables: HBaseManager.java:379-385, HFileOutputUtil.java:20-26)
 # ===========================================================================
 
-@register(
-    "q116_hfl2_container",
-    f"""
+# Shared by q116 (HFL2 stand-in container) and q167 (real HFile v3
+# container, registry_wave17): the oracle recomputes the bulkload
+# pipeline from source data and is container-agnostic by construction.
+HFL_CONTAINER_ORACLE = f"""
     WITH {TSDB_CELLS_CTE},
     c1 AS (
       SELECT metric_id, ts_hour, tags, offset_sec, version_ts,
@@ -100,8 +101,10 @@ def q115_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(FLOOR(dvalue * 100) AS BIGINT)) AS BIGINT)
              AS sum_value_cents
     FROM k GROUP BY region
-    """,
-)
+    """
+
+
+@register("q116_hfl2_container", HFL_CONTAINER_ORACLE)
 def q116_hfl2_container(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q56's flagship pipeline driven through the BINARY container: salt →
     dedup → range-partition+sort → HFL2 files (blocked DIFF-encoded
