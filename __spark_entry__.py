@@ -63,6 +63,7 @@ PRIORITY = [
     # -- 3. new round-5 queries (insert here; each displaces one
     #       rotation slot below) --
     "q167_hfilev3_container",
+    "q168_hfilev3_gz",
     # -- 4. oldest-driver-row back-fill (r02-greens, registration order) --
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -94,7 +95,6 @@ PRIORITY = [
     "q32_lang_id",
     "q33_token_count",
     "q34_fingerprint",
-    "q35_minhash_lsh",
 ]
 
 

@@ -69,3 +69,45 @@ def q167_hfilev3_container(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(decode_double_be(F.col("value")) * 100).cast("long")
         ).alias("sum_value_cents"),
     )
+
+
+# ===========================================================================
+# q168 — same e2e gate under the GZ codec (compressed-block framing path)
+# ===========================================================================
+
+
+@register("q168_hfilev3_gz", HFL_CONTAINER_ORACLE)
+def q168_hfilev3_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q167 under ``Compression.Algorithm.GZ``: every block's payload is
+    a gzip member, so onDiskSizeWithoutHeader and
+    uncompressedSizeWithoutHeader genuinely diverge — the compressed-
+    block arithmetic (checksums over compressed bytes, index sizes in
+    on-disk terms, trailer codec ordinal 1) is exercised end-to-end and
+    must reproduce the same per-region summary as the uncompressed gate
+    and the shared container-agnostic oracle. GZ stands in for the
+    reference DDL's SNAPPY (HBaseManager.java:381 — same framing, codec
+    library not present in this container; both are one-ordinal swaps)."""
+    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
+    c1 = cells.withColumn("value", tsdb.encode_double_be(F.col("dvalue")))
+    kv = tsdb.bulkload_kv(c1, num_partitions=16, tie_col="dvalue")
+
+    from hbase_bulkload_service_spark.registry_wave4 import _scratch
+
+    d = _scratch("q168hfilev3gz")
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    hfilev3.write_hfilev3_files(
+        kv, d, rollup=True, num_partitions=16, compression="GZ"
+    )
+    hfile.validate_hfl2_layout(d, rollup=True, deep=False)
+    back = hfilev3.read_hfilev3_dir(spark, d)
+    return back.groupBy("region").agg(
+        F.count("*").alias("n_cells"),
+        F.countDistinct("key_hex").alias("n_keys"),
+        F.min("key_hex").alias("min_key_hex"),
+        F.max("key_hex").alias("max_key_hex"),
+        F.sum(
+            F.floor(decode_double_be(F.col("value")) * 100).cast("long")
+        ).alias("sum_value_cents"),
+    )

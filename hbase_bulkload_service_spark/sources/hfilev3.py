@@ -59,7 +59,8 @@ MINOR_VERSION = 3  # HFileReaderImpl.PBUF_TRAILER_MINOR_VERSION
 VERSION_WORD = (MAJOR_VERSION & 0x00FFFFFF) | (MINOR_VERSION << 24)
 CHECKSUM_CRC32 = 1  # ChecksumType.CRC32 code
 BYTES_PER_CHECKSUM = 16384  # HConstants.DEFAULT_BYTES_PER_CHECKSUM
-COMPRESSION_NONE_ORDINAL = 2  # Compression.Algorithm.{LZO,GZ,NONE,...}
+COMPRESSION_GZ_ORDINAL = 1  # Compression.Algorithm ordinals: LZO,GZ,NONE,..
+COMPRESSION_NONE_ORDINAL = 2
 KEYVALUE_TYPE_PUT = 4  # KeyValue.Type.Put code
 COMPARATOR = b"org.apache.hadoop.hbase.CellComparatorImpl"
 PB_MAGIC = b"PBUF"  # ProtobufMagic.PB_MAGIC (file-info block prefix)
@@ -202,14 +203,26 @@ def _cell_order(row: bytes, fam: bytes, qual: bytes, ts: int) -> tuple:
 
 # --- block framing ----------------------------------------------------------
 
-def _write_block(out, magic: bytes, payload: bytes, prev_offset: int) -> tuple[int, int, int]:
-    """Write one v2/v3 block (33-byte header, payload, CRC32 chunk
-    checksums over header+payload). Returns (offset, on_disk_size_with
-    _header, uncompressed_size_with_header)."""
+def _gzip_compress(payload: bytes) -> bytes:
+    """java.util.zip.GZIPOutputStream-compatible gzip stream (the GZ
+    codec's on-disk bytes are a standard gzip member; any conforming
+    gzip decodes it — readers never compare compressed bytes)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(payload) + co.flush()
+
+
+def _write_block(
+    out, magic: bytes, payload: bytes, prev_offset: int, compress: bool = False
+) -> tuple[int, int, int]:
+    """Write one v2/v3 block (33-byte header, payload — gzip-compressed
+    when ``compress`` — then CRC32 chunk checksums over header + on-disk
+    payload). Returns (offset, on_disk_size_with_header,
+    uncompressed_size_with_header)."""
     offset = out.tell()
-    on_disk_data_with_header = HEADER_SIZE + len(payload)
+    disk_payload = _gzip_compress(payload) if compress else payload
+    on_disk_data_with_header = HEADER_SIZE + len(disk_payload)
     n_chunks = -(-on_disk_data_with_header // BYTES_PER_CHECKSUM)
-    on_disk_without_header = len(payload) + 4 * n_chunks
+    on_disk_without_header = len(disk_payload) + 4 * n_chunks
     header = (
         magic
         + struct.pack(">I", on_disk_without_header)
@@ -220,7 +233,7 @@ def _write_block(out, magic: bytes, payload: bytes, prev_offset: int) -> tuple[i
         + struct.pack(">I", on_disk_data_with_header)
     )
     assert len(header) == HEADER_SIZE
-    checked = header + payload
+    checked = header + disk_payload
     out.write(checked)
     for c in range(n_chunks):
         chunk = checked[c * BYTES_PER_CHECKSUM : (c + 1) * BYTES_PER_CHECKSUM]
@@ -228,9 +241,15 @@ def _write_block(out, magic: bytes, payload: bytes, prev_offset: int) -> tuple[i
     return offset, HEADER_SIZE + on_disk_without_header, HEADER_SIZE + len(payload)
 
 
-def _parse_block(data: bytes, offset: int, expect_magic: bytes | None = None):
-    """Parse + checksum-verify one block; returns (payload,
-    on_disk_size_with_header, prev_offset, magic)."""
+def _parse_block(
+    data: bytes,
+    offset: int,
+    expect_magic: bytes | None = None,
+    compressed: bool = False,
+):
+    """Parse + checksum-verify one block (decompressing GZ payloads when
+    ``compressed``); returns (payload, on_disk_size_with_header,
+    prev_offset, magic)."""
     hdr = data[offset : offset + HEADER_SIZE]
     if len(hdr) < HEADER_SIZE:
         raise AssertionError("truncated block header")
@@ -243,11 +262,9 @@ def _parse_block(data: bytes, offset: int, expect_magic: bytes | None = None):
     (odwh,) = struct.unpack_from(">I", hdr, 29)
     if ctype != CHECKSUM_CRC32 or bpc != BYTES_PER_CHECKSUM:
         raise AssertionError("unexpected checksum config")
-    payload = data[offset + HEADER_SIZE : offset + HEADER_SIZE + uncompressed]
-    if odwh != HEADER_SIZE + len(payload):
-        raise AssertionError("onDiskDataSizeWithHeader disagrees")
+    disk_payload = data[offset + HEADER_SIZE : offset + odwh]
     n_chunks = -(-odwh // BYTES_PER_CHECKSUM)
-    if on_disk_without_header != uncompressed + 4 * n_chunks:
+    if on_disk_without_header != len(disk_payload) + 4 * n_chunks:
         raise AssertionError("onDiskSizeWithoutHeader disagrees")
     checked = data[offset : offset + odwh]
     csums = data[offset + odwh : offset + odwh + 4 * n_chunks]
@@ -256,6 +273,12 @@ def _parse_block(data: bytes, offset: int, expect_magic: bytes | None = None):
         (want,) = struct.unpack_from(">I", csums, 4 * c)
         if zlib.crc32(chunk) & 0xFFFFFFFF != want:
             raise AssertionError(f"CRC mismatch in chunk {c} at offset {offset}")
+    if compressed:
+        payload = zlib.decompress(disk_payload, 16 + zlib.MAX_WBITS)
+    else:
+        payload = disk_payload
+    if len(payload) != uncompressed:
+        raise AssertionError("uncompressedSizeWithoutHeader disagrees")
     return payload, HEADER_SIZE + on_disk_without_header, prev, magic
 
 
@@ -266,10 +289,17 @@ def write_hfile_v3(
     cells,
     block_size: int = DEFAULT_BLOCK_SIZE,
     create_time_ts: int = 0,
+    compression: str = "NONE",
 ) -> dict:
     """Write sorted cells ((row, family, qualifier, ts, value) tuples,
-    ascending by encoded key) as one HFile v3. Returns summary meta
-    (rows, first/last row hex, block count, file size)."""
+    ascending in CellComparator order) as one HFile v3. ``compression``
+    is NONE or GZ (the gzip codec, Compression.Algorithm.GZ — applied to
+    EVERY block's payload, data and load-on-open alike, exactly as the
+    file-wide codec works in HBase). Returns summary meta (rows,
+    first/last row hex, block count, file size)."""
+    if compression not in ("NONE", "GZ"):
+        raise ValueError("compression must be NONE or GZ")
+    gz = compression == "GZ"
     blocks: list[tuple[int, int, bytes]] = []  # (offset, onDiskWithHeader, first_key)
     n_cells = 0
     key_len_sum = 0
@@ -288,7 +318,7 @@ def write_hfile_v3(
             if not cur:
                 return
             off, odwh, unc = _write_block(
-                out, BLOCK_MAGIC_DATA, bytes(cur), prev_data_offset
+                out, BLOCK_MAGIC_DATA, bytes(cur), prev_data_offset, gz
             )
             blocks.append((off, odwh, cur_first_key))
             prev_data_offset = off
@@ -329,12 +359,12 @@ def write_hfile_v3(
             idx_payload += struct.pack(">i", odwh)
             idx_payload += _hadoop_vlong(len(fk)) + fk
         _, _, unc = _write_block(
-            out, BLOCK_MAGIC_ROOT_INDEX, bytes(idx_payload), -1
+            out, BLOCK_MAGIC_ROOT_INDEX, bytes(idx_payload), -1, gz
         )
         total_uncompressed += unc
         uncompressed_index_size = len(idx_payload)
         # meta index (zero entries — still a root-index block)
-        _, _, unc = _write_block(out, BLOCK_MAGIC_ROOT_INDEX, b"", -1)
+        _, _, unc = _write_block(out, BLOCK_MAGIC_ROOT_INDEX, b"", -1, gz)
         total_uncompressed += unc
         # file info
         file_info_offset = out.tell()
@@ -351,7 +381,7 @@ def write_hfile_v3(
             for k, v in sorted(entries)
         )
         fi_payload = PB_MAGIC + _pb_varint(len(proto)) + proto
-        _, _, unc = _write_block(out, BLOCK_MAGIC_FILE_INFO, fi_payload, -1)
+        _, _, unc = _write_block(out, BLOCK_MAGIC_FILE_INFO, fi_payload, -1, gz)
         total_uncompressed += unc
 
         # --- fixed trailer (4096 bytes for v3) ---
@@ -368,7 +398,9 @@ def write_hfile_v3(
                 _pb_field_varint(9, blocks[0][0]),  # first_data_block_offset
                 _pb_field_varint(10, blocks[-1][0]),  # last_data_block_offset
                 _pb_field_bytes(11, COMPARATOR),
-                _pb_field_varint(12, COMPRESSION_NONE_ORDINAL),
+                _pb_field_varint(
+                    12, COMPRESSION_GZ_ORDINAL if gz else COMPRESSION_NONE_ORDINAL
+                ),
             ]
         )
         trailer = TRAILER_MAGIC + _pb_varint(len(tp)) + tp
@@ -425,10 +457,18 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
     }
     if meta["num_data_index_levels"] != 1:
         raise AssertionError("only single-level indexes are written/read")
+    if meta["compression_codec"] == COMPRESSION_GZ_ORDINAL:
+        gz = True
+    elif meta["compression_codec"] == COMPRESSION_NONE_ORDINAL:
+        gz = False
+    else:
+        raise AssertionError(
+            f"unsupported codec ordinal {meta['compression_codec']}"
+        )
 
     # root data index
     idx_payload, idx_size, _, _ = _parse_block(
-        data, meta["load_on_open_offset"], BLOCK_MAGIC_ROOT_INDEX
+        data, meta["load_on_open_offset"], BLOCK_MAGIC_ROOT_INDEX, gz
     )
     entries = []
     pos = 0
@@ -443,13 +483,13 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
         raise AssertionError("root index has trailing bytes")
     # meta index (must parse, zero entries)
     m_payload, _, _, _ = _parse_block(
-        data, meta["load_on_open_offset"] + idx_size, BLOCK_MAGIC_ROOT_INDEX
+        data, meta["load_on_open_offset"] + idx_size, BLOCK_MAGIC_ROOT_INDEX, gz
     )
     if meta["meta_index_count"] == 0 and m_payload != b"":
         raise AssertionError("meta index should be empty")
     # file info
     fi_payload, _, _, _ = _parse_block(
-        data, meta["file_info_offset"], BLOCK_MAGIC_FILE_INFO
+        data, meta["file_info_offset"], BLOCK_MAGIC_FILE_INFO, gz
     )
     if fi_payload[:4] != PB_MAGIC:
         raise AssertionError("file info lacks PBUF magic")
@@ -466,7 +506,7 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
     prev_off = -1
     for i, (off, odwh, first_key) in enumerate(entries):
         payload, size_with_header, prev, magic = _parse_block(
-            data, off, BLOCK_MAGIC_DATA
+            data, off, BLOCK_MAGIC_DATA, gz
         )
         if size_with_header != odwh:
             raise AssertionError(f"index onDiskSize disagrees for block {i}")
@@ -508,7 +548,11 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
 # --- Spark integration (same rolling contract as write_hfl2_files) ---------
 
 def write_hfilev3_files(
-    kv, path: str, rollup: bool = False, num_partitions: int = 16
+    kv,
+    path: str,
+    rollup: bool = False,
+    num_partitions: int = 16,
+    compression: str = "NONE",
 ) -> list[dict]:
     """H2/H3 rolling writer over the REAL v3 container: range-partition +
     sort once (globally non-overlapping regions, the §4.2 contract), then
@@ -535,7 +579,7 @@ def write_hfilev3_files(
             fname = os.path.join(
                 path, f"region_{current_region:05d}_p{pid:05d}.hfile"
             )
-            meta = write_hfile_v3(fname, buf)
+            meta = write_hfile_v3(fname, buf, compression=compression)
             out.append(
                 {
                     "file": os.path.basename(fname),

@@ -186,3 +186,45 @@ def test_rolling_writer_and_distributed_reader(spark, tmp_path):
     open(p, "wb").write(bytes(blob))
     with pytest.raises(Exception):
         h3.read_hfilev3_dir(spark, d).collect()
+
+
+# ---------------------------------------------------------------------------
+# GZ codec (compressed-block framing)
+# ---------------------------------------------------------------------------
+
+def test_gz_roundtrip_and_trailer_codec(tmp_path):
+    import zlib
+    cells = _cells(2000)
+    fn = str(tmp_path / "gz.hfile")
+    w = h3.write_hfile_v3(fn, cells, block_size=4096, compression="GZ")
+    back, meta = h3.read_hfile_v3(fn)
+    assert back == cells
+    assert meta["compression_codec"] == h3.COMPRESSION_GZ_ORDINAL
+    data = open(fn, "rb").read()
+    # first data block payload is a gzip member...
+    assert data[33:35] == b"\x1f\x8b"
+    # ...whose decompressed size matches the header's uncompressed field
+    (on_disk_wo, uncompressed) = struct.unpack_from(">II", data, 8)
+    n_chunks = -(-struct.unpack_from(">I", data, 29)[0] // 16384)
+    disk_payload = data[33 : 33 + on_disk_wo - 4 * n_chunks]
+    assert len(zlib.decompress(disk_payload, 16 + zlib.MAX_WBITS)) == uncompressed
+    # and GZ genuinely shrinks the file vs NONE on this data
+    fn2 = str(tmp_path / "plain.hfile")
+    w2 = h3.write_hfile_v3(fn2, cells, block_size=4096)
+    assert w["file_bytes"] < w2["file_bytes"]
+
+
+def test_gz_corruption_detected_before_decompress(tmp_path):
+    fn = str(tmp_path / "gzc.hfile")
+    h3.write_hfile_v3(fn, _cells(500), block_size=2048, compression="GZ")
+    blob = bytearray(open(fn, "rb").read())
+    blob[50] ^= 0xFF  # inside the compressed payload -> CRC catches it
+    fn2 = str(tmp_path / "gzbad.hfile")
+    open(fn2, "wb").write(bytes(blob))
+    with pytest.raises(AssertionError, match="CRC"):
+        h3.read_hfile_v3(fn2)
+
+
+def test_unknown_codec_rejected(tmp_path):
+    with pytest.raises(ValueError, match="NONE or GZ"):
+        h3.write_hfile_v3(str(tmp_path / "x.hfile"), _cells(5), compression="SNAPPY")
