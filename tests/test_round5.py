@@ -266,9 +266,16 @@ def test_cachereg_family_isolation_and_self_protection(spark):
 def test_incremental_dedup_storage_bounded_across_calls(spark):
     # VERDICT r04 item 6: repeated ingest batches in one long session
     # must not grow executor storage without bound
+    import time
+
     from hbase_bulkload_service_spark import cachereg
     from hbase_bulkload_service_spark.operators import dedup
     cachereg.release_all()
+
+    def storage_count():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = storage_count()  # earlier tests may have live persists
     corpus = spark.createDataFrame(
         [(i, f"corpus document number {i} alpha beta gamma") for i in range(40)],
         "doc_id long, text string",
@@ -282,10 +289,11 @@ def test_incremental_dedup_storage_bounded_across_calls(spark):
         dedup.incremental_dedup(batch, corpus).collect()
         # the family keep bound caps registered frames regardless of calls
         assert cachereg.registered_count() <= 8
-    persisted = [
-        r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    ]
-    # 3 persists/call x 4 calls = 12 without the bound; the registry
-    # keeps at most 4 for the family (+ anything other tests left)
-    assert len(persisted) <= 8
+    # 3 persists/call x 4 calls = 12 NEW entries without the bound; the
+    # registry keeps 4 for the family (unpersist is async — poll briefly)
+    for _ in range(20):
+        if storage_count() - base <= 8:
+            break
+        time.sleep(0.25)
+    assert storage_count() - base <= 8
     cachereg.release_all()
