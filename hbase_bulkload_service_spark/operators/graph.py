@@ -259,7 +259,21 @@ def kcore_rounds(
             .groupBy("node")
             .agg(F.count("*").alias("degree"))
         )
-        keep = deg.filter(F.col("degree") >= k).select("node")
+        # EAGER checkpoint: ``keep`` feeds BOTH endpoint semi-joins and
+        # ``cur`` feeds the degree agg plus both joins — without
+        # materialization each reference recomputes the whole peel
+        # pipeline (the r05 component probe measured kcore shuffle
+        # growing 5.0x for 3.33x data purely from re-evaluated subtrees
+        # straddling the broadcast-estimate cliff; with the checkpoint
+        # the per-round cost is one degree agg + two keyed semi-joins
+        # over the CACHED frontier). Eager also makes the previous
+        # round's lazy cur materialize inside THIS single job, so no
+        # two consumers ever race to compute it.
+        keep = (
+            deg.filter(F.col("degree") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
         cur = (
             cur.join(keep.withColumnRenamed("node", "x"), "x", "left_semi")
             .join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
