@@ -122,8 +122,16 @@ def cosine_neardup_pairs(
     b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     if centroids is not None:
         assign = ivf_assign(embeddings, centroids).select(id_col, "cell")
-        a = a.join(assign.withColumnRenamed(id_col, "vec_a"), "vec_a")
-        b = b.join(assign.withColumnRenamed(id_col, "vec_b"), "vec_b")
+        # numbered repartition on the join key: the in-cell cosine verify
+        # is byte-small but CPU-heavy, and AQE's byte-based coalescing
+        # serializes it onto one task otherwise (the q36/q102 trap —
+        # r05 stage audit caught a 1-task 1 s verify stage here)
+        a = a.join(assign.withColumnRenamed(id_col, "vec_a"), "vec_a").repartition(
+            64, "cell"
+        )
+        b = b.join(assign.withColumnRenamed(id_col, "vec_b"), "vec_b").repartition(
+            64, "cell"
+        )
         pairs = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
