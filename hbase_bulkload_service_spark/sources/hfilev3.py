@@ -655,3 +655,66 @@ def read_hfilev3_dir(spark, path: str):
         "region int, key binary, key_hex string, family binary, "
         "qualifier binary, qualifier_hex string, value binary",
     )
+
+
+# --- index-seek point read ---------------------------------------------------
+
+def seek_row_hfile_v3(fname: str, row: bytes) -> list:
+    """Point-get through the block index — the read path a region server
+    serves from these files: parse the fixed trailer + root index
+    (load-on-open metadata only), binary-search the index entries'
+    first keys for the LAST block whose first key is <= the probe row,
+    and scan ONLY that block (plus successors while their first key
+    still matches the row — a row can straddle a block boundary when it
+    carries many qualifiers). Returns the row's cells; never touches
+    any other data block, which is the whole point of the index."""
+    with open(fname, "rb") as f:
+        data = f.read()
+    (version_word,) = struct.unpack_from(">I", data, len(data) - 4)
+    if version_word != VERSION_WORD:
+        raise AssertionError("not an HFile v3")
+    toff = len(data) - TRAILER_SIZE_V3
+    if data[toff : toff + 8] != TRAILER_MAGIC:
+        raise AssertionError("bad trailer magic")
+    tlen, pos = _pb_read_varint(data, toff + 8)
+    t = _pb_decode(data[pos : pos + tlen])
+    gz = t[12][0] == COMPRESSION_GZ_ORDINAL
+    idx_payload, _, _, _ = _parse_block(
+        data, t[2][0], BLOCK_MAGIC_ROOT_INDEX, gz
+    )
+    entries = []
+    pos = 0
+    for _ in range(t[5][0]):
+        (off,) = struct.unpack_from(">q", idx_payload, pos)
+        (odwh,) = struct.unpack_from(">i", idx_payload, pos + 8)
+        klen, kpos = _read_hadoop_vlong(idx_payload, pos + 12)
+        key = idx_payload[kpos : kpos + klen]
+        pos = kpos + klen
+        entries.append((off, odwh, key))
+    # binary search: first candidate block = the last one whose first
+    # key sorts BEFORE any possible cell of `row` (the row's first cell
+    # may sit mid-block); later row-straddling blocks are walked forward
+    import bisect
+
+    probe_low = (row, b"", b"", -(1 << 62))  # sorts before any cell of row
+    orders = [_cell_order(*decode_cell_key(k)[:3], decode_cell_key(k)[3])
+              for _, _, k in entries]
+    start = max(0, bisect.bisect_right(orders, probe_low) - 1)
+    cells = []
+    for i in range(start, len(entries)):
+        first_row = orders[i][0]
+        if i > start and first_row > row:
+            break
+        payload, _, _, _ = _parse_block(data, entries[i][0], BLOCK_MAGIC_DATA, gz)
+        pos2 = 0
+        while pos2 < len(payload):
+            klen, vlen = struct.unpack_from(">II", payload, pos2)
+            key = payload[pos2 + 8 : pos2 + 8 + klen]
+            value = payload[pos2 + 8 + klen : pos2 + 8 + klen + vlen]
+            pos2 += 8 + klen + vlen
+            r, fam, qual, ts, _typ = decode_cell_key(key)
+            if r == row:
+                cells.append((r, fam, qual, ts, value))
+            elif r > row:
+                return cells
+    return cells

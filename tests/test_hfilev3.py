@@ -228,3 +228,27 @@ def test_gz_corruption_detected_before_decompress(tmp_path):
 def test_unknown_codec_rejected(tmp_path):
     with pytest.raises(ValueError, match="NONE or GZ"):
         h3.write_hfile_v3(str(tmp_path / "x.hfile"), _cells(5), compression="SNAPPY")
+
+
+# ---------------------------------------------------------------------------
+# index-seek point read
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("comp", ["NONE", "GZ"])
+def test_seek_row_reads_only_needed_blocks(tmp_path, comp):
+    cells = []
+    for i in range(300):
+        nq = 30 if i % 53 == 0 else 2  # fat rows straddle block bounds
+        for q in range(nq):
+            cells.append((b"row%05d" % i, b"d", b"q%03d" % q, 0, b"v%d.%d" % (i, q)))
+    cells.sort(key=lambda c: h3._cell_order(*c[:4]))
+    fn = str(tmp_path / f"s{comp}.hfile")
+    h3.write_hfile_v3(fn, cells, block_size=512, compression=comp)
+    for probe in [0, 1, 52, 53, 106, 150, 299]:
+        row = b"row%05d" % probe
+        got = h3.seek_row_hfile_v3(fn, row)
+        assert got == [c for c in cells if c[0] == row]
+    # misses before, between, and after the key space
+    assert h3.seek_row_hfile_v3(fn, b"aaa") == []
+    assert h3.seek_row_hfile_v3(fn, b"row00000x") == []
+    assert h3.seek_row_hfile_v3(fn, b"zzz") == []
