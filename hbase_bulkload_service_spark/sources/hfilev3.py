@@ -31,10 +31,14 @@ Choices within the format (all valid HFiles):
   ``includesMvcc=false`` — the bulk-load writer's configuration), so a
   cell is the classic KeyValue: keyLen(4) valueLen(4) rowLen(2) row
   famLen(1) family qualifier timestamp(8) type(1=Put:4) value.
-- single-level root index (``num_data_index_levels=1``) — valid for any
-  block count, what HBase itself writes until the root chunk overflows
-  128 KiB; entries are (offset u64, onDiskSizeWithHeader u32,
-  vint-prefixed first key).
+- one- or two-level block index: a single-level root (what HBase writes
+  until the root chunk overflows 128 KiB; entries are (offset u64,
+  onDiskSizeWithHeader u32, vint-prefixed first key)), or — with
+  ``index_chunk_entries`` set — inline LEAF_INDEX blocks in HBase's
+  non-root format (entry count, secondary-offset array, raw-key
+  entries) with the root pointing at the leaves
+  (``num_data_index_levels=2``, the shape a multi-GB region file needs
+  so the load-on-open root stays small).
 
 The protobuf wire encoding (needed for FileInfo + trailer) is emitted by
 a ~30-line varint encoder — no protobuf dependency.
@@ -50,6 +54,7 @@ import zlib
 # --- pinned v3 layout constants (Apache HBase public format) --------------
 BLOCK_MAGIC_DATA = b"DATABLK*"
 BLOCK_MAGIC_ROOT_INDEX = b"IDXROOT2"
+BLOCK_MAGIC_LEAF_INDEX = b"IDXLEAF2"
 BLOCK_MAGIC_FILE_INFO = b"FILEINF2"
 TRAILER_MAGIC = b'TRABLK"$'
 HEADER_SIZE = 33  # HConstants.HFILEBLOCK_HEADER_SIZE (v2/v3, with checksums)
@@ -284,19 +289,60 @@ def _parse_block(
 
 # --- writer -----------------------------------------------------------------
 
+def _leaf_index_payload(entries: list[tuple[int, int, bytes]]) -> bytes:
+    """HBase non-root index block format: int numEntries, an
+    (numEntries+1)-int secondary-offset array (entry start offsets
+    relative to the entries blob, plus the end sentinel), then entries
+    of (long blockOffset, int onDiskSizeWithHeader, raw key — lengths
+    come from the secondary index, no vint prefix)."""
+    blob = bytearray()
+    offsets = []
+    for off, odwh, key in entries:
+        offsets.append(len(blob))
+        blob += struct.pack(">q", off) + struct.pack(">i", odwh) + key
+    offsets.append(len(blob))
+    return (
+        struct.pack(">i", len(entries))
+        + b"".join(struct.pack(">i", o) for o in offsets)
+        + bytes(blob)
+    )
+
+
+def _parse_leaf_index(payload: bytes) -> list[tuple[int, int, bytes]]:
+    (n,) = struct.unpack_from(">i", payload, 0)
+    offs = struct.unpack_from(f">{n + 1}i", payload, 4)
+    base = 4 + 4 * (n + 1)
+    if base + offs[-1] != len(payload):
+        raise AssertionError("leaf index secondary offsets do not close")
+    out = []
+    for i in range(n):
+        o = base + offs[i]
+        (boff,) = struct.unpack_from(">q", payload, o)
+        (odwh,) = struct.unpack_from(">i", payload, o + 8)
+        key = payload[o + 12 : base + offs[i + 1]]
+        out.append((boff, odwh, key))
+    return out
+
+
 def write_hfile_v3(
     fname: str,
     cells,
     block_size: int = DEFAULT_BLOCK_SIZE,
     create_time_ts: int = 0,
     compression: str = "NONE",
+    index_chunk_entries: int = 0,
 ) -> dict:
     """Write sorted cells ((row, family, qualifier, ts, value) tuples,
     ascending in CellComparator order) as one HFile v3. ``compression``
     is NONE or GZ (the gzip codec, Compression.Algorithm.GZ — applied to
     EVERY block's payload, data and load-on-open alike, exactly as the
-    file-wide codec works in HBase). Returns summary meta (rows,
-    first/last row hex, block count, file size)."""
+    file-wide codec works in HBase). ``index_chunk_entries > 0`` writes
+    a TWO-LEVEL index: inline LEAF_INDEX blocks every that-many data
+    blocks (HBase's non-root format) with the root pointing at the
+    leaves — the shape that keeps the load-on-open root small for
+    multi-GB files (HBase switches on a 128 KiB root-chunk bound; an
+    explicit entry count keeps tests deterministic). Returns summary
+    meta (rows, first/last row hex, block count, file size)."""
     if compression not in ("NONE", "GZ"):
         raise ValueError("compression must be NONE or GZ")
     gz = compression == "GZ"
@@ -308,10 +354,29 @@ def write_hfile_v3(
     last_key = None
     total_uncompressed = 0
 
+    leaves: list[tuple[int, int, bytes]] = []  # (offset, odwh, first key)
+    leaf_payload_bytes = 0
     with open(fname, "wb") as out:
         cur = bytearray()
         cur_first_key = None
         prev_data_offset = -1
+        prev_leaf_offset = -1
+        pending_leaf: list[tuple[int, int, bytes]] = []
+
+        def flush_leaf():
+            nonlocal pending_leaf, prev_leaf_offset, total_uncompressed
+            nonlocal leaf_payload_bytes
+            if not pending_leaf:
+                return
+            payload = _leaf_index_payload(pending_leaf)
+            leaf_payload_bytes += len(payload)
+            off, odwh, unc = _write_block(
+                out, BLOCK_MAGIC_LEAF_INDEX, payload, prev_leaf_offset, gz
+            )
+            leaves.append((off, odwh, pending_leaf[0][2]))
+            prev_leaf_offset = off
+            total_uncompressed += unc
+            pending_leaf = []
 
         def flush_data():
             nonlocal cur, cur_first_key, prev_data_offset, total_uncompressed
@@ -325,6 +390,10 @@ def write_hfile_v3(
             total_uncompressed += unc
             cur = bytearray()
             cur_first_key = None
+            if index_chunk_entries > 0:
+                pending_leaf.append((off, odwh, blocks[-1][2]))
+                if len(pending_leaf) >= index_chunk_entries:
+                    flush_leaf()
 
         last_order = None
         for row, fam, qual, ts, value in cells:
@@ -350,11 +419,15 @@ def write_hfile_v3(
         if n_cells == 0:
             raise AssertionError("refusing to write an empty HFile")
 
+        flush_leaf()  # tail chunk (two-level mode only)
+
         # --- load-on-open section ---
         load_on_open_offset = out.tell()
-        # root data index (single level)
+        # root data index: entries point at data blocks (1 level) or at
+        # the inline leaf index blocks (2 levels)
+        root_entries = leaves if index_chunk_entries > 0 else blocks
         idx_payload = bytearray()
-        for off, odwh, fk in blocks:
+        for off, odwh, fk in root_entries:
             idx_payload += struct.pack(">q", off)
             idx_payload += struct.pack(">i", odwh)
             idx_payload += _hadoop_vlong(len(fk)) + fk
@@ -362,7 +435,7 @@ def write_hfile_v3(
             out, BLOCK_MAGIC_ROOT_INDEX, bytes(idx_payload), -1, gz
         )
         total_uncompressed += unc
-        uncompressed_index_size = len(idx_payload)
+        uncompressed_index_size = len(idx_payload) + leaf_payload_bytes
         # meta index (zero entries — still a root-index block)
         _, _, unc = _write_block(out, BLOCK_MAGIC_ROOT_INDEX, b"", -1, gz)
         total_uncompressed += unc
@@ -391,10 +464,11 @@ def write_hfile_v3(
                 _pb_field_varint(2, load_on_open_offset),
                 _pb_field_varint(3, uncompressed_index_size),
                 _pb_field_varint(4, total_uncompressed),
-                _pb_field_varint(5, len(blocks)),  # data_index_count
+                _pb_field_varint(5, len(root_entries)),  # data_index_count
                 _pb_field_varint(6, 0),  # meta_index_count
                 _pb_field_varint(7, n_cells),  # entry_count
-                _pb_field_varint(8, 1),  # num_data_index_levels
+                # root entry count / index depth (2 with inline leaves)
+                _pb_field_varint(8, 2 if index_chunk_entries > 0 else 1),
                 _pb_field_varint(9, blocks[0][0]),  # first_data_block_offset
                 _pb_field_varint(10, blocks[-1][0]),  # last_data_block_offset
                 _pb_field_bytes(11, COMPARATOR),
@@ -455,8 +529,8 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
         "comparator": tfields[11][0].decode(),
         "compression_codec": tfields[12][0],
     }
-    if meta["num_data_index_levels"] != 1:
-        raise AssertionError("only single-level indexes are written/read")
+    if meta["num_data_index_levels"] not in (1, 2):
+        raise AssertionError("only 1- and 2-level indexes are written/read")
     if meta["compression_codec"] == COMPRESSION_GZ_ORDINAL:
         gz = True
     elif meta["compression_codec"] == COMPRESSION_NONE_ORDINAL:
@@ -481,6 +555,20 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
         entries.append((off, odwh, key))
     if pos != len(idx_payload):
         raise AssertionError("root index has trailing bytes")
+    if meta["num_data_index_levels"] == 2:
+        # root points at inline LEAF_INDEX blocks; expand to data entries
+        data_entries = []
+        for off, odwh, first_key in entries:
+            payload, size_wh, _, _ = _parse_block(
+                data, off, BLOCK_MAGIC_LEAF_INDEX, gz
+            )
+            if size_wh != odwh:
+                raise AssertionError("root onDiskSize disagrees for a leaf")
+            leaf = _parse_leaf_index(payload)
+            if not leaf or leaf[0][2] != first_key:
+                raise AssertionError("leaf first-key disagrees with root")
+            data_entries.extend(leaf)
+        entries = data_entries
     # meta index (must parse, zero entries)
     m_payload, _, _, _ = _parse_block(
         data, meta["load_on_open_offset"] + idx_size, BLOCK_MAGIC_ROOT_INDEX, gz
@@ -679,10 +767,11 @@ def seek_row_hfile_v3(fname: str, row: bytes) -> list:
     tlen, pos = _pb_read_varint(data, toff + 8)
     t = _pb_decode(data[pos : pos + tlen])
     gz = t[12][0] == COMPRESSION_GZ_ORDINAL
+    levels = t[8][0]
     idx_payload, _, _, _ = _parse_block(
         data, t[2][0], BLOCK_MAGIC_ROOT_INDEX, gz
     )
-    entries = []
+    root = []
     pos = 0
     for _ in range(t[5][0]):
         (off,) = struct.unpack_from(">q", idx_payload, pos)
@@ -690,7 +779,29 @@ def seek_row_hfile_v3(fname: str, row: bytes) -> list:
         klen, kpos = _read_hadoop_vlong(idx_payload, pos + 12)
         key = idx_payload[kpos : kpos + klen]
         pos = kpos + klen
-        entries.append((off, odwh, key))
+        root.append((off, odwh, key))
+    if levels == 2:
+        # two-step seek: binary-search the ROOT for the starting leaf,
+        # parse only that leaf (and successors on demand) — the point
+        # of the hierarchy: the root stays small, one leaf read per get
+        import bisect as _b
+
+        rorders = [
+            _cell_order(*decode_cell_key(k)[:3], decode_cell_key(k)[3])
+            for _, _, k in root
+        ]
+        probe_low = (row, b"", b"", -(1 << 62))
+        lstart = max(0, _b.bisect_right(rorders, probe_low) - 1)
+        entries = []
+        for li in range(lstart, len(root)):
+            if li > lstart and rorders[li][0] > row:
+                break
+            payload, _, _, _ = _parse_block(
+                data, root[li][0], BLOCK_MAGIC_LEAF_INDEX, gz
+            )
+            entries.extend(_parse_leaf_index(payload))
+    else:
+        entries = root
     # binary search: first candidate block = the last one whose first
     # key sorts BEFORE any possible cell of `row` (the row's first cell
     # may sit mid-block); later row-straddling blocks are walked forward

@@ -252,3 +252,50 @@ def test_seek_row_reads_only_needed_blocks(tmp_path, comp):
     assert h3.seek_row_hfile_v3(fn, b"aaa") == []
     assert h3.seek_row_hfile_v3(fn, b"row00000x") == []
     assert h3.seek_row_hfile_v3(fn, b"zzz") == []
+
+
+# ---------------------------------------------------------------------------
+# two-level index (inline IDXLEAF2 leaves + root-of-leaves)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("comp", ["NONE", "GZ"])
+def test_two_level_index_roundtrip_and_seek(tmp_path, comp):
+    cells = []
+    for i in range(600):
+        nq = 30 if i % 71 == 0 else 2
+        for q in range(nq):
+            cells.append((b"row%05d" % i, b"d", b"q%03d" % q, 0, b"v%d.%d" % (i, q)))
+    cells.sort(key=lambda c: h3._cell_order(*c[:4]))
+    fn = str(tmp_path / f"two{comp}.hfile")
+    w = h3.write_hfile_v3(
+        fn, cells, block_size=512, compression=comp, index_chunk_entries=6
+    )
+    back, meta = h3.read_hfile_v3(fn)
+    assert back == cells
+    assert meta["num_data_index_levels"] == 2
+    # root is leaf-count-sized, far smaller than the data block count
+    assert meta["data_index_count"] == -(-w["blocks"] // 6) < w["blocks"]
+    assert b"IDXLEAF2" in open(fn, "rb").read()
+    for probe in [0, 1, 70, 71, 142, 599]:
+        row = b"row%05d" % probe
+        assert h3.seek_row_hfile_v3(fn, row) == [c for c in cells if c[0] == row]
+    assert h3.seek_row_hfile_v3(fn, b"zzz") == []
+
+
+def test_two_level_leaf_corruption_detected(tmp_path):
+    cells = _cells(400)
+    fn = str(tmp_path / "lc.hfile")
+    h3.write_hfile_v3(fn, cells, block_size=512, index_chunk_entries=4)
+    data = bytearray(open(fn, "rb").read())
+    pos = bytes(data).index(b"IDXLEAF2") + 40  # inside leaf payload
+    data[pos] ^= 0xFF
+    fn2 = str(tmp_path / "lcbad.hfile")
+    open(fn2, "wb").write(bytes(data))
+    with pytest.raises(AssertionError):
+        h3.read_hfile_v3(fn2)
+
+
+def test_leaf_index_codec_roundtrip():
+    entries = [(0, 100, b"k1"), (100, 220, b"key-longer"), (320, 64, b"z")]
+    assert h3._parse_leaf_index(h3._leaf_index_payload(entries)) == entries
+    assert h3._parse_leaf_index(h3._leaf_index_payload([])) == []
