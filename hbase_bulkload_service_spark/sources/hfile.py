@@ -139,6 +139,26 @@ def validate_layout(spark, path: str, rollup: bool = False, deep: bool = True) -
     ``deep=False`` keeps only the O(files) manifest checks — pair it
     with the distributed reader's in-task invariants at data scale)."""
     names = os.listdir(path)
+    if any(n.endswith(".hfile") for n in names):
+        # real HFile v3 dir (sources/hfilev3.py): manifest-level layout
+        # checks are container-agnostic; per-file container invariants
+        # run in read_hfilev3_dir's tasks (deep=True re-parses in the
+        # driver — adoption/test scale only)
+        summary = validate_hfl2_layout(path, rollup, deep=False)
+        if deep:
+            from hbase_bulkload_service_spark.sources import hfilev3
+
+            with open(os.path.join(path, "_manifest.json")) as f:
+                for m in json.load(f):
+                    _, meta = hfilev3.read_hfile_v3(os.path.join(path, m["file"]))
+                    if (meta["rows"], meta["min_key_hex"], meta["max_key_hex"]) != (
+                        m["rows"], m["min_key_hex"], m["max_key_hex"]
+                    ):
+                        raise AssertionError(f"{m['file']}: manifest/meta disagree")
+            summary["per_record_validated"] = True
+            summary["pending"] = None
+            summary["checked"].append("hfilev3-per-file-parse")
+        return summary
     if any(n.endswith(".hfl2") for n in names):
         return validate_hfl2_layout(path, rollup, deep=deep)
     if any(n.endswith(".hfl1") for n in names):
