@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from hbase_bulkload_service_spark import cachereg
+from hbase_bulkload_service_spark.session import pinned_width
 from hbase_bulkload_service_spark.operators.textops import norm_text, words_of
 
 MINHASH_K = 8  # signature length
@@ -221,6 +222,10 @@ def minhash_lsh_neardups(
     two pair→array joins — all keyed, all AQE-coalesced. The shingle-array
     table is persisted: signatures and verification both branch from it."""
     arr = shingle_arrays(docs, text_col).persist()
+    # bounded release path for long-lived sessions (same contract as the
+    # incremental_dedup/containment families): without registration every
+    # call leaks one persisted shingle table until the session dies
+    cachereg.register(arr, family="minhash")
     sig = minhash_signatures_arr(arr)
     cand = candidate_pairs(lsh_buckets(sig))
     return pair_jaccard_arrays(cand, arr).filter(F.col("jaccard") >= threshold)
@@ -295,6 +300,8 @@ def ngram_jaccard_pairs(
         .select("len_block", "gram")
     )
     gr = g.join(rare, ["len_block", "gram"]).persist()
+    # bounded release path (see cachereg): caps long-session storage
+    cachereg.register(garr, gr, family="ngram")
     # candidate pairs carry their rare-gram co-occurrence count for free
     # (groupBy replaces distinct at the same shuffle cost)
     cand = (
@@ -339,7 +346,7 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .filter(ub * F.lit(1.0) / (F.col("na") + F.col("nb") - ub) >= threshold)
         .select("doc_a", "doc_b")
-        .repartition(64, "doc_a", "doc_b")
+        .repartition(pinned_width(docs.sparkSession), "doc_a", "doc_b")
     )
     a = garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
     b = garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
@@ -855,7 +862,7 @@ def containment_pairs(
         # survivors are byte-small but verify-expensive: spread them out
         # explicitly (user partition counts are AQE-coalesce-exempt —
         # the q36 single-task-verify trap)
-        .repartition(64, "doc_inner", "doc_outer")
+        .repartition(pinned_width(docs.sparkSession), "doc_inner", "doc_outer")
     )
     a = garr.select(
         F.col("doc_id").alias("doc_inner"), F.col("grams").alias("g_in")

@@ -245,14 +245,25 @@ def _phash_bands(payload: bytes, band_bits: int) -> list[int]:
     return [(h >> (band_bits * k)) & mask for k in range(PHASH_BANDS)]
 
 
-def phash_signature(media: DataFrame, band_bits: int | None = None) -> DataFrame:
+def phash_signature(
+    media: DataFrame,
+    band_bits: int | None = None,
+    corpus_size: int | None = None,
+) -> DataFrame:
     """(doc_id, bands) — Arrow-batched perceptual hashing of the binary
     payload column (mapInPandas; the payload never crosses the JVM as
     anything but opaque bytes). ``bands`` is the PHASH_BANDS-element
     band-value array; width defaults to :func:`phash_band_bits_for` of
-    the corpus size (one metadata-cheap count job, no shuffle)."""
+    the corpus size. Callers that know the corpus size pass it via
+    ``corpus_size`` and skip the sizing job entirely; otherwise the
+    count runs over an id-only projection so column pruning drops the
+    payload synthesis even when ``media`` is a black-box (Python-UDF)
+    upstream that a bare ``media.count()`` would fully re-evaluate
+    (ADVICE r05)."""
     if band_bits is None:
-        band_bits = phash_band_bits_for(media.count())
+        if corpus_size is None:
+            corpus_size = media.select("doc_id").count()
+        band_bits = phash_band_bits_for(corpus_size)
     bb = band_bits
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -268,7 +279,10 @@ def phash_signature(media: DataFrame, band_bits: int | None = None) -> DataFrame
 
 
 def phash_neardups(
-    media: DataFrame, max_hamming: int = 3, band_bits: int | None = None
+    media: DataFrame,
+    max_hamming: int = 3,
+    band_bits: int | None = None,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate pairs: all (a < b) with Hamming distance
     between phashes <= max_hamming — the image-dedup shape of web-scale
@@ -288,7 +302,7 @@ def phash_neardups(
         raise ValueError(
             f"blocking is exact only for max_hamming <= {PHASH_BANDS - 1}"
         )
-    sig = phash_signature(media, band_bits=band_bits)
+    sig = phash_signature(media, band_bits=band_bits, corpus_size=corpus_size)
     bands = sig.select(
         "doc_id", "bands", F.posexplode("bands").alias("band", "val")
     )

@@ -24,16 +24,25 @@ Expectation kinds:
 
 Scale shape (the 100 TB contract):
 
-- ALL row checks and uniqueness checks over one DataFrame fuse into a
-  SINGLE aggregate pass — one scan of the fact table no matter how many
-  expectations, map-side partial aggregation, a one-row result that is
-  then unpivoted driver-free with ``stack``. Each uniqueness check adds
-  one expand branch (the COUNT DISTINCT), which is the standard Spark
-  cost for exact distinct aggregation.
+- ALL row checks over one DataFrame fuse into a SINGLE aggregate pass —
+  one scan of the fact table no matter how many predicates, map-side
+  partial aggregation, a one-row result that is then unpivoted
+  driver-free with ``stack``.
+- each uniqueness check is its own key-pruned scan + ONE width-pinned
+  keyed aggregation. The first cut used ``count_distinct`` branches
+  inside the fused agg; the r05 stage audit + 10× linearity probe
+  measured that shape as the AQE byte-coalesce trap (wall 3.62× at 10×
+  data): the expand's post-shuffle distinct aggregation is byte-small
+  (keys only) but CPU-heavy, so AQE squeezed it onto 3-6 tasks. A
+  user-numbered ``repartition(width, keys)`` is exempt from AQE
+  coalescing AND satisfies the groupBy's required distribution, so the
+  heavy distinct aggregation runs at full width with no extra exchange
+  — the same fix q36/q42/q102 carry. The extra scan is column-pruned to
+  the key columns (parquet reads nothing else).
 - each FK check is one left join keyed on the FK — the parent side is
-  reduced to distinct keys first (dimension-sized), so Catalyst/AQE
-  broadcasts it in the common dim-table case; the fact side never
-  re-shuffles more than once per FK column.
+  reduced to distinct keys first (dimension-sized, distinct width-pinned
+  the same way), so Catalyst/AQE broadcasts it in the common dim-table
+  case; the fact side never re-shuffles more than once per FK column.
 - the result is a tiny per-expectation frame (one row per expectation);
   everything stays lazy — no ``collect`` anywhere, the audit composes
   into larger jobs.
@@ -43,6 +52,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from hbase_bulkload_service_spark.session import pinned_width
 
 __all__ = ["expectations_audit"]
 
@@ -88,8 +99,9 @@ def expectations_audit(
             f"expectation names must be alphanumeric/_/./-/space: {bad_names}"
         )
 
+    width = pinned_width(df.sparkSession)
     parts: list[DataFrame] = []
-    if row_checks or unique_keys:
+    if row_checks:
         aggs: list[Column] = [F.count(F.lit(1)).alias("_n_all")]
         for i, (_, cond) in enumerate(row_checks):
             # NULL predicate == failure: ~coalesce(cond, false)
@@ -98,37 +110,52 @@ def expectations_audit(
                     F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
                 ).alias(f"_rf_{i}")
             )
-        for i, (_, keys) in enumerate(unique_keys):
-            if not keys:
-                raise ValueError("unique_keys entry with empty key list")
-            nonnull = F.lit(True)
-            for k in keys:
-                nonnull = nonnull & F.col(k).isNotNull()
-            aggs.append(F.sum(F.when(nonnull, 1).otherwise(0)).alias(f"_un_{i}"))
-            aggs.append(
-                F.count_distinct(*[F.col(k) for k in keys]).alias(f"_ud_{i}")
-            )
         one = df.agg(*aggs)
         # driver-free unpivot of the 1-row aggregate into one row per
         # expectation: stack(n, name, checked, failed, ...)
         stack_args: list[str] = []
         for i, (name, _) in enumerate(row_checks):
             stack_args += [f"'{name}'", "_n_all", f"_rf_{i}"]
-        for i, (name, _) in enumerate(unique_keys):
-            stack_args += [f"'{name}'", f"_un_{i}", f"_un_{i} - _ud_{i}"]
-        n = len(row_checks) + len(unique_keys)
         parts.append(
             one.selectExpr(
-                f"stack({n}, {', '.join(stack_args)})"
+                f"stack({len(row_checks)}, {', '.join(stack_args)})"
                 " AS (expectation, n_checked, n_failed)"
+            )
+        )
+    for name, keys in unique_keys:
+        if not keys:
+            raise ValueError("unique_keys entry with empty key list")
+        nonnull = F.lit(True)
+        for k in keys:
+            nonnull = nonnull & F.col(k).isNotNull()
+        # width-pinned keyed agg (see module doc): repartition(width,
+        # keys) feeds groupBy(keys) with zero extra exchange and keeps
+        # AQE from coalescing the CPU-heavy distinct count onto few
+        # tasks; the surplus is then a tiny global agg over group rows
+        per_key = (
+            df.filter(nonnull)
+            .select(*keys)
+            .repartition(width, *keys)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        parts.append(
+            per_key.agg(
+                F.lit(name).alias("expectation"),
+                F.sum("_c").alias("n_checked"),
+                (F.sum("_c") - F.count(F.lit(1))).alias("n_failed"),
             )
         )
     for name, child_col, parent, parent_col in fk_checks:
         # parent reduced to distinct keys (dim-sized -> broadcastable);
+        # the distinct is width-pinned for the same AQE-coalesce reason;
         # the marker column survives the left join iff the key matched
-        pk = parent.select(
-            F.col(parent_col).alias("_k"), F.lit(1).alias("_hit")
-        ).distinct()
+        pk = (
+            parent.select(F.col(parent_col).alias("_k"))
+            .repartition(width, "_k")
+            .distinct()
+            .select("_k", F.lit(1).alias("_hit"))
+        )
         j = (
             df.select(F.col(child_col).alias("_k"))
             .filter(F.col("_k").isNotNull())

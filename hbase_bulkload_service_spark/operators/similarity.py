@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hbase_bulkload_service_spark.session import pinned_width
+
 
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -126,11 +128,12 @@ def cosine_neardup_pairs(
         # is byte-small but CPU-heavy, and AQE's byte-based coalescing
         # serializes it onto one task otherwise (the q36/q102 trap —
         # r05 stage audit caught a 1-task 1 s verify stage here)
+        w = pinned_width(embeddings.sparkSession)
         a = a.join(assign.withColumnRenamed(id_col, "vec_a"), "vec_a").repartition(
-            64, "cell"
+            w, "cell"
         )
         b = b.join(assign.withColumnRenamed(id_col, "vec_b"), "vec_b").repartition(
-            64, "cell"
+            w, "cell"
         )
         pairs = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
     else:
@@ -550,12 +553,12 @@ def semantic_dedup(
         F.col(id_col).alias("vec_a"),
         F.col("cell").alias("cell_a"),
         F.col(vec_col).alias("va"),
-    ).repartition(64, "cell_a")
+    ).repartition(pinned_width(embeddings.sparkSession), "cell_a")
     b = assign.select(
         F.col(id_col).alias("vec_b"),
         F.col("cell").alias("cell_b"),
         F.col(vec_col).alias("vb"),
-    ).repartition(64, "cell_b")
+    ).repartition(pinned_width(embeddings.sparkSession), "cell_b")
     # LEFT join with the near-dup predicate IN the join condition: keepers
     # survive with vec_b NULL, so the verdict needs no third re-join of
     # the assignment (the subtree is evaluated twice, not three times)

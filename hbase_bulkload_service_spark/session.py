@@ -36,6 +36,23 @@ _DEFAULTS = {
 }
 
 
+def pinned_width(spark: SparkSession, per_core: int = 2, floor: int = 8) -> int:
+    """Task width for explicit AQE-exempt ``repartition(n, keys)`` pins.
+
+    Several operators pin a numbered repartition ahead of a CPU-heavy but
+    byte-small stage (post-blocking verify, grouped-map Python, exact
+    COUNT DISTINCT) because AQE coalesces shuffle partitions by BYTES and
+    would serialize the stage onto a handful of tasks. The width must
+    scale with the cluster — a literal caps parallelism on big clusters
+    and over-tasks tiny ones — so it is derived from
+    ``defaultParallelism`` (total executor cores) instead (ADVICE r05:
+    similarity.py's hard-coded 64). ``per_core=2`` gives mild
+    over-decomposition for stragglers; local[32] yields 64, matching the
+    literal the fixed sites used to carry.
+    """
+    return max(floor, spark.sparkContext.defaultParallelism * per_core)
+
+
 def get_spark(
     app_name: str = "hbase-bulkload-service-spark",
     master: str | None = None,

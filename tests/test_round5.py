@@ -297,3 +297,38 @@ def test_incremental_dedup_storage_bounded_across_calls(spark):
         time.sleep(0.25)
     assert storage_count() - base <= 8
     cachereg.release_all()
+
+
+def test_minhash_ngram_storage_bounded_across_calls(spark):
+    # VERDICT r05 item 5: q35/q36's operator-internal persists
+    # (minhash shingle arrays; n-gram arrays + rare-gram index) must go
+    # through cachereg too — repeated calls in one long session stay
+    # storage-capped per family
+    import time
+
+    from hbase_bulkload_service_spark import cachereg
+    from hbase_bulkload_service_spark.operators import dedup
+    cachereg.release_all()
+
+    def storage_count():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = storage_count()
+    docs = spark.createDataFrame(
+        [(i, f"document {i} alpha beta gamma delta epsilon zeta eta theta")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    for _ in range(6):
+        dedup.minhash_lsh_neardups(docs).collect()   # 1 persist/call
+        dedup.ngram_jaccard_pairs(docs).collect()    # 2 persists/call
+    # without registration: 6*(1+2) = 18 live persists; with the per-
+    # family keep bound: <= 4 (minhash) + 4 (ngram)
+    assert cachereg.eviction_counts().get("minhash", 0) >= 1
+    assert cachereg.eviction_counts().get("ngram", 0) >= 1
+    for _ in range(20):
+        if storage_count() - base <= 8:
+            break
+        time.sleep(0.25)
+    assert storage_count() - base <= 8
+    cachereg.release_all()

@@ -74,11 +74,26 @@ def test_audit_fk_ignores_null_children(spark):
 
 
 def test_audit_all_green_and_fused_single_scan(spark):
-    """Many row checks + uniqueness over one table must plan as a SINGLE
-    scan of that table (one fused aggregate), not one scan per check."""
+    """All ROW checks over one table must plan as a SINGLE scan of that
+    table (one fused aggregate), not one scan per predicate. Each
+    uniqueness check adds exactly ONE key-pruned scan whose distinct
+    aggregation rides a width-pinned numbered repartition (the r05
+    verdict's q130 fix: the old count_distinct expand branch let AQE
+    byte-coalesce the CPU-heavy distinct agg onto 3-6 tasks at 10×)."""
     df = spark.createDataFrame(
         [(i, i % 7, f"s{i}") for i in range(100)], "id long, v long, s string"
     )
+    rows_only = quality.expectations_audit(
+        df,
+        row_checks=[
+            ("id_not_null", F.col("id").isNotNull()),
+            ("v_range", F.col("v").between(0, 6)),
+            ("s_prefix", F.col("s").startswith("s")),
+        ],
+    )
+    plan = rows_only._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1  # one scan feeds every row check
+
     audit = quality.expectations_audit(
         df,
         row_checks=[
@@ -91,7 +106,12 @@ def test_audit_all_green_and_fused_single_scan(spark):
     out = _audit_map(audit)
     assert all(v == (100, 0, True) for v in out.values()) and len(out) == 4
     plan = audit._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("LogicalRDD") == 1  # one scan feeds every check
+    assert plan.count("LogicalRDD") == 2  # fused row scan + 1 unique scan
+    assert "Expand" not in plan  # no count_distinct expand branch
+    # AQE-coalesce-exempt numbered repartition carries the distinct agg
+    assert "RepartitionByExpression [id" in plan
+    phys = audit._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in phys
 
 
 def test_audit_rejects_empty_and_duplicate_names(spark):
