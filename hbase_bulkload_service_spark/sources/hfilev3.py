@@ -20,11 +20,28 @@ public-source knowledge):
                       version word (major=3 | minor=3 << 24)
 
 Choices within the format (all valid HFiles):
-- ``compression=NONE`` (trailer codec ordinal 2) and
-  ``DATA_BLOCK_ENCODING=NONE`` — the payload transforms the reference's
-  DDL enables (SNAPPY + DIFF, ``HBaseManager.java:381-383``) are block-
-  payload layers demonstrated in the HFL2 container (sources/hfile.py);
-  this module's contribution is the real container framing around them.
+- ``compression`` NONE or GZ (trailer codec ordinal 2 / 1). GZ stands in
+  for the reference DDL's SNAPPY (``HBaseManager.java:381`` — identical
+  framing, snappy lib absent in this sandbox; one-ordinal swap).
+- ``encoding`` NONE or DIFF: DIFF writes ENCODED_DATA blocks
+  ("DATABLKE", 2-byte encoding id 4) whose payload is the
+  ``DiffKeyDeltaEncoder`` stream — per-cell flag byte, compressed-int
+  key/value lengths, flat-key common-prefix delta, little-endian
+  fit-in-bytes timestamps (optionally as a diff vs the previous cell),
+  family written once per block — exactly the public encoder HBase's
+  ``DataBlockEncoding.DIFF`` selects (the reference's table DDL turns it
+  on, ``HBaseManager.java:379-385``). Announced via the
+  ``DATA_BLOCK_ENCODING`` FileInfo key, as HBase does.
+- ``bloom=True`` writes a ROW compound bloom: BLOOM_CHUNK blocks
+  ("BLMFBLK2") inline in the scanned section, one GENERAL_BLOOM_META
+  block ("BLMFMET2") in load-on-open (version 3, double-hashed Hadoop
+  MurmurHash ``hash1 + i*hash2`` bit positions, a single-level root
+  index over the chunks — ``CompoundBloomFilterWriter.MetaWriter``'s
+  layout), plus the ``BLOOM_FILTER_TYPE=ROW`` FileInfo key. One
+  divergence, documented: chunks are sized to their ACTUAL key count at
+  the target error rate instead of allocate-128KiB-then-fold — the
+  reader derives bit size from the chunk payload length either way, so
+  any HBase reader probes the same bits.
 - ``checksumType=CRC32`` (type byte 1; HBase supports CRC32 and CRC32C,
   zlib provides CRC32 bit-exactly).
 - cells carry no tags and no mvcc (``includesTags=false``,
@@ -76,6 +93,32 @@ FI_LASTKEY = b"hfile.LASTKEY"
 FI_AVG_KEY_LEN = b"hfile.AVG_KEY_LEN"
 FI_AVG_VALUE_LEN = b"hfile.AVG_VALUE_LEN"
 FI_CREATE_TIME_TS = b"hfile.CREATE_TIME_TS"
+# non-reserved FileInfo keys HBase's writer adds for these features
+FI_DATA_BLOCK_ENCODING = b"DATA_BLOCK_ENCODING"  # HFileDataBlockEncoderImpl
+FI_BLOOM_FILTER_TYPE = b"BLOOM_FILTER_TYPE"  # StoreFileWriter
+
+# DIFF data block encoding (DataBlockEncoding.DIFF / DiffKeyDeltaEncoder)
+BLOCK_MAGIC_ENCODED_DATA = b"DATABLKE"  # BlockType.ENCODED_DATA
+DATA_BLOCK_ENCODING_DIFF_ID = 4  # DataBlockEncoding.DIFF.getId()
+_DIFF_SAME_KEY_LEN = 1  # DiffKeyDeltaEncoder.FLAG_SAME_KEY_LENGTH
+_DIFF_SAME_VALUE_LEN = 1 << 1
+_DIFF_SAME_TYPE = 1 << 2
+_DIFF_TS_IS_DIFF = 1 << 3  # FLAG_TIMESTAMP_IS_DIFF
+_DIFF_MASK_TS_LEN = (1 << 4) | (1 << 5) | (1 << 6)
+_DIFF_SHIFT_TS_LEN = 4
+_DIFF_TS_SIGN = 1 << 7  # FLAG_TIMESTAMP_SIGN
+
+# ROW compound bloom (BloomFilterFactory / CompoundBloomFilterWriter)
+BLOCK_MAGIC_BLOOM_CHUNK = b"BLMFBLK2"  # BlockType.BLOOM_CHUNK
+BLOCK_MAGIC_BLOOM_META = b"BLMFMET2"  # BlockType.GENERAL_BLOOM_META
+BLOOM_VERSION = 3  # CompoundBloomFilterBase.VERSION
+BLOOM_HASH_TYPE_MURMUR = 1  # Hash.MURMUR_HASH
+BLOOM_ERROR_RATE = 0.01  # io.storefile.bloom.error.rate default
+# bits/key at the ideal sizing: -ln(err)/ln(2)^2; k = ceil(bits/key * ln 2)
+_BLOOM_BITS_PER_KEY = 9.58505  # 4.60517 / 0.4804530139182014
+BLOOM_HASH_COUNT = 7  # ByteBloomFilter.optimalFunctionCount at that sizing
+# keys per chunk from the 128 KiB io.storefile.bloom.block.size hint
+BLOOM_CHUNK_MAX_KEYS = int(131072 * 8 / _BLOOM_BITS_PER_KEY)
 
 
 # --- protobuf wire + Hadoop vint encoders ----------------------------------
@@ -206,6 +249,383 @@ def _cell_order(row: bytes, fam: bytes, qual: bytes, ts: int) -> tuple:
     return (row, fam, qual, -ts)
 
 
+# --- Hadoop MurmurHash + ROW bloom bit math ---------------------------------
+
+def _jint(x: int) -> int:
+    """Wrap to Java 32-bit signed int semantics."""
+    x &= 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+def _sbyte(b: int) -> int:
+    """Java signed byte (sign-extended on int promotion)."""
+    return b - 256 if b >= 128 else b
+
+
+def _murmur2_java(data: bytes, seed: int) -> int:
+    """Bit-exact port of Hadoop/HBase ``MurmurHash.hash(byte[], int)``
+    (org.apache.hadoop.util.hash.MurmurHash — the ``Hash.MURMUR_HASH``
+    HBase blooms default to). Faithful to the JAVA port, including its
+    sign-extension of tail bytes (which diverges from Appleby's original
+    for tail bytes >= 0x80). Golden-tested against the actual Hadoop
+    class through the Spark JVM gateway (tests/test_hfilev3.py)."""
+    m = 0x5BD1E995
+    r = 24
+    h = _jint(seed ^ len(data))
+    len4 = len(data) >> 2
+    for i in range(len4):
+        i4 = i << 2
+        k = _sbyte(data[i4 + 3])
+        k = (k << 8) | data[i4 + 2]
+        k = (k << 8) | data[i4 + 1]
+        k = (k << 8) | data[i4]
+        k = _jint(k)
+        k = _jint(k * m)
+        k = _jint(k ^ ((k & 0xFFFFFFFF) >> r))
+        k = _jint(k * m)
+        h = _jint(h * m)
+        h = _jint(h ^ k)
+    left = len(data) - (len4 << 2)
+    if left != 0:
+        if left >= 3:
+            h = _jint(h ^ (_sbyte(data[-3]) << 16))
+        if left >= 2:
+            h = _jint(h ^ (_sbyte(data[-2]) << 8))
+        h = _jint(h ^ _sbyte(data[-1]))
+        h = _jint(h * m)
+    h = _jint(h ^ ((h & 0xFFFFFFFF) >> 13))
+    h = _jint(h * m)
+    h = _jint(h ^ ((h & 0xFFFFFFFF) >> 15))
+    return h
+
+
+def _bloom_bit_positions(key: bytes, bit_size: int, hash_count: int = BLOOM_HASH_COUNT):
+    """``BloomFilterUtil.contains``'s probe positions: double hashing
+    ``abs((hash1 + i*hash2) % bitSize)`` in Java int arithmetic (the %
+    keeps the dividend's sign; overflow wraps at 32 bits)."""
+    h1 = _murmur2_java(key, 0)
+    h2 = _murmur2_java(key, h1)
+    for i in range(hash_count):
+        h = _jint(h1 + _jint(i * h2))
+        r = h % bit_size if h >= 0 else -((-h) % bit_size)
+        yield abs(r)
+
+
+def _bloom_chunk_payload(rows: list[bytes]) -> bytes:
+    """One BLOOM_CHUNK bitmap sized for its actual key count at
+    BLOOM_ERROR_RATE (``ByteBloomFilter.computeBitSize``), LSB-first bit
+    order as in ``BloomFilterUtil``."""
+    import math
+
+    bit_size = max(1, math.ceil(len(rows) * _BLOOM_BITS_PER_KEY))
+    byte_size = (bit_size + 7) // 8
+    bits = bytearray(byte_size)
+    for row in rows:
+        for loc in _bloom_bit_positions(row, byte_size * 8):
+            bits[loc >> 3] |= 1 << (loc & 7)
+    return bytes(bits)
+
+
+def _bloom_payload_contains(payload: bytes, row: bytes) -> bool:
+    bit_size = len(payload) * 8
+    return all(
+        payload[loc >> 3] & (1 << (loc & 7))
+        for loc in _bloom_bit_positions(row, bit_size)
+    )
+
+
+def _bloom_meta_payload(
+    chunks: list[tuple[int, int, bytes]], total_bytes: int, key_count: int
+) -> bytes:
+    """``CompoundBloomFilterWriter.MetaWriter.write``: version, total
+    byte size, hash count, hash type, key count, max keys, chunk count,
+    a null comparator byte-array (vint 0 — ROW blooms pass no
+    comparator), then the single-level root index over the chunks
+    (offset i64, onDiskSizeWithHeader i32, vint-prefixed first key)."""
+    out = bytearray()
+    out += struct.pack(">i", BLOOM_VERSION)
+    out += struct.pack(">q", total_bytes)
+    out += struct.pack(">i", BLOOM_HASH_COUNT)
+    out += struct.pack(">i", BLOOM_HASH_TYPE_MURMUR)
+    out += struct.pack(">q", key_count)
+    out += struct.pack(">q", key_count)  # maxKeys (chunks sized-to-fit)
+    out += struct.pack(">i", len(chunks))
+    out += _hadoop_vlong(0)  # Bytes.writeByteArray(null)
+    for off, odwh, first_row in chunks:
+        out += struct.pack(">q", off) + struct.pack(">i", odwh)
+        out += _hadoop_vlong(len(first_row)) + first_row
+    return bytes(out)
+
+
+def _parse_bloom_meta(payload: bytes) -> dict:
+    (version,) = struct.unpack_from(">i", payload, 0)
+    if version != BLOOM_VERSION:
+        raise AssertionError(f"bloom meta version {version} != {BLOOM_VERSION}")
+    (total_bytes,) = struct.unpack_from(">q", payload, 4)
+    hash_count, hash_type = struct.unpack_from(">ii", payload, 12)
+    key_count, max_keys = struct.unpack_from(">qq", payload, 20)
+    (num_chunks,) = struct.unpack_from(">i", payload, 36)
+    if hash_type != BLOOM_HASH_TYPE_MURMUR:
+        raise AssertionError(f"unsupported bloom hash type {hash_type}")
+    comp_len, pos = _read_hadoop_vlong(payload, 40)
+    pos += comp_len  # comparator class name (empty for ROW blooms)
+    chunks = []
+    for _ in range(num_chunks):
+        (off,) = struct.unpack_from(">q", payload, pos)
+        (odwh,) = struct.unpack_from(">i", payload, pos + 8)
+        klen, kpos = _read_hadoop_vlong(payload, pos + 12)
+        chunks.append((off, odwh, payload[kpos : kpos + klen]))
+        pos = kpos + klen
+    if pos != len(payload):
+        raise AssertionError("bloom meta has trailing bytes")
+    return {
+        "total_bytes": total_bytes,
+        "hash_count": hash_count,
+        "key_count": key_count,
+        "max_keys": max_keys,
+        "chunks": chunks,
+    }
+
+
+def _bloom_contains(data: bytes, bloom: dict, row: bytes, gz: bool) -> bool:
+    """CompoundBloomFilter.contains: root-index the chunk whose first
+    key is the last one <= row, load just that chunk, probe its bits."""
+    import bisect
+
+    chunks = bloom["chunks"]
+    first_rows = [c[2] for c in chunks]
+    ci = bisect.bisect_right(first_rows, row) - 1
+    if ci < 0:
+        return False  # row sorts before every chunk — cannot be present
+    payload, odwh, _, _ = _parse_block(
+        data, chunks[ci][0], BLOCK_MAGIC_BLOOM_CHUNK, gz
+    )
+    if odwh != chunks[ci][1]:
+        raise AssertionError("bloom index onDiskSize disagrees for a chunk")
+    return _bloom_payload_contains(payload, row)
+
+
+# --- DIFF data block encoding (DiffKeyDeltaEncoder) --------------------------
+
+def _long_fits_in(v: int) -> int:
+    """ByteBufferUtils.longFitsIn — bytes needed for a non-negative long
+    (8 for negatives)."""
+    if v < 0:
+        return 8
+    n = 1
+    while n < 8 and v >= (1 << (8 * n)):
+        n += 1
+    return n
+
+
+def _put_long_le(v: int, n: int) -> bytes:
+    """ByteBufferUtils.putLong — LITTLE-endian, low ``n`` bytes."""
+    return bytes((v >> (8 * i)) & 0xFF for i in range(n))
+
+
+def _read_long_le(buf: bytes, pos: int, n: int) -> int:
+    return sum(buf[pos + i] << (8 * i) for i in range(n))
+
+
+def _diff_common_prefix(key: bytes, prev: bytes) -> int:
+    """``PrivateCellUtil.findCommonPrefixInFlatKey(cell, prev, True,
+    False)``: common bytes over the flat key EXCLUDING ts+type, with the
+    family-length byte + family bytes counted common without comparison
+    once the row fully matches (bypassFamilyCheck — one HFile holds one
+    family). When row lengths differ, only the shared prefix of the
+    2-byte length shorts is common."""
+    (rl1,) = struct.unpack_from(">H", key, 0)
+    (rl2,) = struct.unpack_from(">H", prev, 0)
+    if rl1 != rl2:
+        return 1 if key[0] == prev[0] else 0
+    common = 2
+    i = 0
+    while i < rl1 and key[2 + i] == prev[2 + i]:
+        i += 1
+    common += i
+    if i == rl1:
+        fl = key[2 + rl1]
+        common += 1 + fl  # famLen byte + family, bypassed
+        qs = 3 + rl1 + fl
+        q1, q2 = key[qs:-9], prev[qs:-9]
+        j = 0
+        lim = min(len(q1), len(q2))
+        while j < lim and q1[j] == q2[j]:
+            j += 1
+        common += j
+    return common
+
+
+def _diff_encode_block(cells: list[tuple[bytes, bytes]]) -> bytes:
+    """Encode one block's (flat key, value) cells as the DIFF stream:
+    2-byte encoding id, then the first cell prefixed by famLen+family
+    (written once per block), then per-cell flag / compressed-int
+    lengths / common-prefix key delta / fit-in-bytes timestamp (diff'd
+    against the previous cell when smaller) — byte-for-byte
+    ``DiffKeyDeltaEncoder.compressSingleKeyValue``."""
+    out = bytearray(struct.pack(">H", DATA_BLOCK_ENCODING_DIFF_ID))
+    prev_key = prev_val = None
+    prev_ts = prev_typ = None
+    block_fam = None
+    for key, value in cells:
+        (rl,) = struct.unpack_from(">H", key, 0)
+        fl = key[2 + rl]
+        fam = key[3 + rl : 3 + rl + fl]
+        (ts,) = struct.unpack_from(">q", key, len(key) - 9)
+        typ = key[-1]
+        flag = 0
+        if prev_key is None:
+            block_fam = fam
+            t = ts
+            if t < 0:
+                flag |= _DIFF_TS_SIGN
+                t = -t
+            fits = _long_fits_in(t)
+            flag |= (fits - 1) << _DIFF_SHIFT_TS_LEN
+            out += bytes([fl]) + fam
+            out += bytes([flag])
+            out += _pb_varint(len(key))  # putCompressedInt == this varint
+            out += _pb_varint(len(value))
+            out += _pb_varint(0)
+            out += key[0 : 2 + rl]  # rowLen short + row
+            out += key[3 + rl + fl : -9]  # qualifier
+            out += _put_long_le(t, fits)
+            out += bytes([typ])  # SAME_TYPE can't be set on the first cell
+            out += value
+        else:
+            if fam != block_fam:
+                raise AssertionError(
+                    "DIFF block encoding requires a single column family"
+                )
+            common = _diff_common_prefix(key, prev_key)
+            if len(key) == len(prev_key):
+                flag |= _DIFF_SAME_KEY_LEN
+            if len(value) == len(prev_val):
+                flag |= _DIFF_SAME_VALUE_LEN
+            if typ == prev_typ:
+                flag |= _DIFF_SAME_TYPE
+            neg_ts = ts < 0
+            t = -ts if neg_ts else ts
+            tfits = _long_fits_in(t)
+            diff = prev_ts - ts
+            neg_diff = diff < 0
+            d = -diff if neg_diff else diff
+            dfits = _long_fits_in(d)
+            if dfits < tfits:
+                flag |= (dfits - 1) << _DIFF_SHIFT_TS_LEN
+                flag |= _DIFF_TS_IS_DIFF
+                if neg_diff:
+                    flag |= _DIFF_TS_SIGN
+                ts_out, ts_fits = d, dfits
+            else:
+                flag |= (tfits - 1) << _DIFF_SHIFT_TS_LEN
+                if neg_ts:
+                    flag |= _DIFF_TS_SIGN
+                ts_out, ts_fits = t, tfits
+            out += bytes([flag])
+            if not flag & _DIFF_SAME_KEY_LEN:
+                out += _pb_varint(len(key))
+            if not flag & _DIFF_SAME_VALUE_LEN:
+                out += _pb_varint(len(value))
+            out += _pb_varint(common)
+            if common < 2 + rl:
+                # row remainder (incl. any rowLen-short bytes) + FULL
+                # qualifier — family is never re-written
+                out += key[common : 2 + rl]
+                out += key[3 + rl + fl : -9]
+            else:
+                # common covers row + family; qualifier remainder only
+                out += key[common : -9]
+            out += _put_long_le(ts_out, ts_fits)
+            if not flag & _DIFF_SAME_TYPE:
+                out += bytes([typ])
+            out += value
+        prev_key, prev_val, prev_ts, prev_typ = key, value, ts, typ
+    return bytes(out)
+
+
+def _diff_decode_block(payload: bytes) -> list[tuple[bytes, bytes]]:
+    """Decode a DIFF ENCODED_DATA payload back to (flat key, value)
+    cells — the mirror of :func:`_diff_encode_block` (what HBase's
+    ``DiffKeyDeltaEncoder.createSeeker`` walks)."""
+    (enc_id,) = struct.unpack_from(">H", payload, 0)
+    if enc_id != DATA_BLOCK_ENCODING_DIFF_ID:
+        raise AssertionError(f"encoding id {enc_id} != DIFF")
+    pos = 2
+    fl = payload[pos]
+    pos += 1
+    fam = payload[pos : pos + fl]
+    pos += fl
+    cells: list[tuple[bytes, bytes]] = []
+    prev_key = None
+    prev_klen = prev_vlen = prev_ts = prev_typ = None
+    while pos < len(payload):
+        flag = payload[pos]
+        pos += 1
+        if flag & _DIFF_SAME_KEY_LEN:
+            klen = prev_klen
+        else:
+            klen, pos = _pb_read_varint(payload, pos)
+        if flag & _DIFF_SAME_VALUE_LEN:
+            vlen = prev_vlen
+        else:
+            vlen, pos = _pb_read_varint(payload, pos)
+        common, pos = _pb_read_varint(payload, pos)
+        kb = bytearray()
+        if common >= 2:
+            kb += prev_key[:common]
+        elif common == 1:
+            kb.append(prev_key[0])
+            kb.append(payload[pos])
+            pos += 1
+        else:
+            kb += payload[pos : pos + 2]
+            pos += 2
+        (rl,) = struct.unpack_from(">H", kb, 0)
+        if common < 2 + rl:
+            take = 2 + rl - len(kb)
+            kb += payload[pos : pos + take]
+            pos += take
+            kb.append(fl)
+            kb += fam
+            qlen = klen - 9 - 2 - rl - 1 - fl
+            if qlen < 0:
+                raise AssertionError("DIFF cell qualifier length negative")
+            kb += payload[pos : pos + qlen]
+            pos += qlen
+        else:
+            take = klen - 9 - common
+            if take < 0:
+                raise AssertionError("DIFF common prefix exceeds key")
+            kb += payload[pos : pos + take]
+            pos += take
+        ts_len = ((flag & _DIFF_MASK_TS_LEN) >> _DIFF_SHIFT_TS_LEN) + 1
+        raw = _read_long_le(payload, pos, ts_len)
+        pos += ts_len
+        if flag & _DIFF_TS_IS_DIFF:
+            if flag & _DIFF_TS_SIGN:
+                raw = -raw
+            ts = prev_ts - raw
+        else:
+            ts = -raw if flag & _DIFF_TS_SIGN else raw
+        if flag & _DIFF_SAME_TYPE:
+            typ = prev_typ
+        else:
+            typ = payload[pos]
+            pos += 1
+        key = bytes(kb) + struct.pack(">q", ts) + bytes([typ])
+        if len(key) != klen:
+            raise AssertionError("DIFF-decoded key length disagrees")
+        value = payload[pos : pos + vlen]
+        pos += vlen
+        cells.append((key, value))
+        prev_key, prev_klen, prev_vlen = key, klen, vlen
+        prev_ts, prev_typ = ts, typ
+    if pos != len(payload):
+        raise AssertionError("DIFF block has trailing bytes")
+    return cells
+
+
 # --- block framing ----------------------------------------------------------
 
 def _gzip_compress(payload: bytes) -> bytes:
@@ -331,6 +751,9 @@ def write_hfile_v3(
     create_time_ts: int = 0,
     compression: str = "NONE",
     index_chunk_entries: int = 0,
+    encoding: str = "NONE",
+    bloom: bool = False,
+    bloom_chunk_max_keys: int = BLOOM_CHUNK_MAX_KEYS,
 ) -> dict:
     """Write sorted cells ((row, family, qualifier, ts, value) tuples,
     ascending in CellComparator order) as one HFile v3. ``compression``
@@ -341,11 +764,33 @@ def write_hfile_v3(
     blocks (HBase's non-root format) with the root pointing at the
     leaves — the shape that keeps the load-on-open root small for
     multi-GB files (HBase switches on a 128 KiB root-chunk bound; an
-    explicit entry count keeps tests deterministic). Returns summary
+    explicit entry count keeps tests deterministic); the 2-level root
+    carries HBase's 16-byte mid-key metadata after its entries
+    (``BlockIndexChunk.getMidKeyMetadata``). ``encoding="DIFF"`` writes
+    ENCODED_DATA blocks through :func:`_diff_encode_block`; ``bloom``
+    adds the ROW compound bloom (inline BLOOM_CHUNK blocks + a
+    GENERAL_BLOOM_META in load-on-open) — together the reference DDL's
+    full feature set (``HBaseManager.java:379-385``). Returns summary
     meta (rows, first/last row hex, block count, file size)."""
     if compression not in ("NONE", "GZ"):
         raise ValueError("compression must be NONE or GZ")
+    if encoding not in ("NONE", "DIFF"):
+        raise ValueError("encoding must be NONE or DIFF")
     gz = compression == "GZ"
+    diff = encoding == "DIFF"
+
+    # peek the first cell BEFORE creating the file: a refused (empty)
+    # write must not leave a zero-byte orphan behind for a later
+    # validate/read pass to crash on (ADVICE r05)
+    import itertools
+
+    cell_it = iter(cells)
+    try:
+        first_cell = next(cell_it)
+    except StopIteration:
+        raise AssertionError("refusing to write an empty HFile") from None
+    cell_it = itertools.chain([first_cell], cell_it)
+
     blocks: list[tuple[int, int, bytes]] = []  # (offset, onDiskWithHeader, first_key)
     n_cells = 0
     key_len_sum = 0
@@ -356,12 +801,19 @@ def write_hfile_v3(
 
     leaves: list[tuple[int, int, bytes]] = []  # (offset, odwh, first key)
     leaf_payload_bytes = 0
+    bloom_chunks: list[tuple[int, int, bytes]] = []  # (offset, odwh, first row)
+    bloom_total_bytes = 0
+    bloom_key_count = 0
     with open(fname, "wb") as out:
-        cur = bytearray()
+        cur_cells: list[tuple[bytes, bytes]] = []
+        cur_bytes = 0
         cur_first_key = None
         prev_data_offset = -1
         prev_leaf_offset = -1
+        prev_bloom_offset = -1
         pending_leaf: list[tuple[int, int, bytes]] = []
+        bloom_rows: list[bytes] = []
+        last_bloom_row = None
 
         def flush_leaf():
             nonlocal pending_leaf, prev_leaf_offset, total_uncompressed
@@ -378,59 +830,103 @@ def write_hfile_v3(
             total_uncompressed += unc
             pending_leaf = []
 
-        def flush_data():
-            nonlocal cur, cur_first_key, prev_data_offset, total_uncompressed
-            if not cur:
+        def flush_bloom():
+            nonlocal bloom_rows, prev_bloom_offset, total_uncompressed
+            nonlocal bloom_total_bytes
+            if not bloom_rows:
                 return
+            payload = _bloom_chunk_payload(bloom_rows)
             off, odwh, unc = _write_block(
-                out, BLOCK_MAGIC_DATA, bytes(cur), prev_data_offset, gz
+                out, BLOCK_MAGIC_BLOOM_CHUNK, payload, prev_bloom_offset, gz
+            )
+            bloom_chunks.append((off, odwh, bloom_rows[0]))
+            bloom_total_bytes += len(payload)
+            prev_bloom_offset = off
+            total_uncompressed += unc
+            bloom_rows = []
+
+        def flush_data():
+            nonlocal cur_cells, cur_bytes, cur_first_key, prev_data_offset
+            nonlocal total_uncompressed
+            if not cur_cells:
+                return
+            if diff:
+                payload = _diff_encode_block(cur_cells)
+                magic = BLOCK_MAGIC_ENCODED_DATA
+            else:
+                payload = b"".join(
+                    _encode_keyvalue(k, v) for k, v in cur_cells
+                )
+                magic = BLOCK_MAGIC_DATA
+            off, odwh, unc = _write_block(
+                out, magic, payload, prev_data_offset, gz
             )
             blocks.append((off, odwh, cur_first_key))
             prev_data_offset = off
             total_uncompressed += unc
-            cur = bytearray()
+            cur_cells = []
+            cur_bytes = 0
             cur_first_key = None
             if index_chunk_entries > 0:
                 pending_leaf.append((off, odwh, blocks[-1][2]))
                 if len(pending_leaf) >= index_chunk_entries:
                     flush_leaf()
+            # the bloom inline writer gets its chance after each data
+            # block, like HBase's InlineBlockWriter cycle
+            if bloom and len(bloom_rows) >= bloom_chunk_max_keys:
+                flush_bloom()
 
         last_order = None
-        for row, fam, qual, ts, value in cells:
-            key = encode_cell_key(bytes(row), bytes(fam), bytes(qual), int(ts))
-            order = _cell_order(bytes(row), bytes(fam), bytes(qual), int(ts))
+        for row, fam, qual, ts, value in cell_it:
+            row_b = bytes(row)
+            key = encode_cell_key(row_b, bytes(fam), bytes(qual), int(ts))
+            order = _cell_order(row_b, bytes(fam), bytes(qual), int(ts))
             if last_order is not None and order < last_order:
                 raise AssertionError("HFile v3 input not sorted by cell key")
             last_order = order
             last_key = key
             if cur_first_key is None:
                 cur_first_key = key
-            cur += _encode_keyvalue(key, bytes(value))
+            cur_cells.append((key, bytes(value)))
+            cur_bytes += 8 + len(key) + len(value)
             n_cells += 1
             key_len_sum += len(key)
             val_len_sum += len(value)
             if first_row is None:
-                first_row = bytes(row)
-            last_row = bytes(row)
-            if len(cur) >= block_size:
+                first_row = row_b
+            last_row = row_b
+            if bloom and row_b != last_bloom_row:
+                bloom_rows.append(row_b)
+                last_bloom_row = row_b
+                bloom_key_count += 1
+            if cur_bytes >= block_size:
                 flush_data()
         flush_data()
-
-        if n_cells == 0:
-            raise AssertionError("refusing to write an empty HFile")
-
         flush_leaf()  # tail chunk (two-level mode only)
+        flush_bloom()  # tail bloom chunk (scanned section ends here)
 
         # --- load-on-open section ---
         load_on_open_offset = out.tell()
         # root data index: entries point at data blocks (1 level) or at
         # the inline leaf index blocks (2 levels)
-        root_entries = leaves if index_chunk_entries > 0 else blocks
+        two_level = index_chunk_entries > 0
+        root_entries = leaves if two_level else blocks
         idx_payload = bytearray()
         for off, odwh, fk in root_entries:
             idx_payload += struct.pack(">q", off)
             idx_payload += struct.pack(">i", odwh)
             idx_payload += _hadoop_vlong(len(fk)) + fk
+        if two_level:
+            # 16-byte mid-key metadata a multi-level root carries
+            # (BlockIndexChunk.getMidKeyMetadata): the leaf holding the
+            # middle data block, its on-disk size, and the entry index
+            # of that data block within the leaf (ADVICE r05)
+            mid_sub = (len(blocks) - 1) // 2
+            mid_leaf = mid_sub // index_chunk_entries
+            within = mid_sub % index_chunk_entries
+            idx_payload += struct.pack(">q", leaves[mid_leaf][0])
+            idx_payload += struct.pack(">i", leaves[mid_leaf][1])
+            idx_payload += struct.pack(">i", within)
         _, _, unc = _write_block(
             out, BLOCK_MAGIC_ROOT_INDEX, bytes(idx_payload), -1, gz
         )
@@ -447,6 +943,10 @@ def write_hfile_v3(
             (FI_CREATE_TIME_TS, struct.pack(">q", create_time_ts)),
             (FI_LASTKEY, last_key),
         ]
+        if diff:
+            entries.append((FI_DATA_BLOCK_ENCODING, b"DIFF"))
+        if bloom:
+            entries.append((FI_BLOOM_FILTER_TYPE, b"ROW"))
         proto = b"".join(
             _pb_field_bytes(
                 1, _pb_field_bytes(1, k) + _pb_field_bytes(2, v)
@@ -456,6 +956,14 @@ def write_hfile_v3(
         fi_payload = PB_MAGIC + _pb_varint(len(proto)) + proto
         _, _, unc = _write_block(out, BLOCK_MAGIC_FILE_INFO, fi_payload, -1, gz)
         total_uncompressed += unc
+        # general bloom meta — last load-on-open block before the
+        # trailer, exactly where HFileWriterImpl.close puts it
+        if bloom:
+            bm = _bloom_meta_payload(
+                bloom_chunks, bloom_total_bytes, bloom_key_count
+            )
+            _, _, unc = _write_block(out, BLOCK_MAGIC_BLOOM_META, bm, -1, gz)
+            total_uncompressed += unc
 
         # --- fixed trailer (4096 bytes for v3) ---
         tp = b"".join(
@@ -490,6 +998,9 @@ def write_hfile_v3(
         "min_key_hex": first_row.hex().upper(),
         "max_key_hex": last_row.hex().upper(),
         "file_bytes": size,
+        "encoding": encoding,
+        "bloom_chunks": len(bloom_chunks),
+        "bloom_keys": bloom_key_count,
     }
 
 
@@ -553,7 +1064,27 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
         key = idx_payload[kpos : kpos + klen]
         pos = kpos + klen
         entries.append((off, odwh, key))
-    if pos != len(idx_payload):
+    if meta["num_data_index_levels"] == 2:
+        # a multi-level root carries exactly 16 bytes of mid-key
+        # metadata after its entries (BlockIndexChunk.getMidKeyMetadata;
+        # HFileBlockIndex reads it when in.available() >= 16)
+        if len(idx_payload) - pos != 16:
+            raise AssertionError(
+                "2-level root must end with 16 bytes of mid-key metadata"
+            )
+        (mid_leaf_off,) = struct.unpack_from(">q", idx_payload, pos)
+        (mid_leaf_odwh,) = struct.unpack_from(">i", idx_payload, pos + 8)
+        (mid_key_entry,) = struct.unpack_from(">i", idx_payload, pos + 12)
+        if (mid_leaf_off, mid_leaf_odwh) not in {
+            (o, s) for o, s, _ in entries
+        }:
+            raise AssertionError("mid-key metadata points outside the root")
+        meta["midkey"] = {
+            "leaf_offset": mid_leaf_off,
+            "leaf_on_disk_size": mid_leaf_odwh,
+            "entry": mid_key_entry,
+        }
+    elif pos != len(idx_payload):
         raise AssertionError("root index has trailing bytes")
     if meta["num_data_index_levels"] == 2:
         # root points at inline LEAF_INDEX blocks; expand to data entries
@@ -567,6 +1098,10 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
             leaf = _parse_leaf_index(payload)
             if not leaf or leaf[0][2] != first_key:
                 raise AssertionError("leaf first-key disagrees with root")
+            if meta["midkey"]["leaf_offset"] == off and not (
+                0 <= meta["midkey"]["entry"] < len(leaf)
+            ):
+                raise AssertionError("mid-key entry outside its leaf")
             data_entries.extend(leaf)
         entries = data_entries
     # meta index (must parse, zero entries)
@@ -576,7 +1111,7 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
     if meta["meta_index_count"] == 0 and m_payload != b"":
         raise AssertionError("meta index should be empty")
     # file info
-    fi_payload, _, _, _ = _parse_block(
+    fi_payload, fi_size, _, _ = _parse_block(
         data, meta["file_info_offset"], BLOCK_MAGIC_FILE_INFO, gz
     )
     if fi_payload[:4] != PB_MAGIC:
@@ -588,26 +1123,63 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
         kv = _pb_decode(pair)
         file_info[bytes(kv[1][0])] = bytes(kv[2][0])
 
+    # remaining load-on-open blocks (walk to the trailer, as
+    # HFileInfo.initMetaAndIndex does): general bloom meta if present
+    bloom_meta = None
+    next_off = meta["file_info_offset"] + fi_size
+    while next_off < toff:
+        payload, bsize, _, magic = _parse_block(data, next_off, None, gz)
+        if magic == BLOCK_MAGIC_BLOOM_META:
+            if bloom_meta is not None:
+                raise AssertionError("duplicate general bloom meta")
+            bloom_meta = _parse_bloom_meta(payload)
+        else:
+            raise AssertionError(
+                f"unexpected load-on-open block {magic!r}"
+            )
+        next_off += bsize
+    if (file_info.get(FI_BLOOM_FILTER_TYPE) == b"ROW") != (
+        bloom_meta is not None
+    ):
+        raise AssertionError("BLOOM_FILTER_TYPE and bloom meta disagree")
+
+    # the FileInfo-announced encoding dictates every data block's type
+    enc_diff = file_info.get(FI_DATA_BLOCK_ENCODING) == b"DIFF"
+    data_magic = BLOCK_MAGIC_ENCODED_DATA if enc_diff else BLOCK_MAGIC_DATA
+
     # data blocks through the index
     cells = []
     prev_key = prev_order = None
     prev_off = -1
+    n_rows_distinct = 0
+    prev_row = None
     for i, (off, odwh, first_key) in enumerate(entries):
         payload, size_with_header, prev, magic = _parse_block(
-            data, off, BLOCK_MAGIC_DATA, gz
+            data, off, data_magic, gz
         )
         if size_with_header != odwh:
             raise AssertionError(f"index onDiskSize disagrees for block {i}")
         if prev != prev_off:
             raise AssertionError(f"prevBlockOffset chain broken at block {i}")
         prev_off = off
-        pos = 0
+        if enc_diff:
+            kvs = _diff_decode_block(payload)
+        else:
+            kvs = []
+            pos = 0
+            while pos < len(payload):
+                klen, vlen = struct.unpack_from(">II", payload, pos)
+                kvs.append(
+                    (
+                        payload[pos + 8 : pos + 8 + klen],
+                        payload[pos + 8 + klen : pos + 8 + klen + vlen],
+                    )
+                )
+                pos += 8 + klen + vlen
+            if pos != len(payload):
+                raise AssertionError(f"data block {i} has trailing bytes")
         block_first = None
-        while pos < len(payload):
-            klen, vlen = struct.unpack_from(">II", payload, pos)
-            key = payload[pos + 8 : pos + 8 + klen]
-            value = payload[pos + 8 + klen : pos + 8 + klen + vlen]
-            pos += 8 + klen + vlen
+        for key, value in kvs:
             if block_first is None:
                 block_first = key
             row, fam, qual, ts, typ = decode_cell_key(key)
@@ -617,15 +1189,31 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
             prev_key, prev_order = key, order
             if typ != KEYVALUE_TYPE_PUT:
                 raise AssertionError(f"unexpected cell type {typ}")
+            if row != prev_row:
+                n_rows_distinct += 1
+                prev_row = row
             cells.append((row, fam, qual, ts, value))
-        if pos != len(payload):
-            raise AssertionError(f"data block {i} has trailing bytes")
         if block_first != first_key:
             raise AssertionError(f"index first-key disagrees for block {i}")
+        if bloom_meta is not None and not _bloom_contains(
+            data, bloom_meta, decode_cell_key(block_first)[0], gz
+        ):
+            raise AssertionError(
+                f"bloom false-negative on block {i}'s first row"
+            )
     if len(cells) != meta["entry_count"]:
         raise AssertionError("trailer entry_count disagrees")
     if prev_key != file_info.get(FI_LASTKEY):
         raise AssertionError("file-info LASTKEY disagrees")
+    if bloom_meta is not None:
+        if bloom_meta["key_count"] != n_rows_distinct:
+            raise AssertionError("bloom keyCount != distinct row count")
+        meta["bloom"] = {
+            "chunks": len(bloom_meta["chunks"]),
+            "key_count": bloom_meta["key_count"],
+            "total_bytes": bloom_meta["total_bytes"],
+        }
+    meta["data_block_encoding"] = "DIFF" if enc_diff else "NONE"
     meta["file_info"] = file_info
     meta["rows"] = len(cells)
     meta["min_key_hex"] = cells[0][0].hex().upper()
@@ -641,6 +1229,8 @@ def write_hfilev3_files(
     rollup: bool = False,
     num_partitions: int = 16,
     compression: str = "NONE",
+    encoding: str = "NONE",
+    bloom: bool = False,
 ) -> list[dict]:
     """H2/H3 rolling writer over the REAL v3 container: range-partition +
     sort once (globally non-overlapping regions, the §4.2 contract), then
@@ -667,7 +1257,10 @@ def write_hfilev3_files(
             fname = os.path.join(
                 path, f"region_{current_region:05d}_p{pid:05d}.hfile"
             )
-            meta = write_hfile_v3(fname, buf, compression=compression)
+            meta = write_hfile_v3(
+                fname, buf, compression=compression,
+                encoding=encoding, bloom=bloom,
+            )
             out.append(
                 {
                     "file": os.path.basename(fname),
@@ -747,15 +1340,22 @@ def read_hfilev3_dir(spark, path: str):
 
 # --- index-seek point read ---------------------------------------------------
 
-def seek_row_hfile_v3(fname: str, row: bytes) -> list:
-    """Point-get through the block index — the read path a region server
-    serves from these files: parse the fixed trailer + root index
-    (load-on-open metadata only), binary-search the index entries'
-    first keys for the LAST block whose first key is <= the probe row,
-    and scan ONLY that block (plus successors while their first key
-    still matches the row — a row can straddle a block boundary when it
-    carries many qualifiers). Returns the row's cells; never touches
-    any other data block, which is the whole point of the index."""
+def seek_row_hfile_v3(fname: str, row: bytes, stats: dict | None = None) -> list:
+    """Point-get through the bloom + block index — the read path a
+    region server serves from these files: parse the fixed trailer +
+    load-on-open metadata only; if the file carries a ROW bloom, probe
+    it FIRST and return empty on a negative without touching any data
+    block (``StoreFileReader.passesGeneralRowBloomFilter`` — the
+    short-circuit that makes point-gets on absent rows ~free); otherwise
+    binary-search the index entries' first keys for the LAST block whose
+    first key is <= the probe row, and scan ONLY that block (plus
+    successors while their first key still matches the row — a row can
+    straddle a block boundary when it carries many qualifiers). Returns
+    the row's cells. ``stats`` (optional dict) records the access path:
+    bloom_checked / bloom_negative / data_blocks_read."""
+    if stats is None:
+        stats = {}
+    stats.update(bloom_checked=False, bloom_negative=False, data_blocks_read=0)
     with open(fname, "rb") as f:
         data = f.read()
     (version_word,) = struct.unpack_from(">I", data, len(data) - 4)
@@ -768,6 +1368,27 @@ def seek_row_hfile_v3(fname: str, row: bytes) -> list:
     t = _pb_decode(data[pos : pos + tlen])
     gz = t[12][0] == COMPRESSION_GZ_ORDINAL
     levels = t[8][0]
+
+    # load-on-open walk past the file info for the general bloom meta
+    fi_payload, fi_size, _, _ = _parse_block(
+        data, t[1][0], BLOCK_MAGIC_FILE_INFO, gz
+    )
+    filen, fpos = _pb_read_varint(fi_payload, 4)
+    fi_fields = _pb_decode(fi_payload[fpos : fpos + filen])
+    file_info = {}
+    for pair in fi_fields.get(1, []):
+        kv = _pb_decode(pair)
+        file_info[bytes(kv[1][0])] = bytes(kv[2][0])
+    enc_diff = file_info.get(FI_DATA_BLOCK_ENCODING) == b"DIFF"
+    next_off = t[1][0] + fi_size
+    while next_off < toff:
+        payload, bsize, _, magic = _parse_block(data, next_off, None, gz)
+        if magic == BLOCK_MAGIC_BLOOM_META:
+            stats["bloom_checked"] = True
+            if not _bloom_contains(data, _parse_bloom_meta(payload), row, gz):
+                stats["bloom_negative"] = True
+                return []
+        next_off += bsize
     idx_payload, _, _, _ = _parse_block(
         data, t[2][0], BLOCK_MAGIC_ROOT_INDEX, gz
     )
@@ -811,18 +1432,29 @@ def seek_row_hfile_v3(fname: str, row: bytes) -> list:
     orders = [_cell_order(*decode_cell_key(k)[:3], decode_cell_key(k)[3])
               for _, _, k in entries]
     start = max(0, bisect.bisect_right(orders, probe_low) - 1)
+    data_magic = BLOCK_MAGIC_ENCODED_DATA if enc_diff else BLOCK_MAGIC_DATA
     cells = []
     for i in range(start, len(entries)):
         first_row = orders[i][0]
         if i > start and first_row > row:
             break
-        payload, _, _, _ = _parse_block(data, entries[i][0], BLOCK_MAGIC_DATA, gz)
-        pos2 = 0
-        while pos2 < len(payload):
-            klen, vlen = struct.unpack_from(">II", payload, pos2)
-            key = payload[pos2 + 8 : pos2 + 8 + klen]
-            value = payload[pos2 + 8 + klen : pos2 + 8 + klen + vlen]
-            pos2 += 8 + klen + vlen
+        payload, _, _, _ = _parse_block(data, entries[i][0], data_magic, gz)
+        stats["data_blocks_read"] += 1
+        if enc_diff:
+            kvs = _diff_decode_block(payload)
+        else:
+            kvs = []
+            pos2 = 0
+            while pos2 < len(payload):
+                klen, vlen = struct.unpack_from(">II", payload, pos2)
+                kvs.append(
+                    (
+                        payload[pos2 + 8 : pos2 + 8 + klen],
+                        payload[pos2 + 8 + klen : pos2 + 8 + klen + vlen],
+                    )
+                )
+                pos2 += 8 + klen + vlen
+        for key, value in kvs:
             r, fam, qual, ts, _typ = decode_cell_key(key)
             if r == row:
                 cells.append((r, fam, qual, ts, value))
