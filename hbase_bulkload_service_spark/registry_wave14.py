@@ -338,7 +338,13 @@ def q156_streaming_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = tempfile.mkdtemp(prefix="q156rate")
     try:
-        ev.coalesce(4).write.mode("overwrite").parquet(d)
+        # repartition(16), NOT coalesce(4): coalesce clamps the whole
+        # event derivation AND the parquet encode into 4 tasks (the r05
+        # stage-audit flag — 4-task 1.6 s stages), and the 4-file layout
+        # then caps the micro-batch file-scan parallelism too; a
+        # numbered exchange keeps the derive at full width and 16 replay
+        # files keep both the encode and the stream scan spread
+        ev.repartition(16).write.mode("overwrite").parquet(d)
         stream = spark.readStream.schema(ev.schema).parquet(d)
         out = st.streaming_counter_rate(stream)
         q = (

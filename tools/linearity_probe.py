@@ -288,6 +288,12 @@ def main() -> int:
         # accumulate until the ContextCleaner reclaims them, and the 1g
         # default heap OOMs around stage ~550 at 10x scale
         .config("spark.driver.memory", "12g")
+        # VERDICT r05 item 4: the default 1000-stage UI retention evicts
+        # early queries' stages before the end-of-run metrics collection,
+        # leaving shuffle_ratio null exactly for the q74-q100 block —
+        # retain enough for a full 64-query x 2-scale sweep
+        .config("spark.ui.retainedStages", "40000")
+        .config("spark.ui.retainedJobs", "20000")
         .getOrCreate()
     )
     sc = spark.sparkContext
@@ -306,14 +312,24 @@ def main() -> int:
         ]
         if only is not None:
             plan = [p for p in plan if p[0] in only]
+        from hbase_bulkload_service_spark import cachereg
+
         for name, d1, dk in plan:
             fn = registry.QUERIES[name]
             walls = {}
             for tag, d in (("x1", d1), (f"x{amp}", dk)):
+                # release BEFORE each run too: cachereg-registered frames
+                # from a PRIOR query/scale otherwise contaminate this
+                # run's baseline (q105's r05 x1 read ~0 shuffle because
+                # the x1 corpus shingle table was still persisted —
+                # VERDICT r05 item 4)
+                cachereg.release_all()
+                spark.catalog.clearCache()
                 sc.setJobGroup(f"{name}:{tag}", name)
                 t0 = time.time()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 walls[tag] = round(time.time() - t0, 2)
+                cachereg.release_all()
                 spark.catalog.clearCache()  # drop leftover persists per run
             results["queries"][name] = {
                 "wall_s": walls,
@@ -350,12 +366,15 @@ def main() -> int:
             pert3 = _amplify_perturbed(spark, work, 3)
             for name, rec in flagged:
                 d3 = pert3 if rec["perturbed"] else amp3
+                cachereg.release_all()
+                spark.catalog.clearCache()
                 sc.setJobGroup(f"{name}:x3esc", name)
                 t0 = time.time()
                 registry.QUERIES[name](spark, d3).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 w3 = round(time.time() - t0, 2)
+                cachereg.release_all()
                 spark.catalog.clearCache()
                 g3 = _group_metrics(spark).get(f"{name}:x3esc", {})
                 s3 = g3.get("shuffle_write_mb", 0.0)

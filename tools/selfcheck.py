@@ -83,6 +83,8 @@ def _frame_sig(pdf):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_SELF.json"
+    # optional comma-separated query filter for fast iteration
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     from pyspark.sql import SparkSession
 
@@ -107,6 +109,8 @@ def main() -> int:
     results: dict[str, dict] = {}
     t_all = time.time()
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         rec: dict = {
             "rows_match": False, "schema_match": False, "hash_match": False,
             "spark_rows": None, "oracle_rows": None, "err": None,

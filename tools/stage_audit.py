@@ -42,16 +42,22 @@ def main() -> int:
         .appName("stage-audit")
         .config("spark.ui.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # the end-of-run status sweep needs EVERY query's stages still
+        # retained (default 1000 evicts the early queries' stages on a
+        # 170-query audit — same blind spot as the r05 linearity probe)
+        .config("spark.ui.retainedStages", "60000")
+        .config("spark.ui.retainedJobs", "30000")
         .getOrCreate()
     )
     sc = spark.sparkContext
     sc.setLogLevel("ERROR")
 
-    from hbase_bulkload_service_spark import registry
+    from hbase_bulkload_service_spark import cachereg, registry
 
     app = _api(spark, "applications")[0]["id"]
     results: dict[str, dict] = {}
     for name in sorted(registry.QUERIES):
+        cachereg.release_all()  # no cross-query persist contamination
         sc.setJobGroup(name, name)
         t0 = time.time()
         err = None
