@@ -35,12 +35,14 @@ SF0001 = "/root/testdata/sf0.001"
 # ALL queries pass the in-repo driver replica (tools/selfcheck.py) —
 # see CORRECTNESS_SELF_r06.json; the replica has agreed with the real
 # driver on every row it predicted across r03-r05 (148/148).
-# ROUND-7 ROTATION PLAN: back-fill with the r03 tail (q73, q79-q100 in
+# ROUND-7 ROTATION PLAN: back-fill with the r03 tail (q73, q78-q100 in
 # registration order), then the oldest r04 rows (q101...), oldest first.
 PRIORITY = [
     # -- 1. new round-6 queries --
     "q169_hfilev3_ddl",
     "q170_hfilev3_point_reads",
+    "q171_dsir_importance",
+    "q172_pq_ann",
     # -- 2. r02-age back-fill (registration order) --
     "q35_minhash_lsh",
     "q44_neardup_clusters",
@@ -90,8 +92,6 @@ PRIORITY = [
     "q75_format_csv",
     "q76_format_json",
     "q77_gap_fill",
-    "q78_scd2_history",
-    "q79_anomaly_zscore",
 ]
 
 

@@ -825,3 +825,92 @@ def source_overlap(
         F.sum("__ca").alias("docs_a"),
         F.sum("__cb").alias("docs_b"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "zh",
+    n_buckets: int = 4096,
+    keep_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"):
+    pick the raw-pool documents whose hashed-bigram feature distribution
+    looks most like a TARGET slice of the corpus — the domain-matching
+    selection stage of a pretraining pipeline (select web docs that look
+    like wiki/books, here: docs that look like the ``target_value``
+    stratum).
+
+    Protocol (integer-exact; no float crosses the verdict — the same
+    device as q48's tf-idf twin and q119's LM score): features are
+    word bigrams hashed into ``n_buckets`` md5 buckets; the target and
+    raw bucket distributions are counted in ONE pass; each bucket gets
+    an add-one-smoothed integer likelihood-ratio score
+    ``((cnt_target + 1) * 1e6) div (cnt_raw + 1)`` — a monotone twin of
+    the smoothed ratio p_target/p_raw (the shared normalizers are
+    constant across buckets, so per-bucket ranking is preserved; the
+    document score is the occurrence-weighted ratio-sum rather than the
+    paper's log-ratio sum, trading the log for exact integer
+    arithmetic). The ``keep_n`` raw documents with the highest weight
+    (ties -> lowest id) are returned.
+
+    Scale shape for 100 TB: one scan explodes bigrams and immediately
+    collapses to the bucket axis (n_buckets rows — metadata-scale) and
+    to (doc, bucket) occurrence counts (map-side combine on both); the
+    bucket score table broadcasts back onto the per-doc counts; the
+    final top-N is orderBy+limit => TakeOrderedAndProject (O(keep_n)
+    per partition, no global sort). Raw text crosses no shuffle.
+    """
+    is_target = F.col(target_col) == F.lit(target_value)
+    bigrams = F.when(
+        F.size(F.col("__ws")) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            "transform(sequence(0, size(__ws) - 2),"
+            " i -> concat(__ws[i], ' ', __ws[i+1]))"
+        )
+    )
+    feats = (
+        docs.select(
+            F.col(id_col),
+            is_target.alias("__t"),
+            words_of(F.col(text_col)).alias("__ws"),
+        )
+        .select(
+            id_col, "__t", F.explode(bigrams).alias("__bg")
+        )
+        .select(
+            id_col,
+            "__t",
+            hash_bucket(F.col("__bg"), n_buckets).alias("bucket"),
+        )
+    )
+    stats = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("__cr"),
+    )
+    scores = stats.select(
+        "bucket",
+        F.expr("((__ct + 1) * 1000000) div (__cr + 1)").alias("__ratio_ppm"),
+    )
+    doc_feats = (
+        feats.filter(~F.col("__t"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("__c"))
+    )
+    weights = (
+        doc_feats.join(F.broadcast(scores), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_feats"),
+            F.sum(F.col("__c") * F.col("__ratio_ppm")).alias("weight_ppm"),
+        )
+    )
+    return (
+        weights.orderBy(F.col("weight_ppm").desc(), F.col(id_col))
+        .limit(keep_n)
+        .select(id_col, "n_feats", "weight_ppm")
+    )

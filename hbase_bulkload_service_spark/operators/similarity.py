@@ -946,3 +946,155 @@ def centroid_drift(
             F.max("d").alias("linf_micros"),
         )
     )
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    n_queries: int = 4,
+    topk: int = 5,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): train per-subspace codebooks with
+    integer-exact Lloyd rounds, encode every vector as ``m`` centroid
+    codes, and answer queries by Asymmetric Distance Computation — the
+    memory-bound billion-vector regime where IVF cells are still too
+    big to scan raw (each vector stores m bytes, not dim floats).
+
+    Protocol (integer-exact; the :func:`kmeans_lloyd` device with the
+    subspace as an extra group key, so the SQL oracle unrolls it the
+    same way): vectors quantize once to micros; each of the ``m``
+    dim/m-wide subspaces trains its own size-``k`` codebook (init = the
+    k lowest-id vectors' subvectors, truncating-integer centroid
+    updates, (d2, cid) argmin ties, empty clusters keep their previous
+    centroid); codes are the final per-subspace argmin. Queries are the
+    ``n_queries`` lowest-id vectors; the ADC table holds the exact
+    integer squared distance from each query subvector to each centroid,
+    and the approximate distance of a corpus vector is the sum of its
+    ``m`` looked-up entries. Returns the ``topk`` nearest per query
+    (ties -> lowest id), the query's own vector included.
+
+    Scale shape for 100 TB: training round-trips are k*dim integers per
+    round (metadata-scale, identical to kmeans_lloyd); encoding is one
+    broadcast crossJoin scored by a codegen'd zip_with fold plus ONE
+    map-side-combined min-struct agg; the ADC table is n_queries*m*k
+    rows BROADCAST onto the codes, so search is one map-side lookup
+    join plus a (query, vector)-keyed sum — no shuffle ever carries a
+    raw vector, and the per-vector search state is m longs.
+    """
+    if m <= 0 or k <= 0 or iters < 0:
+        raise ValueError("need m > 0, k > 0, iters >= 0")
+    spark = embeddings.sparkSession
+    quant = embeddings.select(
+        id_col,
+        F.transform(
+            vec_col, lambda v: F.floor(v.cast("double") * scale).cast("long")
+        ).alias("vm"),
+    ).localCheckpoint()
+    dim = len(quant.select("vm").first()["vm"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+
+    subs = quant.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice("vm", s * d + 1, d).alias("svec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select(id_col, "__e.sub", "__e.svec")
+
+    # init: every subspace starts from the k lowest-id vectors' subvectors
+    init = quant.orderBy(id_col).limit(k).collect()
+    cents = {
+        (s, i): list(r["vm"][s * d : (s + 1) * d])
+        for i, r in enumerate(init)
+        for s in range(m)
+    }
+
+    def scored(cdf, df):
+        return df.join(F.broadcast(cdf), "sub").select(
+            id_col,
+            "sub",
+            "cid",
+            F.aggregate(
+                F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+
+    def cdf_of(c):
+        return spark.createDataFrame(
+            [(s, i, v) for (s, i), v in sorted(c.items())],
+            "sub int, cid int, cvec array<long>",
+        )
+
+    for _ in range(iters):
+        assign = (
+            scored(cdf_of(cents), subs)
+            .groupBy(id_col, "sub")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select(id_col, "sub", F.col("m.cid").alias("cid"))
+        )
+        agg = (
+            assign.join(subs, [id_col, "sub"])
+            .select("sub", "cid", F.posexplode("svec").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.expr("sum(x) div count(*)").alias("c"))
+            .collect()  # m*k*d integers — metadata-scale Lloyd round-trip
+        )
+        new_c: dict = {}
+        for r in agg:
+            new_c.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = r["c"]
+        cents = {
+            key: [new_c[key][p] for p in range(d)] if key in new_c else old
+            for key, old in cents.items()  # empty cluster keeps previous
+        }
+
+    cdf = cdf_of(cents)
+    codes = (
+        scored(cdf, subs)
+        .groupBy(F.col(id_col), F.col("sub"))
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(id_col, "sub", F.col("m.cid").alias("cid"))
+    )
+
+    # ADC table: exact integer d2 from each query subvector to each centroid
+    qids = [r[id_col] for r in quant.orderBy(id_col).limit(n_queries).collect()]
+    qsubs = subs.filter(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("qid"), "sub", "svec"
+    )
+    qd = qsubs.join(F.broadcast(cdf), "sub").select(
+        "qid",
+        "sub",
+        "cid",
+        F.aggregate(
+            F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qd2"),
+    )
+    ad = (
+        codes.join(F.broadcast(qd), ["sub", "cid"])
+        .groupBy("qid", id_col)
+        .agg(F.sum("qd2").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col(id_col))
+    return (
+        ad.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("qid", id_col, "adist", "rnk")
+    )

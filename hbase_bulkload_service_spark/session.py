@@ -49,8 +49,22 @@ def pinned_width(spark: SparkSession, per_core: int = 2, floor: int = 8) -> int:
     similarity.py's hard-coded 64). ``per_core=2`` gives mild
     over-decomposition for stragglers; local[32] yields 64, matching the
     literal the fixed sites used to carry.
+
+    The width must also never COLLIDE with the session's
+    ``spark.sql.shuffle.partitions``: when the pin's keys and width both
+    match the child's ENSURE_REQUIREMENTS exchange, Catalyst elides the
+    user repartition as already-satisfied — and the surviving exchange
+    is AQE-coalescible, silently reintroducing the single-task trap the
+    pin exists to prevent (caught by
+    test_ngram_verify_spread_survives_aqe under a local[4]/8-partition
+    session where both widths landed on 8). A width one above the
+    session setting can never be satisfied by an implicit exchange, so
+    the pin always materializes.
     """
-    return max(floor, spark.sparkContext.defaultParallelism * per_core)
+    w = max(floor, spark.sparkContext.defaultParallelism * per_core)
+    if w == int(spark.conf.get("spark.sql.shuffle.partitions")):
+        w += 1
+    return w
 
 
 def get_spark(

@@ -236,9 +236,18 @@ def test_fuzzy_linkage_is_equi_join(spark):
 def test_ngram_verify_spread_survives_aqe(spark):
     """q36's exact-verify stream ends in a user-numbered repartition
     (REPARTITION_BY_NUM) — exempt from AQE coalescing, so the
-    CPU-heavy array_intersect can never serialize onto one task."""
+    CPU-heavy array_intersect can never serialize onto one task.
+    The pin must MATERIALIZE in the final adaptive plan: if its keys
+    and width both match the child exchange, Catalyst elides it as
+    already-satisfied and AQE re-coalesces the survivor (the
+    pinned_width collision bug, round 6) — so assert the executed
+    partition count, which only the real pin can produce."""
+    from hbase_bulkload_service_spark.session import pinned_width
+
     df = registry.QUERIES["q36_ngram_jaccard"](spark, SF_DIR)
-    assert df.rdd.getNumPartitions() == 64
+    width = pinned_width(spark)
+    assert width != int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert df.rdd.getNumPartitions() == width
 
 
 def test_triangle_counts_no_cartesian(spark):
