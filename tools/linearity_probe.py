@@ -85,6 +85,7 @@ PROBE_QUERIES = [
     "q164_time_weighted_percentile",  # one (series,bucket) exchange: hold, cum, and rank windows share it
     "q165_slo_compliance",     # grid_fill composed into a combiner-bounded (series, period) agg
     "q166_rate_bursts",        # rate lag + trailing baseline share one series exchange
+    "q171_dsir_importance",    # bucket-bounded aggs + broadcast score table + TakeOrdered top-N
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -111,6 +112,7 @@ PROBE_QUERIES_PERTURBED = [
     "q134_containment_pairs",  # rare-gram blocked ordered pairs; perturbed reps don't contain each other
     "q147_embedding_drift",    # per-(label, dim) combiner agg; embeddings grow under this amplifier
     "q149_kcore",              # degree aggs + semi joins over per-rep-disjoint linkage graphs
+    "q172_pq_ann",             # broadcast codebooks + ADC lookup join; k x dim round-trips only
 ]
 # q146_rank_fusion is NOT probed: the fusion itself is k-bounded
 # (queries x k x n_lists rows); its scale cost lives entirely in the
