@@ -57,13 +57,17 @@ def pinned_width(spark: SparkSession, per_core: int = 2, floor: int = 8) -> int:
     is AQE-coalescible, silently reintroducing the single-task trap the
     pin exists to prevent (caught by
     test_ngram_verify_spread_survives_aqe under a local[4]/8-partition
-    session where both widths landed on 8). A width one above the
-    session setting can never be satisfied by an implicit exchange, so
-    the pin always materializes.
+    session where both widths landed on 8). On collision the width grows
+    by a FULL core wave, not by 1: w+1 tasks on w-sized clusters schedule
+    as an extra near-empty wave (64 cores, 65 uniform tasks -> one
+    straggler wave, ~+50% stage wall — measured inflating the pinned
+    queries' 10x probe readings), while w+parallelism keeps task count a
+    wave multiple with the same total CPU.
     """
-    w = max(floor, spark.sparkContext.defaultParallelism * per_core)
+    par = spark.sparkContext.defaultParallelism
+    w = max(floor, par * per_core)
     if w == int(spark.conf.get("spark.sql.shuffle.partitions")):
-        w += 1
+        w += par
     return w
 
 
