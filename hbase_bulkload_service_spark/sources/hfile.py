@@ -664,28 +664,58 @@ def read_hfl2_dir(spark, path: str, verify_bloom: bool = False) -> DataFrame:
         for m in manifest
     ]
 
-    def parse(triple):
-        fname, region, expect = triple
-        records, meta = read_hfl2_file(fname, verify_bloom=verify_bloom)
-        # manifest <-> file meta agreement enforced IN the reading task,
-        # so deep=False layout validation loses no coverage
-        if (meta["rows"], meta["min_key_hex"], meta["max_key_hex"]) != expect:
-            raise AssertionError(f"{fname}: manifest/meta disagree")
-        for key, fam, qual, val in records:
-            yield (
-                region,
-                key,
-                key.hex().upper(),
-                fam,
-                qual,
-                qual.hex().upper(),
-                val,
-            )
+    # Arrow-batched readback (same change as hfilev3.read_hfilev3_dir):
+    # parallelize+createDataFrame(rdd) pickled every cell row Python->JVM
+    # with per-row verification; mapInPandas ships one Arrow batch per
+    # file. Manifest <-> file meta agreement is still enforced IN the
+    # reading task, so deep=False layout validation loses no coverage.
+    meta_df = spark.createDataFrame(
+        [(f, r, e[0], e[1], e[2]) for f, r, e in files],
+        "fname string, region int, exp_rows long, exp_min string, "
+        "exp_max string",
+    ).repartition(
+        # round-robin; one file per task only while the cluster has the
+        # slots — each Python-runner task costs ~0.25 s of harness
+        # overhead even with warm reused workers (measured: an identity
+        # 79-task mapInPandas burns ~20 s executor CPU doing nothing),
+        # so on a 32-core box 79 single-file tasks pay more harness than
+        # parse. At cluster scale defaultParallelism >> files and this
+        # stays one file per task.
+        max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    )
 
-    sc = spark.sparkContext
-    rdd = sc.parallelize(files, max(1, len(files))).flatMap(parse)
-    return spark.createDataFrame(
-        rdd,
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for fname, region, erows, emin, emax in pdf.itertuples(
+                index=False
+            ):
+                records, meta = read_hfl2_file(
+                    fname, verify_bloom=verify_bloom
+                )
+                if (
+                    meta["rows"],
+                    meta["min_key_hex"],
+                    meta["max_key_hex"],
+                ) != (erows, emin, emax):
+                    raise AssertionError(f"{fname}: manifest/meta disagree")
+                if not records:
+                    continue  # empty frame would poison Arrow dtype inference
+                yield pd.DataFrame(
+                    {
+                        "region": [region] * len(records),
+                        "key": [r[0] for r in records],
+                        "key_hex": [r[0].hex().upper() for r in records],
+                        "family": [r[1] for r in records],
+                        "qualifier": [r[2] for r in records],
+                        "qualifier_hex": [r[2].hex().upper() for r in records],
+                        "value": [r[3] for r in records],
+                    }
+                )
+
+    return meta_df.mapInPandas(
+        parse_batches,
         "region int, key binary, key_hex string, family binary, "
         "qualifier binary, qualifier_hex string, value binary",
     )
