@@ -206,18 +206,70 @@ def _hfl1_encode_records(rows) -> tuple[bytes, int, bytes | None, bytes | None]:
     body = bytearray()
     count = 0
     first = last = None
-    for row in rows:
-        key, fam, qual, val = row["key"], row["family"], row["qualifier"], row["value"]
-        if last is not None and bytes(key) < bytes(last):
+    for rec in rows:
+        key = rec[0]
+        if last is not None and key < last:
             raise AssertionError("HFL1 input not sorted by key")
-        rec = bytes(key), bytes(fam), bytes(qual), bytes(val)
         body.extend(struct.pack(">IIII", *(len(p) for p in rec)))
         for p in rec:
             body.extend(p)
-        first = first if first is not None else bytes(key)
-        last = bytes(key)
+        first = first if first is not None else key
+        last = key
         count += 1
     return bytes(body), count, first, last
+
+
+def _rolling_write_arrow(sorted_kv: DataFrame, write_region_file) -> list[dict]:
+    """Shared Arrow-batched rolling writer: stream the range-partitioned,
+    sorted KV frame through mapInPandas (one Arrow batch at a time — the
+    old ``.rdd.mapPartitionsWithIndex`` path converted every InternalRow
+    to a Python Row, a per-CELL pickle tax on the flagship write), roll a
+    file on region change, and collect only the per-file manifest rows.
+    ``write_region_file(region, pid, cells)`` gets the accumulated
+    ``(key, family, qualifier, value)`` bytes tuples and returns the
+    manifest dict."""
+    stream = sorted_kv.select(
+        "region",
+        "key",
+        "family",
+        "qualifier",
+        "value",
+        F.spark_partition_id().alias("__pid"),
+    )
+
+    def write_batches(batches):
+        import pandas as pd
+
+        out: list[dict] = []
+        current_region, buf, pid = None, [], None
+
+        def flush():
+            if current_region is None or not buf:
+                return
+            out.append(write_region_file(int(current_region), int(pid), buf))
+
+        for pdf in batches:
+            for region, key, fam, qual, val, p in zip(
+                pdf["region"], pdf["key"], pdf["family"],
+                pdf["qualifier"], pdf["value"], pdf["__pid"],
+            ):
+                if region != current_region:
+                    flush()
+                    current_region, buf = region, []
+                pid = p
+                buf.append((bytes(key), bytes(fam), bytes(qual), bytes(val)))
+        flush()
+        if out:
+            yield pd.DataFrame(out)
+
+    rows = stream.mapInPandas(
+        write_batches,
+        "file string, region int, rows long, "
+        "min_key_hex string, max_key_hex string",
+    ).collect()
+    return sorted(
+        (r.asDict() for r in rows), key=lambda r: (r["region"], r["file"])
+    )
 
 
 def write_hfl1_files(kv: DataFrame, path: str, rollup: bool = False) -> list[dict]:
@@ -231,43 +283,24 @@ def write_hfl1_files(kv: DataFrame, path: str, rollup: bool = False) -> list[dic
         16, "region", "key_hex", "qualifier_hex"
     ).sortWithinPartitions("region", "key_hex", "qualifier_hex")
 
-    def write_partition(pid: int, it):
-        out = []
-        current_region, buf = None, []
+    def write_region_file(region: int, pid: int, cells) -> dict:
+        body, count, first, last = _hfl1_encode_records(cells)
+        fname = os.path.join(path, f"region_{region:05d}_p{pid:05d}.hfl1")
+        trailer = struct.pack(">I", count) + first + last
+        with open(fname, "wb") as f:
+            f.write(HFL1_MAGIC)
+            f.write(body)
+            f.write(struct.pack(">I", len(trailer)))
+            f.write(trailer)
+        return {
+            "file": os.path.basename(fname),
+            "region": region,
+            "rows": count,
+            "min_key_hex": first.hex().upper(),
+            "max_key_hex": last.hex().upper(),
+        }
 
-        def flush():
-            if current_region is None or not buf:
-                return
-            body, count, first, last = _hfl1_encode_records(buf)
-            fname = os.path.join(path, f"region_{current_region:05d}_p{pid:05d}.hfl1")
-            trailer = struct.pack(">I", count) + first + last
-            with open(fname, "wb") as f:
-                f.write(HFL1_MAGIC)
-                f.write(body)
-                f.write(struct.pack(">I", len(trailer)))
-                f.write(trailer)
-            out.append(
-                {
-                    "file": os.path.basename(fname),
-                    "region": current_region,
-                    "rows": count,
-                    "min_key_hex": first.hex().upper(),
-                    "max_key_hex": last.hex().upper(),
-                }
-            )
-
-        for row in it:
-            if row["region"] != current_region:
-                flush()
-                current_region, buf = row["region"], []
-            buf.append(row)
-        flush()
-        return out
-
-    results = sorted_kv.rdd.mapPartitionsWithIndex(
-        lambda pid, it: iter(write_partition(pid, it))
-    ).collect()
-    manifest = sorted(results, key=lambda r: (r["region"], r["file"]))
+    manifest = _rolling_write_arrow(sorted_kv, write_region_file)
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
@@ -605,44 +638,18 @@ def write_hfl2_files(
         num_partitions, "region", "key_hex", "qualifier_hex"
     ).sortWithinPartitions("region", "key_hex", "qualifier_hex")
 
-    def write_partition(pid: int, it):
-        out = []
-        current_region, buf = None, []
+    def write_region_file(region: int, pid: int, cells) -> dict:
+        fname = os.path.join(path, f"region_{region:05d}_p{pid:05d}.hfl2")
+        meta = _write_hfl2_file(fname, cells)
+        return {
+            "file": os.path.basename(fname),
+            "region": region,
+            "rows": meta["rows"],
+            "min_key_hex": meta["min_key_hex"],
+            "max_key_hex": meta["max_key_hex"],
+        }
 
-        def flush():
-            if current_region is None or not buf:
-                return
-            fname = os.path.join(path, f"region_{current_region:05d}_p{pid:05d}.hfl2")
-            meta = _write_hfl2_file(fname, buf)
-            out.append(
-                {
-                    "file": os.path.basename(fname),
-                    "region": current_region,
-                    "rows": meta["rows"],
-                    "min_key_hex": meta["min_key_hex"],
-                    "max_key_hex": meta["max_key_hex"],
-                }
-            )
-
-        for row in it:
-            if row["region"] != current_region:
-                flush()
-                current_region, buf = row["region"], []
-            buf.append(
-                (
-                    bytes(row["key"]),
-                    bytes(row["family"]),
-                    bytes(row["qualifier"]),
-                    bytes(row["value"]),
-                )
-            )
-        flush()
-        return out
-
-    results = sorted_kv.rdd.mapPartitionsWithIndex(
-        lambda pid, it: iter(write_partition(pid, it))
-    ).collect()
-    manifest = sorted(results, key=lambda r: (r["region"], r["file"]))
+    manifest = _rolling_write_arrow(sorted_kv, write_region_file)
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest

@@ -1247,50 +1247,30 @@ def write_hfilev3_files(
         num_partitions, "region", "key_hex", "qualifier_hex"
     ).sortWithinPartitions("region", "key_hex", "qualifier_hex")
 
-    def write_partition(pid: int, it):
-        out = []
-        current_region, buf = None, []
+    # Arrow-batched writer (sources/hfile.py:_rolling_write_arrow — the
+    # old .rdd.mapPartitionsWithIndex path paid a per-CELL Row pickle):
+    from hbase_bulkload_service_spark.sources.hfile import (
+        _rolling_write_arrow,
+    )
 
-        def flush():
-            if current_region is None or not buf:
-                return
-            fname = os.path.join(
-                path, f"region_{current_region:05d}_p{pid:05d}.hfile"
-            )
-            meta = write_hfile_v3(
-                fname, buf, compression=compression,
-                encoding=encoding, bloom=bloom,
-            )
-            out.append(
-                {
-                    "file": os.path.basename(fname),
-                    "region": current_region,
-                    "rows": meta["rows"],
-                    "min_key_hex": meta["min_key_hex"],
-                    "max_key_hex": meta["max_key_hex"],
-                }
-            )
+    def write_region_file(region: int, pid: int, cells) -> dict:
+        fname = os.path.join(path, f"region_{region:05d}_p{pid:05d}.hfile")
+        meta = write_hfile_v3(
+            fname,
+            ((k, f, q, 0, v) for k, f, q, v in cells),
+            compression=compression,
+            encoding=encoding,
+            bloom=bloom,
+        )
+        return {
+            "file": os.path.basename(fname),
+            "region": region,
+            "rows": meta["rows"],
+            "min_key_hex": meta["min_key_hex"],
+            "max_key_hex": meta["max_key_hex"],
+        }
 
-        for row in it:
-            if row["region"] != current_region:
-                flush()
-                current_region, buf = row["region"], []
-            buf.append(
-                (
-                    bytes(row["key"]),
-                    bytes(row["family"]),
-                    bytes(row["qualifier"]),
-                    0,
-                    bytes(row["value"]),
-                )
-            )
-        flush()
-        return out
-
-    results = sorted_kv.rdd.mapPartitionsWithIndex(
-        lambda pid, it: iter(write_partition(pid, it))
-    ).collect()
-    manifest = sorted(results, key=lambda r: (r["region"], r["file"]))
+    manifest = _rolling_write_arrow(sorted_kv, write_region_file)
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
