@@ -23,9 +23,10 @@ SF0001 = "/root/testdata/sf0.001"
 # order), so with >50 registered queries the set would stay partially
 # unchecked unless we rotate. Round-6 window layout (50 slots exactly —
 # VERDICT r05 item 2):
-#   1. q169/q170 — new this round (the full-DDL real-v3 container gate
-#      and the byte-level bloom+index point-read gate); new queries are
-#      verified same-round, never debt.
+#   1. q169-q175 — new this round (the full-DDL real-v3 container gate,
+#      the byte-level bloom+index point-read gate, DSIR, PQ-ANN, concat
+#      packing, n-gram novelty, IVF-PQ); new queries are verified same-round,
+#      never debt.
 #   2. The 20 remaining r02-age rows (q35-q53 family) — their last
 #      driver row predates three rounds of shared-code evolution.
 #   3. The 28 OLDEST r03-age rows in registration order (q66/q68/q69,
@@ -37,14 +38,19 @@ SF0001 = "/root/testdata/sf0.001"
 # rows-only by design, 0 mismatches at round-6 HEAD); the replica has
 # agreed with the real driver on every row it predicted across r03-r05
 # (148/148).
-# ROUND-7 ROTATION PLAN: back-fill with the r03 tail (q73, q78-q100 in
-# registration order), then the oldest r04 rows (q101...), oldest first.
+# ROUND-7 ROTATION PLAN: back-fill with q75/q76/q77 (displaced from this
+# window by the wave-19 queries q173-q175), then the r03 tail (q73,
+# q78-q100 in registration order), then the oldest r04 rows (q101...),
+# oldest first.
 PRIORITY = [
     # -- 1. new round-6 queries --
     "q169_hfilev3_ddl",
     "q170_hfilev3_point_reads",
     "q171_dsir_importance",
     "q172_pq_ann",
+    "q173_concat_packing",
+    "q174_ngram_novelty",
+    "q175_ivfpq_topk",
     # -- 2. r02-age back-fill (registration order) --
     "q35_minhash_lsh",
     "q44_neardup_clusters",
@@ -91,9 +97,6 @@ PRIORITY = [
     "q71_ivf_multi_assign",
     "q72_zorder_key",
     "q74_repetition_signals",
-    "q75_format_csv",
-    "q76_format_json",
-    "q77_gap_fill",
 ]
 
 

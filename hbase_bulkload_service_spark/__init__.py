@@ -43,3 +43,4 @@ from hbase_bulkload_service_spark import registry_wave15  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave16  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave17  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave18  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave19  # noqa: E402,F401

@@ -581,6 +581,73 @@ def semantic_dedup(
     )
 
 
+def _quantized(
+    embeddings: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """(id, vm) with vm = floor(v * scale) micros, localCheckpoint'd so
+    the quantization scan runs once across iterative consumers."""
+    return embeddings.select(
+        id_col,
+        F.transform(
+            vec_col, lambda v: F.floor(v.cast("double") * scale).cast("long")
+        ).alias("vm"),
+    ).localCheckpoint()
+
+
+def _lloyd_scored(vm: DataFrame, cdf: DataFrame, id_col: str) -> DataFrame:
+    """Exact integer d2 of every vector against every (broadcast)
+    centroid — the per-round scoring kernel of :func:`kmeans_lloyd`."""
+    return vm.crossJoin(F.broadcast(cdf)).select(
+        id_col,
+        "vm",
+        "cid",
+        F.aggregate(
+            F.zip_with("vm", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+
+
+def _lloyd_centroids(
+    spark, vm: DataFrame, k: int, iters: int, id_col: str
+) -> list[tuple[int, list[int]]]:
+    """``iters`` integer-exact Lloyd rounds over quantized vectors; init =
+    the k lowest-id vectors, truncating centroid division, empty clusters
+    keep their previous centroid. Returns the final centroid list (the
+    loop body of :func:`kmeans_lloyd`, shared with :func:`ivfpq_topk`'s
+    coarse quantizer)."""
+    init = vm.orderBy(id_col).limit(k).collect()
+    cents = [(i, list(r["vm"])) for i, r in enumerate(init)]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cid int, cvec array<long>")
+        assign = (
+            _lloyd_scored(vm, cdf, id_col)
+            .groupBy(id_col, "vm")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select(id_col, "vm", F.col("m.cid").alias("cid"))
+        )
+        agg = (
+            assign.select("cid", F.posexplode("vm").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(x) div count(*)").alias("c"))
+            .collect()  # k*dim rows — metadata-scale, the Lloyd round-trip
+        )
+        new_c: dict = {}
+        for r in agg:
+            new_c.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+        cents = [
+            (
+                cid,
+                [new_c[cid][p] for p in range(len(old))]
+                if cid in new_c
+                else old,  # empty cluster keeps its previous centroid
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 8,
@@ -618,59 +685,11 @@ def kmeans_lloyd(
     if k <= 0 or iters < 0:
         raise ValueError("need k > 0 and iters >= 0")
     spark = embeddings.sparkSession
-    vm = embeddings.select(
-        id_col,
-        F.transform(
-            vec_col, lambda v: F.floor(v.cast("double") * scale).cast("long")
-        ).alias("vm"),
-    ).localCheckpoint()
-
-    # init: the k lowest-id vectors (deterministic; metadata-scale collect)
-    init = vm.orderBy(id_col).limit(k).collect()
-    cents = [(i, list(r["vm"])) for i, r in enumerate(init)]
-
-    def scored(cdf):
-        return vm.crossJoin(F.broadcast(cdf)).select(
-            id_col,
-            "vm",
-            "cid",
-            F.aggregate(
-                F.zip_with("vm", "cvec", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-        )
-
-    for _ in range(iters):
-        cdf = spark.createDataFrame(cents, "cid int, cvec array<long>")
-        assign = (
-            scored(cdf)
-            .groupBy(id_col, "vm")
-            .agg(F.min(F.struct("d2", "cid")).alias("m"))
-            .select(id_col, "vm", F.col("m.cid").alias("cid"))
-        )
-        agg = (
-            assign.select("cid", F.posexplode("vm").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.expr("sum(x) div count(*)").alias("c"))
-            .collect()  # k*dim rows — metadata-scale, the Lloyd round-trip
-        )
-        new_c = {}
-        for r in agg:
-            new_c.setdefault(r["cid"], {})[r["pos"]] = r["c"]
-        cents = [
-            (
-                cid,
-                [new_c[cid][p] for p in range(len(old))]
-                if cid in new_c
-                else old,  # empty cluster keeps its previous centroid
-            )
-            for cid, old in cents
-        ]
-
+    vm = _quantized(embeddings, id_col, vec_col, scale)
+    cents = _lloyd_centroids(spark, vm, k, iters, id_col)
     cdf = spark.createDataFrame(cents, "cid int, cvec array<long>")
     return (
-        scored(cdf)
+        _lloyd_scored(vm, cdf, id_col)
         .groupBy(F.col(id_col), "vm")
         .agg(F.min(F.struct("d2", "cid")).alias("m"))
         .select(
@@ -948,6 +967,130 @@ def centroid_drift(
     )
 
 
+def _subdim(quant: DataFrame, m: int) -> int:
+    """dim // m, validating divisibility against the actual corpus."""
+    dim = len(quant.select("vm").first()["vm"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    return dim // m
+
+
+def _pq_subspaces(quant: DataFrame, m: int, d: int, id_col: str) -> DataFrame:
+    """Explode quantized vectors into (id, sub, svec) subvector rows."""
+    return quant.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice("vm", s * d + 1, d).alias("svec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select(id_col, "__e.sub", "__e.svec")
+
+
+def _pq_scored(cdf: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
+    """Exact integer d2 of every subvector against its subspace's
+    (broadcast) codebook — the PQ twin of :func:`_lloyd_scored`."""
+    return df.join(F.broadcast(cdf), "sub").select(
+        id_col,
+        "sub",
+        "cid",
+        F.aggregate(
+            F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+
+
+def _pq_codebooks(
+    spark,
+    quant: DataFrame,
+    subs: DataFrame,
+    m: int,
+    k: int,
+    iters: int,
+    d: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-subspace integer Lloyd training (the :func:`_lloyd_centroids`
+    device with the subspace as an extra group key): init = the k
+    lowest-id vectors' subvectors, truncating centroid division, empty
+    clusters keep their previous centroid. Returns the final codebook
+    frame (sub, cid, cvec) — shared by :func:`pq_ann_topk` and
+    :func:`ivfpq_topk`."""
+    init = quant.orderBy(id_col).limit(k).collect()
+    cents = {
+        (s, i): list(r["vm"][s * d : (s + 1) * d])
+        for i, r in enumerate(init)
+        for s in range(m)
+    }
+
+    def cdf_of(c):
+        return spark.createDataFrame(
+            [(s, i, v) for (s, i), v in sorted(c.items())],
+            "sub int, cid int, cvec array<long>",
+        )
+
+    for _ in range(iters):
+        assign = (
+            _pq_scored(cdf_of(cents), subs, id_col)
+            .groupBy(id_col, "sub")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select(id_col, "sub", F.col("m.cid").alias("cid"))
+        )
+        agg = (
+            assign.join(subs, [id_col, "sub"])
+            .select("sub", "cid", F.posexplode("svec").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.expr("sum(x) div count(*)").alias("c"))
+            .collect()  # m*k*d integers — metadata-scale Lloyd round-trip
+        )
+        new_c: dict = {}
+        for r in agg:
+            new_c.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = r["c"]
+        cents = {
+            key: [new_c[key][p] for p in range(d)] if key in new_c else old
+            for key, old in cents.items()  # empty cluster keeps previous
+        }
+    return cdf_of(cents)
+
+
+def _pq_codes(cdf: DataFrame, subs: DataFrame, id_col: str) -> DataFrame:
+    """Final per-(vector, subspace) argmin code assignment."""
+    return (
+        _pq_scored(cdf, subs, id_col)
+        .groupBy(F.col(id_col), F.col("sub"))
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(id_col, "sub", F.col("m.cid").alias("cid"))
+    )
+
+
+def _pq_adc_table(
+    cdf: DataFrame, subs: DataFrame, qids: list, id_col: str
+) -> DataFrame:
+    """ADC lookup table: exact integer d2 from each query subvector to
+    each of its subspace's centroids — n_queries*m*k rows."""
+    qsubs = subs.filter(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("qid"), "sub", "svec"
+    )
+    return qsubs.join(F.broadcast(cdf), "sub").select(
+        "qid",
+        "sub",
+        "cid",
+        F.aggregate(
+            F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qd2"),
+    )
+
+
 def pq_ann_topk(
     embeddings: DataFrame,
     m: int = 4,
@@ -990,103 +1133,15 @@ def pq_ann_topk(
     if m <= 0 or k <= 0 or iters < 0:
         raise ValueError("need m > 0, k > 0, iters >= 0")
     spark = embeddings.sparkSession
-    quant = embeddings.select(
-        id_col,
-        F.transform(
-            vec_col, lambda v: F.floor(v.cast("double") * scale).cast("long")
-        ).alias("vm"),
-    ).localCheckpoint()
-    dim = len(quant.select("vm").first()["vm"])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    d = dim // m
-
-    subs = quant.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("int").alias("sub"),
-                        F.slice("vm", s * d + 1, d).alias("svec"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("__e"),
-    ).select(id_col, "__e.sub", "__e.svec")
-
-    # init: every subspace starts from the k lowest-id vectors' subvectors
-    init = quant.orderBy(id_col).limit(k).collect()
-    cents = {
-        (s, i): list(r["vm"][s * d : (s + 1) * d])
-        for i, r in enumerate(init)
-        for s in range(m)
-    }
-
-    def scored(cdf, df):
-        return df.join(F.broadcast(cdf), "sub").select(
-            id_col,
-            "sub",
-            "cid",
-            F.aggregate(
-                F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-        )
-
-    def cdf_of(c):
-        return spark.createDataFrame(
-            [(s, i, v) for (s, i), v in sorted(c.items())],
-            "sub int, cid int, cvec array<long>",
-        )
-
-    for _ in range(iters):
-        assign = (
-            scored(cdf_of(cents), subs)
-            .groupBy(id_col, "sub")
-            .agg(F.min(F.struct("d2", "cid")).alias("m"))
-            .select(id_col, "sub", F.col("m.cid").alias("cid"))
-        )
-        agg = (
-            assign.join(subs, [id_col, "sub"])
-            .select("sub", "cid", F.posexplode("svec").alias("pos", "x"))
-            .groupBy("sub", "cid", "pos")
-            .agg(F.expr("sum(x) div count(*)").alias("c"))
-            .collect()  # m*k*d integers — metadata-scale Lloyd round-trip
-        )
-        new_c: dict = {}
-        for r in agg:
-            new_c.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = r["c"]
-        cents = {
-            key: [new_c[key][p] for p in range(d)] if key in new_c else old
-            for key, old in cents.items()  # empty cluster keeps previous
-        }
-
-    cdf = cdf_of(cents)
-    codes = (
-        scored(cdf, subs)
-        .groupBy(F.col(id_col), F.col("sub"))
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select(id_col, "sub", F.col("m.cid").alias("cid"))
-    )
+    quant = _quantized(embeddings, id_col, vec_col, scale)
+    d = _subdim(quant, m)
+    subs = _pq_subspaces(quant, m, d, id_col)
+    cdf = _pq_codebooks(spark, quant, subs, m, k, iters, d, id_col)
+    codes = _pq_codes(cdf, subs, id_col)
 
     # ADC table: exact integer d2 from each query subvector to each centroid
     qids = [r[id_col] for r in quant.orderBy(id_col).limit(n_queries).collect()]
-    qsubs = subs.filter(F.col(id_col).isin(qids)).select(
-        F.col(id_col).alias("qid"), "sub", "svec"
-    )
-    qd = qsubs.join(F.broadcast(cdf), "sub").select(
-        "qid",
-        "sub",
-        "cid",
-        F.aggregate(
-            F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("qd2"),
-    )
+    qd = _pq_adc_table(cdf, subs, qids, id_col)
     ad = (
         codes.join(F.broadcast(qd), ["sub", "cid"])
         .groupBy("qid", id_col)
@@ -1097,4 +1152,100 @@ def pq_ann_topk(
         ad.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= topk)
         .select("qid", id_col, "adist", "rnk")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    coarse_iters: int = 1,
+    m: int = 4,
+    k: int = 8,
+    pq_iters: int = 1,
+    nprobe: int = 2,
+    n_queries: int = 4,
+    topk: int = 5,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (Jegou et al. 2011 §V, the FAISS ``IVFx,PQy`` layout):
+    a coarse quantizer partitions the corpus into ``n_cells`` inverted
+    lists and queries scan only their ``nprobe`` nearest cells, with the
+    scanned vectors represented by ``m``-byte PQ codes instead of raw
+    floats — the composition that makes billion-vector search both
+    memory-bound-safe (PQ, q172) and sublinear in corpus size (IVF,
+    q39b). Codebooks are trained on the raw corpus (the non-residual
+    IVF-PQ variant, "IVFADC w/o residual encoding" in the paper's
+    terms), so the coarse and fine stages stay independently
+    oracle-checkable.
+
+    Protocol (integer-exact; every stage is a proven device): the coarse
+    quantizer is :func:`_lloyd_centroids` (q118), cell assignment the
+    (d2, cid) argmin; PQ codebooks/codes are :func:`_pq_codebooks` /
+    :func:`_pq_codes` (q172); queries are the ``n_queries`` lowest-id
+    vectors, probing their ``nprobe`` nearest cells (ties -> lowest cell
+    id); the ADC distance sums the per-subspace lookups over probed
+    cells only. Returns (qid, vec_id, cell, adist, rnk), rnk <= topk,
+    ties -> lowest id — a query's own vector is its cell's rank 1.
+
+    Scale shape for 100 TB: training round-trips are metadata-scale
+    (k*dim integers per round); the corpus-sized stages are ONE id-keyed
+    join (codes x cell assignment — both derived from the same quantized
+    scan) filtered by the BROADCAST probe list (n_queries*nprobe rows),
+    then the ADC lookup against the BROADCAST table and a (query,
+    vector)-keyed sum. No shuffle carries a raw vector; unprobed cells'
+    vectors are dropped before the ADC join, so search cost scales with
+    nprobe/n_cells of the corpus, not the corpus.
+    """
+    if n_cells <= 0 or nprobe <= 0 or nprobe > n_cells:
+        raise ValueError("need 0 < nprobe <= n_cells")
+    if m <= 0 or k <= 0 or coarse_iters < 0 or pq_iters < 0:
+        raise ValueError("need m > 0, k > 0, non-negative iteration counts")
+    spark = embeddings.sparkSession
+    quant = _quantized(embeddings, id_col, vec_col, scale)
+    d = _subdim(quant, m)
+
+    # coarse quantizer: Lloyd cells + final argmin cell assignment
+    coarse = spark.createDataFrame(
+        _lloyd_centroids(spark, quant, n_cells, coarse_iters, id_col),
+        "cid int, cvec array<long>",
+    )
+    cells = (
+        _lloyd_scored(quant, coarse, id_col)
+        .groupBy(id_col, "vm")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(id_col, F.col("m.cid").alias("cell"))
+    )
+
+    # fine quantizer: per-subspace PQ codebooks + codes
+    subs = _pq_subspaces(quant, m, d, id_col)
+    cdf = _pq_codebooks(spark, quant, subs, m, k, pq_iters, d, id_col)
+    codes = _pq_codes(cdf, subs, id_col)
+
+    # queries probe their nprobe nearest coarse cells
+    qids = [r[id_col] for r in quant.orderBy(id_col).limit(n_queries).collect()]
+    qcells = _lloyd_scored(
+        quant.filter(F.col(id_col).isin(qids)), coarse, id_col
+    ).select(F.col(id_col).alias("qid"), F.col("cid").alias("cell"), "d2")
+    wp = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
+    probed = (
+        qcells.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("qid", "cell")
+    )
+
+    qd = _pq_adc_table(cdf, subs, qids, id_col)
+    ad = (
+        codes.join(cells, id_col)  # id-keyed: the only corpus-sized join
+        .join(F.broadcast(probed), "cell")  # drops unprobed cells' vectors
+        .join(F.broadcast(qd), ["qid", "sub", "cid"])
+        .groupBy("qid", id_col, "cell")
+        .agg(F.sum("qd2").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col(id_col))
+    return (
+        ad.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("qid", id_col, "cell", "adist", "rnk")
     )

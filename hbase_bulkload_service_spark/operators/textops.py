@@ -1061,3 +1061,179 @@ def term_cooccurrence(
             "score_ppb"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-cut sequence packing (GPT-style pretraining batches)
+# ---------------------------------------------------------------------------
+
+def concat_pack_stats(
+    docs: DataFrame,
+    seq_len: int = 256,
+    seed: int = 0,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing audit: concatenate the (deterministically
+    shuffled) token stream and cut it at fixed ``seq_len`` boundaries —
+    the zero-waste packing used for decoder pretraining (documents may
+    span window boundaries; cf. GPT-3 / "packing with EOD tokens"), and
+    the complement of :func:`pack_sequences`, which is the no-spanning
+    first-fit-decreasing variant.
+
+    Returns one row per training sequence: ``(shard, seq_id, n_docs,
+    n_starts, n_tokens, fill_ppm)`` where ``n_docs`` counts documents
+    overlapping the window, ``n_starts`` counts documents that BEGIN in
+    it (``n_docs - n_starts`` = carry-ins from the previous window), and
+    ``fill_ppm = n_tokens * 1e6 div seq_len`` (only a shard's final
+    window is ever partial — packing waste is exactly the sum of
+    ``seq_len - n_tokens`` over the ``n_shards`` last windows).
+
+    Deterministic + distributed: document order is
+    :func:`curation.deterministic_shuffle`'s (shard, pos) — one keyed
+    exchange, per-shard parallel sorts, retry-stable. Offsets are a
+    per-shard running sum (window over the same partitioning — no second
+    exchange), window membership is integer division on the offsets, and
+    the per-sequence rollup re-uses the shard key so the final agg is the
+    only other shuffle. Token counts use the corpus-wide whitespace
+    convention (``words_of`` — oracle-proven via q33); raw text never
+    crosses a shuffle.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from pyspark.sql.window import Window
+
+    from hbase_bulkload_service_spark.operators.curation import (
+        deterministic_shuffle,
+    )
+
+    tok = docs.select(
+        F.col(id_col), F.size(words_of(F.col(text_col))).alias("__n_tok")
+    )
+    ordered = deterministic_shuffle(
+        tok, key_col=id_col, seed=seed, n_shards=n_shards
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ordered.select(
+        "shard",
+        "__n_tok",
+        F.coalesce(F.sum("__n_tok").over(w), F.lit(0)).alias("__start"),
+    ).select(
+        "shard",
+        "__n_tok",
+        "__start",
+        F.expr(f"__start div {seq_len}").alias("__w_first"),
+        F.expr(f"(__start + __n_tok - 1) div {seq_len}").alias("__w_last"),
+    )
+    member = offs.select(
+        "shard",
+        "__n_tok",
+        "__start",
+        "__w_first",
+        F.explode(F.sequence("__w_first", "__w_last")).alias("seq_id"),
+    ).select(
+        "shard",
+        "seq_id",
+        (F.col("seq_id") == F.col("__w_first")).alias("__is_start"),
+        (
+            F.least(
+                F.col("__start") + F.col("__n_tok"),
+                (F.col("seq_id") + 1) * seq_len,
+            )
+            - F.greatest(F.col("__start"), F.col("seq_id") * F.lit(seq_len))
+        ).alias("__tok_in"),
+    )
+    return (
+        member.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("__is_start"), 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+            F.sum("__tok_in").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "n_docs",
+            "n_starts",
+            "n_tokens",
+            F.expr(f"n_tokens * 1000000 div {seq_len}").alias("fill_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram novelty curve (diversity over ingestion order)
+# ---------------------------------------------------------------------------
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 5,
+    batch_docs: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-growth novelty curve: bucket documents into ingestion
+    batches (``batch = doc_id div batch_docs`` — the synthetic corpus's
+    id order stands in for crawl order) and report, per batch, how much
+    of its k-gram vocabulary the corpus has never seen before. The
+    saturation of this curve is the standing "is more crawl still adding
+    information?" monitor of a pretraining data pipeline — the
+    corpus-level complement of the per-document dup metrics (q74/q101).
+
+    Output: ``(batch, n_occ, n_distinct, n_new, novelty_ppm)`` — total
+    k-gram occurrences, distinct k-grams present, k-grams whose FIRST
+    corpus occurrence (min batch) is this batch, and
+    ``n_new * 1e6 div n_distinct``.
+
+    Scale shape: grams are md5-hashed before the first exchange (fixed
+    32-byte keys, no gram text in shuffles); (batch, gram) counts
+    partial-aggregate map-side; first-occurrence is a second keyed agg
+    over the already-collapsed pairs; the batch rollup is
+    metadata-scale. Three linear keyed exchanges, no joins against raw
+    text, no pair enumeration.
+    """
+    if k < 1 or batch_docs < 1:
+        raise ValueError("k and batch_docs must be >= 1")
+    grams = F.when(
+        F.size(F.col("__ws")) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, size(__ws) - {k}),"
+            f" i -> concat_ws(' ', slice(__ws, i + 1, {k})))"
+        )
+    )
+    per = (
+        docs.select(
+            F.expr(f"{id_col} div {batch_docs}").alias("batch"),
+            words_of(F.col(text_col)).alias("__ws"),
+        )
+        .select("batch", F.explode(grams).alias("__g"))
+        .groupBy("batch", F.md5("__g").alias("__h"))
+        .agg(F.count("*").alias("__c"))
+    )
+    first = per.groupBy("__h").agg(F.min("batch").alias("__fb"))
+    return (
+        per.join(first, "__h")
+        .groupBy("batch")
+        .agg(
+            F.sum("__c").alias("n_occ"),
+            F.count("*").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("__fb") == F.col("batch"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+        .select(
+            "batch",
+            "n_occ",
+            "n_distinct",
+            "n_new",
+            F.expr("n_new * 1000000 div n_distinct").alias("novelty_ppm"),
+        )
+    )
