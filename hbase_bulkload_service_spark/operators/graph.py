@@ -285,3 +285,61 @@ def kcore_rounds(
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
+
+
+def label_propagation_rounds(
+    pairs: DataFrame,
+    rounds: int = 3,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan et al. 2007,
+    "Near linear time algorithm to detect community structures") over the
+    undirected pair graph: every node's label starts as its own id and
+    each round becomes the MOST FREQUENT label among its neighbors (ties
+    -> lowest label) — the classic communities-without-a-k detector,
+    separating locally-dense groups where hash-to-min CC (q121) would
+    flood one global min through any bridge edge. A FIXED round count +
+    the deterministic tie-break make every round bit-reproducible, hence
+    SQL-unrollable for the oracle gate (same recipe as pagerank / CC /
+    kmeans).
+
+    Scale shape per round: ONE keyed contribution join (labels ⋈ edges
+    on the source — edge-count rows, the same exchange CC pays) + one
+    (node, label) hash agg with map-side combine + one per-node argmax
+    agg (min-struct of (-count, label), no window); localCheckpoint per
+    round keeps plan depth O(1). Node domain: nodes with >= 1 edge, so
+    every node has neighbors and the argmax is total.
+
+    Output: (node, community) after ``rounds`` synchronous updates.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionAll(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        counts = (
+            labels.join(edges, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("nd"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.groupBy(F.col("nd").alias("node"))
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias(
+                    "m"
+                )
+            )
+            .select("node", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

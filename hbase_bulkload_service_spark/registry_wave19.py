@@ -1,6 +1,7 @@
 """Registry wave 19 (round 6): training-batch assembly and corpus-growth
-monitoring — GPT-style concat-and-cut sequence packing (q173) and the
-k-gram novelty curve (q174).
+monitoring — GPT-style concat-and-cut sequence packing (q173), the
+k-gram novelty curve (q174), IVF-PQ ANN (q175), and fixed-round label
+propagation communities (q176).
 
 Both are integer-exact: packing is pure offset arithmetic over the
 deterministic-shuffle order (the q103 device), novelty is counts and a
@@ -13,6 +14,7 @@ twin of q173 — greedy, not SQL-expressible, covered by pytest).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.operators import textops
 from hbase_bulkload_service_spark.registry import register
@@ -342,3 +344,66 @@ def q175_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=_IVFPQ_NQ,
         topk=_IVFPQ_TOPK,
     )
+
+
+# ===========================================================================
+# q176 — fixed-round label propagation communities (oracle-unrolled
+# iterative, extending the family: q114 pagerank, q121 CC, q149 k-core)
+# ===========================================================================
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round(i: int) -> str:
+    """One synchronous LPA round: neighbor label counts -> per-node
+    argmax (count desc, label asc)."""
+    return f"""
+    n{i} AS (
+      SELECT ed.dst AS node, l{i}.lbl
+      FROM ed JOIN l{i} ON l{i}.node = ed.src
+    ),
+    c{i} AS (SELECT node, lbl, COUNT(*) AS c FROM n{i} GROUP BY 1, 2),
+    l{i + 1} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+
+
+from hbase_bulkload_service_spark.oracle_frags import (  # noqa: E402
+    FUZZY_EDGES_CTE as _FUZZY_EDGES_CTE,
+)
+
+
+@register(
+    "q176_label_propagation",
+    f"""
+    WITH {_FUZZY_EDGES_CTE},
+    ed AS MATERIALIZED (
+      SELECT x AS src, y AS dst FROM e
+      UNION ALL SELECT y AS src, x AS dst FROM e
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+    {",".join(_lpa_round(i) for i in range(_LPA_ROUNDS))}
+    SELECT node, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}
+    """,
+)
+def q176_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the q107 near-identical-name graph:
+    {_LPA_ROUNDS} synchronous label-propagation rounds
+    (operators/graph.py:label_propagation_rounds) — most-frequent
+    neighbor label, ties -> lowest, init = own id. The oracle unrolls
+    the SAME rounds as chained MATERIALIZED CTEs, so a divergence in any
+    round's counts or tie-break breaks the hash. Communities complement
+    q121's hash-to-min components: CC floods one min through any bridge
+    edge; LPA keeps locally-dense groups separate."""
+    from hbase_bulkload_service_spark.operators import dedup, graph
+
+    cust = load(spark, sf_dir, "customer", spread=True)
+    pairs = dedup.fuzzy_self_join_k1(cust, "c_custkey", "c_name").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return graph.label_propagation_rounds(pairs, rounds=_LPA_ROUNDS)

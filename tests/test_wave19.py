@@ -204,3 +204,46 @@ def test_ivfpq_probe_and_adc_joins_are_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_rounds
+# ---------------------------------------------------------------------------
+
+from hbase_bulkload_service_spark.operators import graph  # noqa: E402
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_lpa_separates_two_cliques_joined_by_a_bridge(spark):
+    # two 4-cliques {0..3} and {10..13} joined by one bridge 3-10: CC
+    # would flood min(0) everywhere; LPA keeps two communities
+    clique = lambda ids: [(x, y) for x in ids for y in ids if x < y]
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    out = {r.node: r.community for r in
+           graph.label_propagation_rounds(_pairs(spark, edges), rounds=3).collect()}
+    left = {out[n] for n in (0, 1, 2)}
+    right = {out[n] for n in (11, 12, 13)}
+    assert left == {0} and right == {10}
+    assert len(out) == 8
+
+
+def test_lpa_star_adopts_hub_label_and_is_deterministic(spark):
+    # star: leaves see only the hub; after round 1 every leaf carries the
+    # hub's initial label, the hub carries the min leaf label
+    edges = [(5, leaf) for leaf in (1, 2, 3, 4)]
+    df = _pairs(spark, edges)
+    out = {r.node: r.community for r in
+           graph.label_propagation_rounds(df, rounds=1).collect()}
+    assert all(out[leaf] == 5 for leaf in (1, 2, 3, 4))
+    assert out[5] == 1  # all neighbor labels tie at count 1 -> lowest
+    a = sorted(map(tuple, graph.label_propagation_rounds(df, rounds=3).collect()))
+    b = sorted(map(tuple, graph.label_propagation_rounds(df, rounds=3).collect()))
+    assert a == b
+
+
+def test_lpa_rejects_bad_rounds(spark):
+    with pytest.raises(ValueError):
+        graph.label_propagation_rounds(_pairs(spark, [(1, 2)]), rounds=0)
