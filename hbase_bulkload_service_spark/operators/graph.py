@@ -315,6 +315,15 @@ def label_propagation_rounds(
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    # NOT pinned-width repartitioned: the r06 stage audit flagged the
+    # per-round agg stages at 4-5 AQE-coalesced tasks (~5 MB, 1.4-2.3 s),
+    # but an A/B with pinned numbered repartitions measured 14.5 s vs
+    # 5.9 s for the whole query — the pin forfeits the map-side partial
+    # agg on the contribution counts (every raw edge contribution then
+    # crosses the exchange) and costs far more than the starvation it
+    # removes. Unlike the q36/q102/q130 CPU-per-byte traps, this agg's
+    # work IS proportional to its bytes, so AQE widens it correctly as
+    # data grows (10x->20x escalation probe: 2.05x shuffle, linear).
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))

@@ -86,6 +86,8 @@ PROBE_QUERIES = [
     "q165_slo_compliance",     # grid_fill composed into a combiner-bounded (series, period) agg
     "q166_rate_bursts",        # rate lag + trailing baseline share one series exchange
     "q171_dsir_importance",    # bucket-bounded aggs + broadcast score table + TakeOrdered top-N
+    "q173_concat_packing",     # one shard exchange (cumsum window rides it) + one rollup exchange
+    "q174_ngram_novelty",      # md5-keyed (batch,gram) + gram aggs; three linear keyed exchanges
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -113,6 +115,8 @@ PROBE_QUERIES_PERTURBED = [
     "q147_embedding_drift",    # per-(label, dim) combiner agg; embeddings grow under this amplifier
     "q149_kcore",              # degree aggs + semi joins over per-rep-disjoint linkage graphs
     "q172_pq_ann",             # broadcast codebooks + ADC lookup join; k x dim round-trips only
+    "q175_ivfpq_topk",         # coarse+PQ round-trips metadata-scale; one id-keyed corpus join, probe list broadcast
+    "q176_label_propagation",  # per-round: one keyed contribution join + two hash aggs over per-rep-disjoint graphs
 ]
 # q146_rank_fusion is NOT probed: the fusion itself is k-bounded
 # (queries x k x n_lists rows); its scale cost lives entirely in the

@@ -33,6 +33,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stage_audit.json"
     min_ms = int(sys.argv[sys.argv.index("--min-ms") + 1]) if "--min-ms" in sys.argv else 1000
+    # optional comma-separated query filter for fast iteration
+    only = (
+        set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        if "--only" in sys.argv
+        else None
+    )
 
     from pyspark.sql import SparkSession
 
@@ -57,6 +63,8 @@ def main() -> int:
     app = _api(spark, "applications")[0]["id"]
     results: dict[str, dict] = {}
     for name in sorted(registry.QUERIES):
+        if only is not None and name not in only:
+            continue
         cachereg.release_all()  # no cross-query persist contamination
         sc.setJobGroup(name, name)
         t0 = time.time()
