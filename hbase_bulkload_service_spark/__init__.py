@@ -44,3 +44,4 @@ from hbase_bulkload_service_spark import registry_wave16  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave17  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave18  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave19  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave20  # noqa: E402,F401

@@ -1313,3 +1313,80 @@ def user_journeys(
     )
     w_rank = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
     return top.withColumn("rank", F.row_number().over(w_rank))
+
+
+def ewma_control(
+    events: DataFrame,
+    spike_factor: int = 2,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Integer EWMA control chart per series: the exponentially-weighted
+    moving average with the truncating half-life recurrence
+    ``E_1 = x_1;  E_t = (E_{t-1} + x_t) div 2`` over cents-quantized
+    values, plus a spike flag where ``x_t > spike_factor * E_{t-1}`` —
+    the classic smoothed-baseline alert of a metrics pipeline (EWMA
+    control charts, Roberts 1959), in the alpha=1/2 integer form so no
+    float ever crosses a verdict.
+
+    This recurrence is genuinely SEQUENTIAL (the truncation in every
+    step breaks any closed-form/window rewrite — unlike q138's
+    time-weighted average, there is no prefix-sum twin), so it is the
+    canonical applyInPandas stateful operator: one keyed exchange
+    groups each series, an Arrow-batched per-series loop carries the
+    single-register state, and the DuckDB oracle replays it as a
+    recursive CTE stepping rn -> rn+1. Per-series state is O(1); group
+    sizes are per-key series lengths (bounded by key cardinality
+    design, same contract as every window op in the TSDB family).
+
+    Output: one row per event — (key, event_id, rn, x_cents,
+    ewma_cents, spike) with rn the 1-based position in (ts, event_id)
+    order and spike an 0/1 long (rn=1 is never a spike: no baseline).
+    """
+    if spike_factor < 1:
+        raise ValueError("spike_factor must be >= 1")
+    import pandas as pd
+
+    base = events.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(ts_col),
+        F.floor(F.col(value_col) * 100).cast("long").alias("x_cents"),
+    )
+    out_schema = (
+        f"{key_col} long, {id_col} long, rn long, x_cents long, "
+        "ewma_cents long, spike long"
+    )
+
+    def chart(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col]).reset_index(drop=True)
+        xs = pdf["x_cents"].astype("int64").tolist()
+        e = 0
+        ew, sp = [], []
+        for t, x in enumerate(xs):
+            if t == 0:
+                e = x
+                sp.append(0)
+            else:
+                sp.append(1 if x > spike_factor * e else 0)
+                e = (e + x) // 2  # nonneg ints: // == truncating div
+            ew.append(e)
+        out = pdf[[key_col, id_col, "x_cents"]].copy()
+        out.insert(2, "rn", range(1, len(xs) + 1))
+        out["ewma_cents"] = ew
+        out["spike"] = sp
+        return out
+
+    # numbered repartition pin: the grouped-map stage is per-series
+    # Python loops over tiny bytes (r06 stage audit: 2 AQE-coalesced
+    # tasks x ~4.3 s on 2.6 MB at sf0.1) — the q36/q102/q130
+    # CPU-per-byte trap. The pin satisfies the grouped-map's clustering
+    # requirement, so no second exchange appears, and (unlike q176's
+    # rejected pin) there is no partial aggregation to forfeit.
+    from hbase_bulkload_service_spark.session import pinned_width
+
+    return base.repartition(
+        pinned_width(events.sparkSession), key_col
+    ).groupBy(key_col).applyInPandas(chart, out_schema)

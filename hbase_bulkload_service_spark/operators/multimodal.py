@@ -324,3 +324,81 @@ def phash_neardups(
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+SHOT_SCHEMA = "doc_id long, frame_idx int, luma long"
+
+
+def frame_luma(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """Per-frame integer luma over the opaque payload: slice frames
+    JVM-side (:func:`frame_sample`), then compute each frame's mean byte
+    value ``sum(bytes) div len`` with numpy over Arrow batches — the
+    decode-and-reduce kernel a real shot detector runs per frame (swap
+    the frombuffer line for an actual frame decode in deployment).
+    Integer division keeps the value engine-exact."""
+    import numpy as np
+
+    frames = frame_sample(media, every_n_bytes=frame_bytes)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            lumas = []
+            for b in pdf["frame_bytes"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                lumas.append(int(arr.sum(dtype=np.int64)) // len(arr))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "luma": pd.Series(lumas, dtype="int64", index=pdf.index),
+                }
+            )
+
+    return frames.mapInPandas(batches, SHOT_SCHEMA)
+
+
+def scene_shots(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    threshold: int = 8,
+) -> DataFrame:
+    """Shot-boundary segmentation over the frame stream: a new shot
+    starts where the frame-to-frame luma jump exceeds ``threshold``
+    (the classic intensity-difference cut detector), and consecutive
+    frames between boundaries group into shots via a running boundary
+    count — the gaps-and-islands device (q163) on the video axis. The
+    pipeline a frame-sampling stage runs BEFORE choosing which frames
+    to keep: one representative frame per shot beats every-Nth-frame
+    sampling for training-data coverage.
+
+    Scale shape: frame slicing and the luma reduce are Arrow-batched
+    and embarrassingly parallel; the lag + running-sum windows share
+    ONE doc-keyed exchange (per-doc frame counts are bounded by payload
+    size), and the per-shot rollup rides the same key. Output: one row
+    per shot — (doc_id, shot_id, n_frames, first_frame, min_luma,
+    max_luma).
+    """
+    if frame_bytes < 1 or threshold < 0:
+        raise ValueError("need frame_bytes >= 1 and threshold >= 0")
+    from pyspark.sql.window import Window
+
+    lum = frame_luma(media, frame_bytes=frame_bytes)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cut = (
+        F.abs(F.col("luma") - F.lag("luma").over(w)) > threshold
+    ).cast("long")
+    marked = lum.withColumn("__cut", F.coalesce(cut, F.lit(0)))
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    shots = marked.withColumn("shot_id", F.sum("__cut").over(run))
+    return shots.groupBy("doc_id", "shot_id").agg(
+        F.count("*").alias("n_frames"),
+        F.min("frame_idx").alias("first_frame"),
+        F.min("luma").alias("min_luma"),
+        F.max("luma").alias("max_luma"),
+    )

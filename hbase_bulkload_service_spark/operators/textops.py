@@ -1237,3 +1237,60 @@ def ngram_novelty(
             F.expr("n_new * 1000000 div n_distinct").alias("novelty_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV-rate profile (tokenizer-budget analysis)
+# ---------------------------------------------------------------------------
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-V vocabulary coverage: build the ``vocab_size`` most frequent
+    words of the corpus (ties -> lexicographically first, so the cut is
+    deterministic) and report every document's out-of-vocabulary rate —
+    the standing "does a V-entry tokenizer/embedding table cover this
+    corpus?" analysis that sizes vocabulary budgets and flags domain
+    drift (a doc with a high OOV rate against the corpus vocabulary is
+    out-of-domain or noise).
+
+    Output: ``(doc_id, n_tok, oov, oov_ppm)`` with
+    ``oov_ppm = oov * 1e6 div n_tok``.
+
+    Scale shape: one word-keyed agg (map-side combined) builds the
+    frequency table; the top-V cut is orderBy+limit =>
+    TakeOrderedAndProject (O(V) per partition, no global sort); the
+    V-row vocabulary BROADCASTS back onto the token stream, so the only
+    other exchange is the doc-keyed rollup. Raw text never shuffles.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    toks = docs.select(
+        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("__w")
+    )
+    vocab = (
+        toks.groupBy("__w")
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__w"))
+        .limit(vocab_size)
+        .select("__w", F.lit(1).alias("__in"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
+                "oov"
+            ),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            "oov",
+            F.expr("oov * 1000000 div n_tok").alias("oov_ppm"),
+        )
+    )

@@ -88,6 +88,9 @@ PROBE_QUERIES = [
     "q171_dsir_importance",    # bucket-bounded aggs + broadcast score table + TakeOrdered top-N
     "q173_concat_packing",     # one shard exchange (cumsum window rides it) + one rollup exchange
     "q174_ngram_novelty",      # md5-keyed (batch,gram) + gram aggs; three linear keyed exchanges
+    "q177_vocab_coverage",     # word agg + TakeOrdered V-cut broadcast back; doc rollup
+    "q178_ewma_chart",         # one keyed exchange into per-series Arrow loops, O(1) state
+    "q179_scene_shots",        # Arrow frame-luma map + one doc-keyed exchange (lag/cumsum/rollup share it)
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
