@@ -1,7 +1,9 @@
 """Registry wave 20 (round 6): tokenizer-budget analysis (q177 vocabulary
 coverage), a genuinely-sequential stateful operator (q178 integer EWMA
 control chart — applyInPandas vs a recursive-CTE oracle), and multimodal
-shot segmentation (q179 scene cuts over the opaque payload).
+shot segmentation (q179 scene cuts over the opaque payload), plus the
+EWMA chart's streaming twin (q180, availableNow-replay-gated against
+the same recursive-CTE oracle).
 
 Integer-exact throughout: coverage is counts + a truncating ppm, the
 EWMA recurrence is ``(e + x) div 2`` over nonneg cents (truncating and
@@ -175,3 +177,53 @@ def q179_scene_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.scene_shots(
         media, frame_bytes=_SHOT_FRAME, threshold=_SHOT_THRESH
     )
+
+
+# ===========================================================================
+# q180 — q178 as a LIVE stream (availableNow replay inherits the batch
+# oracle — the q137/q156 idiom)
+# ===========================================================================
+
+from hbase_bulkload_service_spark.registry import ORACLE as _ORACLE  # noqa: E402
+
+
+@register("q180_streaming_ewma", _ORACLE["q178_ewma_chart"])
+def q180_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q178 as a LIVE stream (streaming/ops.streaming_ewma_chart): the
+    EWMA register and series position live in applyInPandasWithState
+    state — O(1) per series, watermark-free — and the recurrence is the
+    same truncating integer arithmetic as the batch loop. Finite
+    availableNow replay of the corpus must reproduce q178's
+    recursive-CTE oracle bit-for-bit, so the streaming path inherits
+    the batch gate (the q137/q156 idiom)."""
+    import shutil
+    import tempfile
+
+    from hbase_bulkload_service_spark.registry import cents
+    from hbase_bulkload_service_spark.streaming import ops as st
+
+    ev = load_events(spark, sf_dir, spread=True).select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        cents(F.col("value")).alias("x_cents"),
+    )
+    d = tempfile.mkdtemp(prefix="q180ewma")
+    try:
+        # repartition(16), not coalesce: keeps the derive/encode at full
+        # width and the 16 replay files keep the stream scan spread
+        # (the q156 stage-audit lesson)
+        ev.repartition(16).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(ev.schema).parquet(d)
+        out = st.streaming_ewma_chart(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("q180_ewma_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        st.await_finite(q, 300)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q180_ewma_mem")

@@ -10,12 +10,14 @@ input with watermarks and state.
 
 from hbase_bulkload_service_spark.streaming.ops import (  # noqa: F401
     CELL_SCHEMA,
+    EWMA_SAMPLE_SCHEMA,
     SAMPLE_SCHEMA,
     await_finite,
     stream_stream_interval_join,
     streaming_bulkload,
     streaming_counter_deltas,
     streaming_counter_rate,
+    streaming_ewma_chart,
     streaming_first_seen_dedup,
     streaming_incremental_dedup,
     streaming_latest_version,

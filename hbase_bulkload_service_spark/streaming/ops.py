@@ -616,3 +616,78 @@ def streaming_counter_rate(
         "dt_ms",
         is_reset.alias("is_reset"),
     ).withColumn("rate_micros", F.expr("(delta * 1000000000) div dt_ms"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA control chart (the live twin of analytics.ewma_control)
+# ---------------------------------------------------------------------------
+
+EWMA_SAMPLE_SCHEMA = "user_id long, event_id long, ts_ms long, x_cents long"
+_EWMA_OUT_SCHEMA = (
+    "user_id long, event_id long, rn long, x_cents long, "
+    "ewma_cents long, spike long"
+)
+_EWMA_STATE_SCHEMA = "last_ts long, last_event_id long, e long, n long"
+
+
+def _make_ewma_fn(spike_factor: int):
+    """Per-series streaming EWMA: carry (position, EWMA register, row
+    count); each in-order sample emits its chart row and folds into the
+    register with the truncating half-life recurrence — the SAME
+    arithmetic as the batch loop (analytics.ewma_control), so the two
+    cannot drift. Late samples (at or before the carried position) are
+    DROPPED, as in every monotonic-state operator here."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, last_eid, e, n = state.get
+        else:
+            last_ts, last_eid, e, n = None, None, 0, 0
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts_ms", "event_id"])
+            for r in pdf.itertuples(index=False):
+                ts, eid, x = int(r.ts_ms), int(r.event_id), int(r.x_cents)
+                if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
+                    continue  # late/duplicate sample
+                if n == 0:
+                    e, spike = x, 0
+                else:
+                    spike = 1 if x > spike_factor * e else 0
+                    e = (e + x) // 2  # nonneg ints: // == truncating div
+                n += 1
+                out.append((key[0], eid, n, x, e, spike))
+                last_ts, last_eid = ts, eid
+        if last_ts is not None:
+            state.update((last_ts, last_eid, e, n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "event_id", "rn", "x_cents",
+                    "ewma_cents", "spike",
+                ],
+            )
+
+    return fn
+
+
+def streaming_ewma_chart(samples, spike_factor: int = 2):
+    """Streaming twin of ``analytics.ewma_control`` — the LIVE smoothed-
+    baseline alert: per-series state is (position, EWMA register, count)
+    — O(1) per key, watermark-free — and a finite availableNow replay of
+    the corpus reproduces the batch operator bit-for-bit (gated by q180
+    against q178's recursive-CTE oracle, the q156 idiom)."""
+    if spike_factor < 1:
+        raise ValueError("spike_factor must be >= 1")
+    return samples.groupBy("user_id").applyInPandasWithState(
+        _make_ewma_fn(spike_factor),
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -447,3 +447,63 @@ def test_streaming_latest_version_tie_breaks_deterministically(spark, tmp_path):
     }
     assert rows[("k1", "q1")] == (100, 9.5)
     assert rows[("k2", "q1")] == (100, 8.0)
+
+
+# ---------------------------------------------------------------------------
+# streaming_ewma_chart — live twin of analytics.ewma_control
+# ---------------------------------------------------------------------------
+
+def test_streaming_ewma_matches_batch(spark, tmp_path):
+    """One availableNow replay of the corpus == the batch operator."""
+    from hbase_bulkload_service_spark.operators import analytics
+    from hbase_bulkload_service_spark.sources.tables import load_events
+
+    d = str(tmp_path / "ewma")
+    ev = load_events(spark, "/root/testdata/sf0.001").select(
+        "user_id", "event_id", "ts_ms",
+        F.floor(F.col("value") * 100).cast("long").alias("x_cents"),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(st.EWMA_SAMPLE_SCHEMA).parquet(d)
+    _run_to_memory(st.streaming_ewma_chart(stream), "stream_ewma", "append")
+    got = sorted(map(tuple, spark.sql("SELECT * FROM stream_ewma").collect()))
+    want = sorted(
+        map(
+            tuple,
+            analytics.ewma_control(
+                load_events(spark, "/root/testdata/sf0.001")
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_ewma_carries_register_across_batches(spark, tmp_path):
+    d = str(tmp_path / "ewma2")
+    b1 = [(1, 1, 100, 100), (1, 2, 200, 100)]
+    b2 = [
+        (1, 3, 300, 500),  # spike vs carried e=100; e -> (100+500)//2
+        (1, 4, 150, 999),  # LATE (ts < carried 300) — dropped
+    ]
+    spark.createDataFrame(b1, st.EWMA_SAMPLE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(b2, st.EWMA_SAMPLE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema(st.EWMA_SAMPLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    _run_to_memory(st.streaming_ewma_chart(stream), "stream_ewma2", "append")
+    rows = {
+        r.event_id: (r.rn, r.ewma_cents, r.spike)
+        for r in spark.sql("SELECT * FROM stream_ewma2").collect()
+    }
+    assert rows == {1: (1, 100, 0), 2: (2, 100, 0), 3: (3, 300, 1)}
+
+
+def test_streaming_ewma_validates_spike_factor(spark):
+    with pytest.raises(ValueError):
+        st.streaming_ewma_chart(None, spike_factor=0)
