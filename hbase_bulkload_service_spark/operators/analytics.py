@@ -1390,3 +1390,101 @@ def ewma_control(
     return base.repartition(
         pinned_width(events.sparkSession), key_col
     ).groupBy(key_col).applyInPandas(chart, out_schema)
+
+
+def stl_decompose(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("event_type", "user_id"),
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 2,
+    period: int = 24,
+    slot_ms: int = 3_600_000,
+) -> DataFrame:
+    """STL-lite seasonal decomposition per series: every sample splits
+    into ``x = trend + seasonal + resid`` with (a) trend = the centered
+    (2k+1)-sample moving average (NULL at series edges — full windows
+    only, so the trend is never biased by truncation), (b) seasonal =
+    the per-(series, phase) mean of the detrended samples (phase =
+    ``(ts div slot_ms) % period`` — hour-of-day by default), (c) resid
+    = the rest — the classical decomposition (the one-pass inner loop of
+    Cleveland et al. 1990's STL) that turns "value is 500" into "value
+    is 30 above its hour-of-day norm for this series", the input anomaly
+    detectors and capacity forecasts actually want. q144's seasonal
+    index is the profile-only summary; this returns per-sample
+    components.
+
+    All arithmetic is integer cents with truncating division — Spark
+    ``div`` and DuckDB ``//`` both truncate toward zero, including on
+    the (negative-capable) detrended sums, so the oracle matches
+    bit-for-bit with no offset tricks.
+
+    Scale shape: the trend window rides ONE series-keyed exchange; the
+    seasonal mean is a window over (series, phase) — a second keyed
+    exchange — and the residual subtraction is map-side. No joins, no
+    agg-then-join-back: both means are windows, so rows never leave
+    their partitions as anything but window state.
+    """
+    if k < 1 or period < 1 or slot_ms < 1:
+        raise ValueError("need k >= 1, period >= 1, slot_ms >= 1")
+    span = 2 * k + 1
+    wt = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-k, k)
+    )
+    base = df.select(
+        *key_cols,
+        id_col,
+        ts_col,
+        F.floor(F.col(value_col) * 100).cast("long").alias("x_cents"),
+    )
+    trended = base.select(
+        *key_cols,
+        id_col,
+        ts_col,
+        "x_cents",
+        F.sum("x_cents").over(wt).alias("__tsum"),
+        F.count("*").over(wt).alias("__tcnt"),
+    ).select(
+        *key_cols,
+        id_col,
+        ts_col,
+        "x_cents",
+        F.when(
+            F.col("__tcnt") == span, F.expr(f"__tsum div {span}")
+        ).alias("trend_cents"),
+    )
+    detrended = trended.select(
+        "*",
+        (F.col("x_cents") - F.col("trend_cents")).alias("__detr"),
+        F.expr(f"({ts_col} div {slot_ms}) % {period}").alias("phase"),
+    )
+    wp = Window.partitionBy(*key_cols, "phase")
+    seasoned = detrended.select(
+        "*",
+        F.sum("__detr").over(wp).alias("__ssum"),
+        F.count("__detr").over(wp).alias("__scnt"),
+    ).select(
+        *key_cols,
+        id_col,
+        ts_col,
+        "x_cents",
+        "phase",
+        "trend_cents",
+        F.when(
+            F.col("__scnt") > 0, F.expr("__ssum div __scnt")
+        ).alias("seasonal_cents"),
+        F.col("__detr").alias("__detr"),
+    )
+    return seasoned.select(
+        *key_cols,
+        id_col,
+        ts_col,
+        "phase",
+        "x_cents",
+        "trend_cents",
+        "seasonal_cents",
+        (F.col("__detr") - F.col("seasonal_cents")).alias("resid_cents"),
+    )

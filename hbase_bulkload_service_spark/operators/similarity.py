@@ -1249,3 +1249,142 @@ def ivfpq_topk(
         .filter(F.col("rnk") <= topk)
         .select("qid", id_col, "cell", "adist", "rnk")
     )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    coarse_iters: int = 1,
+    m: int = 4,
+    k: int = 8,
+    pq_iters: int = 1,
+    nprobe: int = 2,
+    n_queries: int = 4,
+    topk: int = 5,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC proper (Jegou et al. 2011 §V.A): :func:`ivfpq_topk` with
+    RESIDUAL encoding — PQ codebooks are trained on, and codes encode,
+    ``vector − its cell's coarse centroid`` instead of the raw vector.
+    Residuals concentrate around zero regardless of which cell a vector
+    lives in, so one shared codebook quantizes every inverted list well
+    — the reason FAISS's IVFADC beats the non-residual variant at equal
+    code budget. The price is query-side: the ADC table must be built
+    PER PROBED CELL (the query's residual differs per cell), so it has
+    ``n_queries x nprobe x m x k`` entries — still metadata-scale,
+    still broadcast.
+
+    Protocol: coarse quantizer, cell assignment, probe ranking exactly
+    as :func:`ivfpq_topk` (all on raw vectors); residuals are one
+    broadcast join against the n_cells-row centroid table + a zip_with
+    subtraction (map-side, no extra exchange); PQ training/encoding
+    reuse :func:`_pq_codebooks`/:func:`_pq_codes` over the residual
+    frame (init = the k lowest-id vectors' residuals). Search joins
+    codes x cells against the broadcast probe list, then the broadcast
+    per-(query, cell) ADC table on (qid, cell, sub, cid). Returns
+    (qid, vec_id, cell, adist, rnk) — integer-exact end to end.
+
+    Scale shape: identical to :func:`ivfpq_topk` — the only
+    corpus-sized exchanges are the id-keyed codes x cells join and the
+    (query, vector)-keyed ADC sum; no shuffle carries a raw vector.
+    """
+    if n_cells <= 0 or nprobe <= 0 or nprobe > n_cells:
+        raise ValueError("need 0 < nprobe <= n_cells")
+    if m <= 0 or k <= 0 or coarse_iters < 0 or pq_iters < 0:
+        raise ValueError("need m > 0, k > 0, non-negative iteration counts")
+    spark = embeddings.sparkSession
+    quant = _quantized(embeddings, id_col, vec_col, scale)
+    d = _subdim(quant, m)
+
+    coarse = spark.createDataFrame(
+        _lloyd_centroids(spark, quant, n_cells, coarse_iters, id_col),
+        "cid int, cvec array<long>",
+    )
+    cells = (
+        _lloyd_scored(quant, coarse, id_col)
+        .groupBy(id_col, "vm")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(id_col, F.col("m.cid").alias("cell"))
+    )
+
+    # residual frame: vm - centroid(cell), map-side after one broadcast
+    ccells = coarse.select(F.col("cid").alias("cell"), F.col("cvec"))
+    res = (
+        quant.join(cells, id_col)
+        .join(F.broadcast(ccells), "cell")
+        .select(
+            id_col,
+            F.zip_with("vm", "cvec", lambda a, b: a - b).alias("vm"),
+        )
+        .localCheckpoint()  # training + encoding + init reuse this scan
+    )
+    rsubs = _pq_subspaces(res, m, d, id_col)
+    rcdf = _pq_codebooks(spark, res, rsubs, m, k, pq_iters, d, id_col)
+    codes = _pq_codes(rcdf, rsubs, id_col)
+
+    # probe ranking on RAW query vectors (as ivfpq_topk)
+    qids = [r[id_col] for r in quant.orderBy(id_col).limit(n_queries).collect()]
+    qcells = _lloyd_scored(
+        quant.filter(F.col(id_col).isin(qids)), coarse, id_col
+    ).select(F.col(id_col).alias("qid"), F.col("cid").alias("cell"), "d2")
+    wp = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
+    probed = (
+        qcells.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("qid", "cell")
+    )
+
+    # per-(query, cell) residuals -> per-(query, cell) ADC table
+    qres = (
+        quant.filter(F.col(id_col).isin(qids))
+        .select(F.col(id_col).alias("qid"), "vm")
+        .join(F.broadcast(probed), "qid")
+        .join(F.broadcast(ccells), "cell")
+        .select(
+            "qid",
+            "cell",
+            F.zip_with("vm", "cvec", lambda a, b: a - b).alias("rvm"),
+        )
+    )
+    qrsubs = qres.select(
+        "qid",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice("rvm", s * d + 1, d).alias("svec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select("qid", "cell", "__e.sub", "__e.svec")
+    qd = qrsubs.join(F.broadcast(rcdf), "sub").select(
+        "qid",
+        "cell",
+        "sub",
+        "cid",
+        F.aggregate(
+            F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qd2"),
+    )
+
+    ad = (
+        codes.join(cells, id_col)  # id-keyed: the only corpus-sized join
+        .join(F.broadcast(probed), "cell")
+        .join(F.broadcast(qd), ["qid", "cell", "sub", "cid"])
+        .groupBy("qid", id_col, "cell")
+        .agg(F.sum("qd2").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col(id_col))
+    return (
+        ad.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("qid", id_col, "cell", "adist", "rnk")
+    )

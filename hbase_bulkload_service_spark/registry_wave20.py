@@ -1,9 +1,10 @@
 """Registry wave 20 (round 6): tokenizer-budget analysis (q177 vocabulary
 coverage), a genuinely-sequential stateful operator (q178 integer EWMA
 control chart — applyInPandas vs a recursive-CTE oracle), and multimodal
-shot segmentation (q179 scene cuts over the opaque payload), plus the
-EWMA chart's streaming twin (q180, availableNow-replay-gated against
-the same recursive-CTE oracle).
+shot segmentation (q179 scene cuts over the opaque payload), the EWMA
+chart's streaming twin (q180, availableNow-replay-gated against the
+same recursive-CTE oracle), residual-encoded IVFADC (q181), and
+STL-lite seasonal decomposition (q182).
 
 Integer-exact throughout: coverage is counts + a truncating ppm, the
 EWMA recurrence is ``(e + x) div 2`` over nonneg cents (truncating and
@@ -227,3 +228,259 @@ def q180_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table("q180_ewma_mem")
+
+
+# ===========================================================================
+# q182 — STL-lite seasonal decomposition (trend / seasonal / residual)
+# ===========================================================================
+
+_STL_K = 2
+_STL_PERIOD = 24
+_STL_SLOT = 3_600_000
+
+
+@register(
+    "q182_stl_decompose",
+    f"""
+    WITH s AS (
+      SELECT event_type, user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CAST(FLOOR(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, user_id, event_id, ts_ms, x,
+             CASE WHEN COUNT(*) OVER w = {2 * _STL_K + 1}
+                  THEN CAST(SUM(x) OVER w // {2 * _STL_K + 1} AS BIGINT)
+             END AS trend
+      FROM s
+      WINDOW w AS (PARTITION BY event_type, user_id
+                   ORDER BY ts_ms, event_id
+                   ROWS BETWEEN {_STL_K} PRECEDING AND {_STL_K} FOLLOWING)
+    ),
+    d AS (
+      SELECT *, x - trend AS detr,
+             (ts_ms // {_STL_SLOT}) % {_STL_PERIOD} AS phase
+      FROM t
+    ),
+    se AS (
+      SELECT *,
+             CASE WHEN COUNT(detr) OVER wp > 0
+                  THEN CAST(SUM(detr) OVER wp // COUNT(detr) OVER wp
+                            AS BIGINT)
+             END AS seasonal
+      FROM d
+      WINDOW wp AS (PARTITION BY event_type, user_id, phase)
+    )
+    SELECT event_type, user_id, event_id, ts_ms, phase,
+           x AS x_cents, trend AS trend_cents, seasonal AS seasonal_cents,
+           CAST(detr - seasonal AS BIGINT) AS resid_cents
+    FROM se
+    """,
+)
+def q182_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of every (event_type, user_id) series
+    (operators/analytics.py:stl_decompose): centered 5-sample moving-
+    average trend (NULL at edges — full windows only), per-(series,
+    hour-of-day) seasonal mean of the detrended samples, residual =
+    the rest. Truncating integer division throughout — Spark div and
+    DuckDB // agree even on the negative detrended sums. Two keyed
+    window exchanges, no joins."""
+    return analytics.stl_decompose(load_events(spark, sf_dir, spread=True))
+
+
+# ===========================================================================
+# q181 — IVFADC proper: IVF-PQ with RESIDUAL encoding (Jegou et al. §V.A)
+# ===========================================================================
+
+_IVFADC_CELLS = 4
+_IVFADC_M = 4
+_IVFADC_K = 8
+_IVFADC_NPROBE = 2
+_IVFADC_NQ = 4
+_IVFADC_TOPK = 5
+_IVFADC_D = 16
+
+
+@register(
+    "q181_ivfadc_topk",
+    f"""
+    WITH base AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    vm AS MATERIALIZED (
+      SELECT vec_id, pos - 1 AS pos,
+             CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x
+      FROM base
+    ),
+    gids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY 1 LIMIT {_IVFADC_CELLS})
+    ),
+    g0 AS MATERIALIZED (
+      SELECT gids.cid, vm.pos, vm.x AS c FROM gids JOIN vm USING (vec_id)
+    ),
+    gd0 AS (
+      SELECT vm.vec_id, g0.cid, SUM((vm.x - g0.c) * (vm.x - g0.c)) AS d2
+      FROM vm JOIN g0 USING (pos) GROUP BY 1, 2
+    ),
+    ga0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM gd0
+      ) WHERE rn = 1
+    ),
+    gu0 AS (
+      SELECT ga0.cid, vm.pos, SUM(vm.x) // COUNT(*) AS c
+      FROM ga0 JOIN vm USING (vec_id) GROUP BY 1, 2
+    ),
+    g1 AS MATERIALIZED (
+      SELECT g0.cid, g0.pos, COALESCE(gu0.c, g0.c) AS c
+      FROM g0 LEFT JOIN gu0 ON gu0.cid = g0.cid AND gu0.pos = g0.pos
+    ),
+    cd AS (
+      SELECT vm.vec_id, g1.cid, SUM((vm.x - g1.c) * (vm.x - g1.c)) AS d2
+      FROM vm JOIN g1 USING (pos) GROUP BY 1, 2
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    rvm AS MATERIALIZED (
+      SELECT vm.vec_id, vm.pos, vm.x - g1.c AS x
+      FROM vm JOIN cells USING (vec_id)
+      JOIN g1 ON g1.cid = cells.cell AND g1.pos = vm.pos
+    ),
+    pvm AS MATERIALIZED (
+      SELECT vec_id, CAST(pos // {_IVFADC_D} AS INT) AS sub,
+             CAST(pos % {_IVFADC_D} AS INT) AS spos, x
+      FROM rvm
+    ),
+    pids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY 1 LIMIT {_IVFADC_K})
+    ),
+    p0 AS MATERIALIZED (
+      SELECT pvm.sub, pids.cid, pvm.spos, pvm.x AS c
+      FROM pids JOIN pvm USING (vec_id)
+    ),
+    pd0 AS (
+      SELECT pvm.vec_id, pvm.sub, p0.cid,
+             SUM((pvm.x - p0.c) * (pvm.x - p0.c)) AS d2
+      FROM pvm JOIN p0 ON pvm.sub = p0.sub AND pvm.spos = p0.spos
+      GROUP BY 1, 2, 3
+    ),
+    pa0 AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, cid) AS rn
+        FROM pd0
+      ) WHERE rn = 1
+    ),
+    pu0 AS (
+      SELECT pa0.sub, pa0.cid, pvm.spos, SUM(pvm.x) // COUNT(*) AS c
+      FROM pa0 JOIN pvm
+        ON pa0.vec_id = pvm.vec_id AND pa0.sub = pvm.sub
+      GROUP BY 1, 2, 3
+    ),
+    p1 AS MATERIALIZED (
+      SELECT p0.sub, p0.cid, p0.spos, COALESCE(pu0.c, p0.c) AS c
+      FROM p0 LEFT JOIN pu0
+        ON pu0.sub = p0.sub AND pu0.cid = p0.cid AND pu0.spos = p0.spos
+    ),
+    pdf AS (
+      SELECT pvm.vec_id, pvm.sub, p1.cid,
+             SUM((pvm.x - p1.c) * (pvm.x - p1.c)) AS d2
+      FROM pvm JOIN p1 ON pvm.sub = p1.sub AND pvm.spos = p1.spos
+      GROUP BY 1, 2, 3
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, cid) AS rn
+        FROM pdf
+      ) WHERE rn = 1
+    ),
+    qids AS MATERIALIZED (
+      SELECT vec_id AS qid
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY 1 LIMIT {_IVFADC_NQ})
+    ),
+    qcd AS (
+      SELECT vm.vec_id AS qid, g1.cid AS cell,
+             SUM((vm.x - g1.c) * (vm.x - g1.c)) AS d2
+      FROM vm JOIN qids ON vm.vec_id = qids.qid
+      JOIN g1 USING (pos) GROUP BY 1, 2
+    ),
+    probed AS MATERIALIZED (
+      SELECT qid, cell FROM (
+        SELECT qid, cell,
+               row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+        FROM qcd
+      ) WHERE rn <= {_IVFADC_NPROBE}
+    ),
+    qres AS (
+      SELECT probed.qid, probed.cell,
+             CAST(vm.pos // {_IVFADC_D} AS INT) AS sub,
+             CAST(vm.pos % {_IVFADC_D} AS INT) AS spos,
+             vm.x - g1.c AS x
+      FROM probed
+      JOIN vm ON vm.vec_id = probed.qid
+      JOIN g1 ON g1.cid = probed.cell AND g1.pos = vm.pos
+    ),
+    qd AS (
+      SELECT qres.qid, qres.cell, p1.sub, p1.cid,
+             SUM((qres.x - p1.c) * (qres.x - p1.c)) AS qd2
+      FROM qres JOIN p1 ON qres.sub = p1.sub AND qres.spos = p1.spos
+      GROUP BY 1, 2, 3, 4
+    ),
+    ad AS (
+      SELECT probed.qid, codes.vec_id, cells.cell,
+             CAST(SUM(qd.qd2) AS BIGINT) AS adist
+      FROM codes
+      JOIN cells USING (vec_id)
+      JOIN probed ON probed.cell = cells.cell
+      JOIN qd ON qd.qid = probed.qid AND qd.cell = cells.cell
+             AND qd.sub = codes.sub AND qd.cid = codes.cid
+      GROUP BY 1, 2, 3
+    )
+    SELECT qid, vec_id, cell, adist, rnk FROM (
+      SELECT qid, vec_id, cell, adist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adist, vec_id) AS rnk
+      FROM ad
+    ) WHERE rnk <= {_IVFADC_TOPK}
+    """,
+)
+def q181_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper (operators/similarity.py:ivfpq_residual_topk):
+    q175's IVF-PQ with RESIDUAL encoding — codebooks train on, and
+    codes encode, vector − coarse centroid, and the ADC table is built
+    per (query, probed cell) because the query residual differs per
+    cell. The oracle extends q175's chain with the residual CTEs (rvm,
+    qres) and the cell-aware ADC join, so a divergence in the residual
+    arithmetic, either quantizer, or any per-cell lookup breaks the
+    hash."""
+    from hbase_bulkload_service_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return similarity.ivfpq_residual_topk(
+        emb,
+        n_cells=_IVFADC_CELLS,
+        coarse_iters=1,
+        m=_IVFADC_M,
+        k=_IVFADC_K,
+        pq_iters=1,
+        nprobe=_IVFADC_NPROBE,
+        n_queries=_IVFADC_NQ,
+        topk=_IVFADC_TOPK,
+    )

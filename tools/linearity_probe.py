@@ -91,6 +91,7 @@ PROBE_QUERIES = [
     "q177_vocab_coverage",     # word agg + TakeOrdered V-cut broadcast back; doc rollup
     "q178_ewma_chart",         # one keyed exchange into per-series Arrow loops, O(1) state
     "q179_scene_shots",        # Arrow frame-luma map + one doc-keyed exchange (lag/cumsum/rollup share it)
+    "q182_stl_decompose",      # two keyed window exchanges (series trend, series+phase seasonal), no joins
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -120,6 +121,7 @@ PROBE_QUERIES_PERTURBED = [
     "q172_pq_ann",             # broadcast codebooks + ADC lookup join; k x dim round-trips only
     "q175_ivfpq_topk",         # coarse+PQ round-trips metadata-scale; one id-keyed corpus join, probe list broadcast
     "q176_label_propagation",  # per-round: one keyed contribution join + two hash aggs over per-rep-disjoint graphs
+    "q181_ivfadc_topk",        # ivfpq shape + residual broadcast-join subtraction; per-(q,cell) ADC still broadcast
 ]
 # q146_rank_fusion is NOT probed: the fusion itself is k-bounded
 # (queries x k x n_lists rows); its scale cost lives entirely in the
