@@ -239,10 +239,8 @@ _STL_PERIOD = 24
 _STL_SLOT = 3_600_000
 
 
-@register(
-    "q182_stl_decompose",
-    f"""
-    WITH s AS (
+_STL_CHAIN = f"""
+    s AS (
       SELECT event_type, user_id, event_id, epoch_ms(ts) AS ts_ms,
              CAST(FLOOR(value * 100) AS BIGINT) AS x
       FROM events
@@ -262,7 +260,7 @@ _STL_SLOT = 3_600_000
              (ts_ms // {_STL_SLOT}) % {_STL_PERIOD} AS phase
       FROM t
     ),
-    se AS (
+    se AS MATERIALIZED (
       SELECT *,
              CASE WHEN COUNT(detr) OVER wp > 0
                   THEN CAST(SUM(detr) OVER wp // COUNT(detr) OVER wp
@@ -270,7 +268,13 @@ _STL_SLOT = 3_600_000
              END AS seasonal
       FROM d
       WINDOW wp AS (PARTITION BY event_type, user_id, phase)
-    )
+    )"""
+
+
+@register(
+    "q182_stl_decompose",
+    f"""
+    WITH {_STL_CHAIN}
     SELECT event_type, user_id, event_id, ts_ms, phase,
            x AS x_cents, trend AS trend_cents, seasonal AS seasonal_cents,
            CAST(detr - seasonal AS BIGINT) AS resid_cents
@@ -483,4 +487,68 @@ def q181_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_IVFADC_NPROBE,
         n_queries=_IVFADC_NQ,
         topk=_IVFADC_TOPK,
+    )
+
+
+# ===========================================================================
+# q183 — robust seasonal anomalies: STL residual vs per-series MAD
+# ===========================================================================
+
+_MAD_C = 3
+
+
+@register(
+    "q183_stl_anomalies",
+    f"""
+    WITH {_STL_CHAIN},
+    f AS (
+      SELECT event_type, user_id, event_id, ts_ms, x AS x_cents,
+             CAST(detr - seasonal AS BIGINT) AS resid_cents
+      FROM se WHERE detr IS NOT NULL AND seasonal IS NOT NULL
+    ),
+    r1 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, user_id
+                                ORDER BY resid_cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, user_id) AS n
+      FROM f
+    ),
+    m1 AS (
+      SELECT *,
+             MAX(CASE WHEN rn = CAST(ceil(n / 2.0) AS INT)
+                      THEN resid_cents END)
+               OVER (PARTITION BY event_type, user_id) AS med_cents
+      FROM r1
+    ),
+    d1 AS (SELECT *, abs(resid_cents - med_cents) AS dev FROM m1),
+    r2 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, user_id
+                                ORDER BY dev, event_id) AS drn
+      FROM d1
+    ),
+    m2 AS (
+      SELECT *,
+             MAX(CASE WHEN drn = CAST(ceil(n / 2.0) AS INT) THEN dev END)
+               OVER (PARTITION BY event_type, user_id) AS mad_cents
+      FROM r2
+    )
+    SELECT event_type, user_id, event_id, ts_ms, x_cents, resid_cents,
+           CAST(med_cents AS BIGINT) AS med_cents,
+           CAST(mad_cents AS BIGINT) AS mad_cents
+    FROM m2 WHERE dev > {_MAD_C} * mad_cents
+    """,
+)
+def q183_stl_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust seasonal anomaly detection
+    (operators/analytics.py:stl_mad_anomalies): q182's residuals scored
+    against their series' exact median/MAD,
+    |resid - med| > {_MAD_C} x MAD, multiplied out — no division, no
+    float. The median and MAD are PERCENTILE_DISC windows over the
+    series partition (rank + count + max(case)), so the detector adds
+    ONE series re-exchange to the two stl window exchanges and no
+    joins. The composed-gate idiom (q139/q162): decomposition +
+    threshold verified as one hash-exact unit."""
+    return analytics.stl_mad_anomalies(
+        load_events(spark, sf_dir, spread=True), c=_MAD_C
     )

@@ -287,3 +287,44 @@ def test_stl_series_independence_and_guards(spark):
     assert {r.event_type for r in with_trend} == {"a", "b"}
     with pytest.raises(ValueError):
         analytics.stl_decompose(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# stl_mad_anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_stl_mad_flags_planted_spike_only(spark):
+    # hourly flat series with one big spike; period=4 so each phase has
+    # several samples (one-sample phases are absorbed by the seasonal
+    # term by construction — the residual is identically zero there)
+    vals = [5.0] * 48
+    vals[20] = 500.0
+    rows = [("m", 1, i, i * 3_600_000, vals[i]) for i in range(48)]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, event_id long, ts_ms long, value double"
+    )
+    out = analytics.stl_mad_anomalies(df, k=1, period=4, c=3).collect()
+    assert [r.event_id for r in out] != []
+    # the spike (and the window/phase-mates its trend and seasonal means
+    # contaminate) flag; the spike itself carries the largest |resid|
+    assert 20 in {r.event_id for r in out}
+    spike = max(out, key=lambda r: abs(r.resid_cents))
+    assert spike.event_id == 20 and spike.x_cents == 50_000
+
+
+def test_stl_mad_flat_series_flags_nothing(spark):
+    rows = [("m", 1, i, i * 3_600_000, 7.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, event_id long, ts_ms long, value double"
+    )
+    assert analytics.stl_mad_anomalies(df, k=1).collect() == []
+
+
+def test_stl_mad_guards(spark):
+    df = spark.createDataFrame(
+        [("m", 1, 1, 0, 1.0)],
+        "event_type string, user_id long, event_id long, ts_ms long, value double",
+    )
+    with pytest.raises(ValueError):
+        analytics.stl_mad_anomalies(df, c=0)
