@@ -1420,11 +1420,11 @@ def stl_decompose(
     the (negative-capable) detrended sums, so the oracle matches
     bit-for-bit with no offset tricks.
 
-    Scale shape: the trend window rides ONE series-keyed exchange; the
-    seasonal mean is a window over (series, phase) — a second keyed
-    exchange — and the residual subtraction is map-side. No joins, no
-    agg-then-join-back: both means are windows, so rows never leave
-    their partitions as anything but window state.
+    Scale shape: ONE series-keyed exchange total — the (series, phase)
+    seasonal window's clustering is satisfied by the series partitioning
+    (superset keys), so Catalyst re-sorts the same partitions instead of
+    re-exchanging (pinned in test_plan_contracts); the residual
+    subtraction is map-side. No joins, no agg-then-join-back.
     """
     if k < 1 or period < 1 or slot_ms < 1:
         raise ValueError("need k >= 1, period >= 1, slot_ms >= 1")

@@ -1091,12 +1091,14 @@ def concat_pack_stats(
     ``seq_len - n_tokens`` over the ``n_shards`` last windows).
 
     Deterministic + distributed: document order is
-    :func:`curation.deterministic_shuffle`'s (shard, pos) — one keyed
-    exchange, per-shard parallel sorts, retry-stable. Offsets are a
-    per-shard running sum (window over the same partitioning — no second
-    exchange), window membership is integer division on the offsets, and
-    the per-sequence rollup re-uses the shard key so the final agg is the
-    only other shuffle. Token counts use the corpus-wide whitespace
+    :func:`curation.deterministic_shuffle`'s (shard, pos) — ONE keyed
+    exchange total, per-shard parallel sorts, retry-stable. Offsets are
+    a per-shard running sum (window over the same partitioning), window
+    membership is integer division on the offsets, and even the
+    (shard, seq) rollup's clustering is satisfied by the shard
+    partitioning (superset grouping keys), so no second exchange ever
+    appears — pinned in test_plan_contracts. Token counts use the
+    corpus-wide whitespace
     convention (``words_of`` — oracle-proven via q33); raw text never
     crosses a shuffle.
     """

@@ -299,3 +299,61 @@ def test_heavy_hitters_candidate_join_is_broadcast(spark):
     plan = formatted_plan(analytics.heavy_hitters(words, "word", phi_ppm=34_000))
     assert "BroadcastExchange" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_concat_packing_single_exchange_no_join(spark):
+    """q173: ONE shard exchange total — the rank and running-sum windows
+    ride it, and even the (shard, seq) rollup is satisfied by the shard
+    partitioning (grouping keys are a superset), so no second exchange
+    ever appears. Nothing joins."""
+    from hbase_bulkload_service_spark.operators import textops
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    plan = formatted_plan(
+        textops.concat_pack_stats(load(spark, SF_DIR, "documents"), seq_len=64)
+    )
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+def test_stl_decompose_single_exchange_no_join(spark):
+    """q182: ONE series exchange total — the (series, phase) seasonal
+    window's clustering is satisfied by the series partitioning
+    (superset keys), so Catalyst re-sorts the same partitions instead
+    of re-exchanging. Zero joins (both means are windows, not
+    agg-then-join-back)."""
+    from hbase_bulkload_service_spark.operators import analytics
+    from hbase_bulkload_service_spark.sources.tables import load_events
+
+    plan = formatted_plan(analytics.stl_decompose(load_events(spark, SF_DIR)))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_vocab_coverage_broadcasts_the_vocab_and_take_orders_the_cut(spark):
+    """q177: the V-cut is TakeOrderedAndProject (never a global sort)
+    and the vocabulary joins back by BroadcastExchange."""
+    from hbase_bulkload_service_spark.operators import textops
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    plan = formatted_plan(
+        textops.vocab_coverage(load(spark, SF_DIR, "documents"), 100)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_broadcasts_probe_list_and_adc_table(spark):
+    """q175: the only sort-merge-eligible join is the id-keyed
+    codes x cells join; probe list and ADC table broadcast."""
+    from hbase_bulkload_service_spark.operators import similarity
+    from hbase_bulkload_service_spark.sources.tables import load
+
+    plan = formatted_plan(
+        similarity.ivfpq_topk(load(spark, SF_DIR, "embeddings"))
+    )
+    assert "BroadcastExchange" in plan
+    # raw vectors never shuffle: no exchange output carries the vm array
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
