@@ -1570,3 +1570,90 @@ def stl_mad_anomalies(
         "med_cents",
         "mad_cents",
     )
+
+
+def holt_forecast(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Integer Holt linear-trend chart per series (double exponential
+    smoothing, Holt 1957) — the forecasting member of the control-chart
+    family: :func:`ewma_control` smooths a level; this carries a level
+    AND a trend register and emits the one-step-ahead forecast each
+    sample was tested against, in the alpha=beta=1/2 integer form::
+
+        l_1 = x_1,  b_1 = 0
+        f_t = l_{t-1} + b_{t-1}                      (forecast, t >= 2)
+        l_t = (x_t + l_{t-1} + b_{t-1}) div 2
+        b_t = (l_t - l_{t-1} + b_{t-1}) div 2
+
+    All truncating integer division — Spark ``div`` and DuckDB ``//``
+    both truncate toward zero, including on the (negative-capable)
+    trend register, so the recursive-CTE oracle matches bit-for-bit.
+    Like the EWMA recurrence, the truncation in every step breaks any
+    closed-form/window rewrite: the engine side is the applyInPandas
+    per-series loop (ONE keyed exchange, O(1) two-register state, the
+    pinned-width spread of the CPU-per-byte grouped map), the oracle a
+    recursive CTE stepping rn -> rn+1.
+
+    Output: one row per event — (key, event_id, rn, x_cents,
+    level_cents, trend_cents, forecast_cents, err_cents), forecast/err
+    NULL at rn=1 (no history to forecast from).
+    """
+    import pandas as pd
+
+    base = events.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(ts_col),
+        F.floor(F.col(value_col) * 100).cast("long").alias("x_cents"),
+    )
+    out_schema = (
+        f"{key_col} long, {id_col} long, rn long, x_cents long, "
+        "level_cents long, trend_cents long, forecast_cents long, "
+        "err_cents long"
+    )
+
+    def chart(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col]).reset_index(drop=True)
+        xs = pdf["x_cents"].astype("int64").tolist()
+        lv = tr = 0
+        levels, trends, fcs, errs = [], [], [], []
+        for t, x in enumerate(xs):
+            if t == 0:
+                lv, tr = x, 0
+                fcs.append(None)
+                errs.append(None)
+            else:
+                f = lv + tr
+                fcs.append(f)
+                errs.append(x - f)
+                prev = lv
+                lv = _tdiv(x + lv + tr, 2)
+                tr = _tdiv(lv - prev + tr, 2)
+            levels.append(lv)
+            trends.append(tr)
+        out = pdf[[key_col, id_col, "x_cents"]].copy()
+        out.insert(2, "rn", range(1, len(xs) + 1))
+        out["level_cents"] = levels
+        out["trend_cents"] = trends
+        out["forecast_cents"] = pd.array(fcs, dtype="Int64")
+        out["err_cents"] = pd.array(errs, dtype="Int64")
+        return out
+
+    from hbase_bulkload_service_spark.session import pinned_width
+
+    return base.repartition(
+        pinned_width(events.sparkSession), key_col
+    ).groupBy(key_col).applyInPandas(chart, out_schema)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — Python's // floors,
+    but Spark ``div`` and DuckDB ``//`` truncate; on negative operands
+    they differ, so the Python loop must truncate too."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q

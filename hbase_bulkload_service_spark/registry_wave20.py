@@ -552,3 +552,54 @@ def q183_stl_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.stl_mad_anomalies(
         load_events(spark, sf_dir, spread=True), c=_MAD_C
     )
+
+
+# ===========================================================================
+# q184 — Holt linear-trend forecast chart (two-register sequential
+# recurrence; the forecasting member of the q178 family)
+# ===========================================================================
+
+
+@register(
+    "q184_holt_forecast",
+    """
+    WITH RECURSIVE s AS MATERIALIZED (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS x,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+               AS BIGINT) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, rn, x, x AS l, CAST(0 AS BIGINT) AS b,
+             CAST(NULL AS BIGINT) AS f, CAST(NULL AS BIGINT) AS e
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn, s.x,
+             (s.x + r.l + r.b) // 2,
+             ((s.x + r.l + r.b) // 2 - r.l + r.b) // 2,
+             r.l + r.b,
+             s.x - (r.l + r.b)
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, rn, x AS x_cents,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(f AS BIGINT) AS forecast_cents,
+           CAST(e AS BIGINT) AS err_cents
+    FROM r
+    """,
+)
+def q184_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Holt linear-trend chart per user series
+    (operators/analytics.py:holt_forecast): level AND trend registers
+    in the alpha=beta=1/2 integer form, emitting each sample's
+    one-step-ahead forecast and error — the forecasting member of the
+    control-chart family (q178 smooths, this predicts). The trend
+    register goes negative on falling series, so the engine loop uses
+    explicit truncate-toward-zero division to match Spark div / DuckDB
+    // (Python's // floors — a one-character bug the oracle would
+    catch on the first falling series). Recursive-CTE oracle steps
+    rn -> rn+1 through both registers."""
+    return analytics.holt_forecast(load_events(spark, sf_dir, spread=True))

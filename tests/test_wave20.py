@@ -328,3 +328,42 @@ def test_stl_mad_guards(spark):
     )
     with pytest.raises(ValueError):
         analytics.stl_mad_anomalies(df, c=0)
+
+
+# ---------------------------------------------------------------------------
+# holt_forecast
+# ---------------------------------------------------------------------------
+
+
+def test_holt_hand_checked_including_negative_trend_truncation(spark):
+    # falling series: cents 100 -> 50. rn2: f=100, e=-50,
+    # l=(50+100+0) div 2 = 75, b=(75-100+0) div 2 = -25 div 2 = -12
+    # (TRUNCATION toward zero — floor division would give -13)
+    rows = [(7, 1, 10, 1.0), (7, 2, 20, 0.5)]
+    out = {r.rn: r for r in analytics.holt_forecast(
+        _events(spark, rows)).collect()}
+    assert out[1].level_cents == 100 and out[1].trend_cents == 0
+    assert out[1].forecast_cents is None and out[1].err_cents is None
+    assert out[2].forecast_cents == 100 and out[2].err_cents == -50
+    assert out[2].level_cents == 75 and out[2].trend_cents == -12
+
+
+def test_holt_forecast_identity_and_rising_series(spark):
+    # rising series 10,20,30,40,50 cents/100 -> forecasts chase the trend
+    rows = [(1, i, i * 10, i / 10.0) for i in range(1, 6)]
+    out = sorted(analytics.holt_forecast(_events(spark, rows)).collect(),
+                 key=lambda r: r.rn)
+    # f_t = l_{t-1} + b_{t-1} exactly
+    for prev, cur in zip(out, out[1:]):
+        assert cur.forecast_cents == prev.level_cents + prev.trend_cents
+        assert cur.err_cents == cur.x_cents - cur.forecast_cents
+    # the trend register learns the rise (strictly positive by the end)
+    assert out[-1].trend_cents > 0
+
+
+def test_holt_deterministic_across_series(spark):
+    rows = [(u, i, i * 10, float((u * i) % 9)) for u in (1, 2, 3) for i in range(1, 15)]
+    df = _events(spark, rows)
+    a = sorted(map(tuple, analytics.holt_forecast(df).collect()))
+    b = sorted(map(tuple, analytics.holt_forecast(df).collect()))
+    assert a == b and len(a) == 42
