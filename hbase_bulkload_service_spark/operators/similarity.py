@@ -1388,3 +1388,50 @@ def ivfpq_residual_topk(
         .filter(F.col("rnk") <= topk)
         .select("qid", id_col, "cell", "adist", "rnk")
     )
+
+
+def hard_negative_pairs(
+    embeddings: DataFrame,
+    threshold_micros: int,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: pairs of
+    vectors that are highly similar (cosine >= threshold) but carry
+    DIFFERENT labels — exactly the pairs a contrastive loss needs to see
+    (easy negatives are everywhere; the hard ones hide among near
+    neighbors) and, symmetrically, the label-noise audit of a corpus
+    ("near-identical items labeled differently" is usually an annotation
+    error).
+
+    Scale path: the candidate space is :func:`cosine_neardup_pairs`'s
+    IVF-cell blocking (equi-join on cell, never O(n²)); labels ride two
+    thin id-keyed joins onto the surviving pairs (pair count << corpus
+    at any sane threshold), and the label inequality filters last so
+    the SAME blocked candidate set serves dedup (q42) and mining
+    (q185). Output: (vec_a, vec_b, label_a, label_b, cos_micros).
+    """
+    pairs = cosine_neardup_pairs(
+        embeddings, threshold_micros, centroids, id_col, vec_col
+    )
+    labels = embeddings.select(F.col(id_col), F.col(label_col))
+    return (
+        pairs.join(
+            labels.select(
+                F.col(id_col).alias("vec_a"),
+                F.col(label_col).alias("label_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            labels.select(
+                F.col(id_col).alias("vec_b"),
+                F.col(label_col).alias("label_b"),
+            ),
+            "vec_b",
+        )
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select("vec_a", "vec_b", "label_a", "label_b", "cos_micros")
+    )

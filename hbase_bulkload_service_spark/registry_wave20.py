@@ -603,3 +603,58 @@ def q184_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     catch on the first falling series). Recursive-CTE oracle steps
     rn -> rn+1 through both registers."""
     return analytics.holt_forecast(load_events(spark, sf_dir, spread=True))
+
+
+# ===========================================================================
+# q185 — hard-negative mining (contrastive-training pairs / label audit)
+# ===========================================================================
+
+from hbase_bulkload_service_spark.oracle_frags import (  # noqa: E402
+    duck_cos_micros as _duck_cos,
+)
+
+_HN_THRESH = 350_000
+
+
+@register(
+    "q185_hard_negatives",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    s AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_duck_cos("e.embedding", "c.cvec")} AS cm
+      FROM embeddings e, c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cm DESC, centroid_id) AS rn
+        FROM s
+      ) WHERE rn = 1
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ea.label AS label_a, eb.label AS label_b,
+             {_duck_cos("ea.embedding", "eb.embedding")} AS cos_micros
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ) WHERE cos_micros >= {_HN_THRESH} AND label_a <> label_b
+    """,
+)
+def q185_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negative_pairs):
+    IVF-cell-blocked pairs with cosine >= {_HN_THRESH} micros and
+    DIFFERENT labels — the contrastive-training pair miner and
+    label-noise audit, sharing q42's blocked candidate set (equi-join
+    on cell, never O(n^2)); labels ride thin id-keyed joins onto the
+    surviving pairs."""
+    from hbase_bulkload_service_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return similarity.hard_negative_pairs(
+        emb, _HN_THRESH, similarity.pseudo_centroids(emb)
+    )

@@ -367,3 +367,58 @@ def test_holt_deterministic_across_series(spark):
     a = sorted(map(tuple, analytics.holt_forecast(df).collect()))
     b = sorted(map(tuple, analytics.holt_forecast(df).collect()))
     assert a == b and len(a) == 42
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_pairs
+# ---------------------------------------------------------------------------
+
+
+def _labeled_vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_hard_negatives_keeps_only_cross_label_high_cos(spark):
+    # two near-identical vectors with DIFFERENT labels (the hard pair),
+    # one near-identical SAME-label pair (dedup's business, not ours),
+    # one orthogonal cross-label pair (an easy negative)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [0.999, 0.01, 0.0, 0.0], 2),   # hard negative vs 0
+        (2, [0.998, 0.02, 0.0, 0.0], 1),   # same label as 0 -> excluded
+        (3, [0.0, 0.0, 1.0, 0.0], 2),      # easy negative -> below threshold
+    ]
+    out = similarity.hard_negative_pairs(
+        _labeled_vecs(spark, rows), 900_000
+    ).collect()
+    got = {(r.vec_a, r.vec_b) for r in out}
+    assert (0, 1) in got and (1, 2) in got
+    assert (0, 2) not in got            # same label
+    assert all(3 not in p for p in got)  # orthogonal never passes
+    for r in out:
+        assert r.label_a != r.label_b and r.cos_micros >= 900_000
+
+
+def test_hard_negatives_blocked_path_matches_brute_force_on_clusters(spark):
+    # with one centroid per cluster, blocking keeps in-cluster pairs;
+    # the cross-label subset must match the unblocked run's subset
+    rows = []
+    for i in range(12):
+        c = i % 2
+        rows.append((i, [10.0 * c + 0.1 * (i % 3), 1.0, 0.0, 0.0], i % 4))
+    emb = _labeled_vecs(spark, rows)
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    blocked = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.hard_negative_pairs(emb, 990_000, cents).collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.hard_negative_pairs(emb, 990_000, None).collect()
+    }
+    assert blocked <= brute and len(blocked) > 0

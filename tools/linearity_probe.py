@@ -124,6 +124,7 @@ PROBE_QUERIES_PERTURBED = [
     "q175_ivfpq_topk",         # coarse+PQ round-trips metadata-scale; one id-keyed corpus join, probe list broadcast
     "q176_label_propagation",  # per-round: one keyed contribution join + two hash aggs over per-rep-disjoint graphs
     "q181_ivfadc_topk",        # ivfpq shape + residual broadcast-join subtraction; per-(q,cell) ADC still broadcast
+    "q185_hard_negatives",     # q42's cell-blocked pair join + thin id-keyed label joins on the survivors
 ]
 # q146_rank_fusion is NOT probed: the fusion itself is k-bounded
 # (queries x k x n_lists rows); its scale cost lives entirely in the
