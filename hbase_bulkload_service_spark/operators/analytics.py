@@ -1657,3 +1657,39 @@ def _tdiv(a: int, b: int) -> int:
     they differ, so the Python loop must truncate too."""
     q = abs(a) // abs(b)
     return q if (a >= 0) == (b >= 0) else -q
+
+
+def salt_plan(
+    df: DataFrame,
+    key_col: str,
+    target_rows: int = 32,
+) -> DataFrame:
+    """Executable skew remediation: per-key row counts distilled into a
+    salting plan — every key whose count exceeds ``target_rows`` gets
+    ``salt_factor = ceil(cnt / target_rows)`` (the number of sub-keys a
+    salted join should spread it over). Closes the skew loop the engine
+    already has both ends of: :func:`key_skew_profile` (q120) DIAGNOSES
+    the distribution, this PLANS the fix, and the salted join (q28)
+    EXECUTES it — broadcast this table and salt exactly the keys listed
+    instead of salting everything (uniform salting multiplies the
+    build side for the 99% of keys that never needed it).
+
+    Scale shape: one map-side-combined keyed agg (output = key
+    cardinality), a filter, and integer arithmetic; the plan is
+    skewed-keys-sized — metadata-scale by definition, broadcastable
+    into the join that consumes it.
+    """
+    if target_rows < 1:
+        raise ValueError("target_rows must be >= 1")
+    return (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > target_rows)
+        .select(
+            key_col,
+            "cnt",
+            F.expr(f"(cnt + {target_rows} - 1) div {target_rows}").alias(
+                "salt_factor"
+            ),
+        )
+    )

@@ -658,3 +658,33 @@ def q185_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_pairs(
         emb, _HN_THRESH, similarity.pseudo_centroids(emb)
     )
+
+
+# ===========================================================================
+# q186 — skew salting plan (profile -> plan -> execute closes with q120/q28)
+# ===========================================================================
+
+_SALT_TARGET = 32
+
+
+@register(
+    "q186_salt_plan",
+    f"""
+    SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+           CAST((cnt + {_SALT_TARGET} - 1) // {_SALT_TARGET} AS BIGINT)
+             AS salt_factor
+    FROM (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
+    WHERE cnt > {_SALT_TARGET}
+    """,
+)
+def q186_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew salting plan (operators/analytics.py:salt_plan): keys of the
+    busiest join axis whose row count exceeds {_SALT_TARGET}, each with
+    the ceil-division salt factor a targeted salted join (q28) should
+    spread it over — q120 diagnoses, this plans, q28 executes. One
+    map-side-combined keyed agg; the plan is skewed-keys-sized and
+    broadcastable."""
+    return analytics.salt_plan(
+        load_events(spark, sf_dir, spread=True), "user_id",
+        target_rows=_SALT_TARGET,
+    )

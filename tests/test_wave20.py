@@ -422,3 +422,25 @@ def test_hard_negatives_blocked_path_matches_brute_force_on_clusters(spark):
         for r in similarity.hard_negative_pairs(emb, 990_000, None).collect()
     }
     assert blocked <= brute and len(blocked) > 0
+
+
+# ---------------------------------------------------------------------------
+# salt_plan
+# ---------------------------------------------------------------------------
+
+
+def test_salt_plan_factors_and_cutoff(spark):
+    rows = (
+        [(1, i, i, 1.0) for i in range(70)]      # key 1: 70 rows -> factor 3
+        + [(2, i, i, 1.0) for i in range(33)]    # key 2: 33 rows -> factor 2
+        + [(3, i, i, 1.0) for i in range(32)]    # key 3: at target -> excluded
+        + [(4, 0, 0, 1.0)]                       # key 4: tiny -> excluded
+    )
+    df = _events(spark, rows)
+    out = {r.user_id: r for r in analytics.salt_plan(
+        df, "user_id", target_rows=32).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].cnt == 70 and out[1].salt_factor == 3
+    assert out[2].cnt == 33 and out[2].salt_factor == 2
+    with pytest.raises(ValueError):
+        analytics.salt_plan(df, "user_id", target_rows=0)
