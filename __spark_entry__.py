@@ -35,7 +35,7 @@ SF0001 = "/root/testdata/sf0.001"
 #      by design (driver row is rows-only; its accuracy bound is
 #      hash-gated via q115), so its slot goes to a hash-checkable row.
 # ALL queries pass the in-repo driver replica (tools/selfcheck.py) —
-# see CORRECTNESS_SELF_r06.json (183 queries, 182 hash-exact + q73
+# see CORRECTNESS_SELF_r06.json (186 queries, 185 hash-exact + q73
 # rows-only by design, 0 mismatches at round-6 HEAD); the replica has
 # agreed with the real driver on every row it predicted across r03-r05
 # (148/148).

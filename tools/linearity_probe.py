@@ -94,6 +94,7 @@ PROBE_QUERIES = [
     "q182_stl_decompose",      # two keyed window exchanges (series trend, series+phase seasonal), no joins
     "q183_stl_anomalies",      # stl + one series re-exchange for the median/MAD windows, no joins
     "q184_holt_forecast",      # one keyed exchange into per-series Arrow loops, O(1) two-register state
+    "q186_salt_plan",          # one map-side-combined keyed agg + filter; output skewed-keys-sized
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
