@@ -180,3 +180,70 @@ def expectations_audit(
         F.coalesce(F.col("n_failed"), F.lit(0)).cast("long").alias("n_failed"),
         (F.coalesce(F.col("n_failed"), F.lit(0)) == 0).alias("ok"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity risk audit (Sweeney 2002): group the table by its
+    quasi-identifier columns — the attributes an adversary can link to
+    an external dataset — and report every equivalence class smaller
+    than ``k``: each such row is a re-identification risk (a group of
+    one IS an identification). The governance gate a training corpus
+    with user-derived records runs before release, complementing the
+    PII scrub (q58: remove direct identifiers) with the INDIRECT
+    identifier audit suppression/generalization decisions are based on.
+
+    Output: one row per risky equivalence class — the quasi-identifier
+    values plus ``group_n`` (< k). Scale shape: ONE map-side-combined
+    keyed agg (output = class cardinality, then filtered to the risky
+    tail) — the same cost as any groupBy; no row-level data leaves the
+    executors.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 flags nothing, ever)")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("group_n"))
+        .filter(F.col("group_n") < k)
+    )
+
+
+def forget_plan(
+    events: DataFrame,
+    cohort_pred: Column,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    slot_ms: int = 300_000,
+) -> DataFrame:
+    """Right-to-be-forgotten work order: for every key in the deletion
+    cohort, the per-table impact summary a targeted erasure job needs —
+    raw row count, the count of derived 5-minute rollup slots that must
+    be recomputed (deleting raw rows silently invalidates downstream
+    aggregates; the slot list IS the recompute work order), and the
+    affected time span (which HFile regions / partitions to rewrite).
+
+    Output: (key, n_rows, n_rollup_slots, first_ts, last_ts) per cohort
+    member. Scale shape: the cohort predicate prunes at the scan, then
+    ONE keyed agg computes rows/span and the distinct slot count rides
+    the same exchange (count_distinct over the already-keyed groups) —
+    output is cohort-sized.
+    """
+    if slot_ms < 1:
+        raise ValueError("slot_ms must be >= 1")
+    return (
+        events.filter(cohort_pred)
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(
+                F.expr(f"{ts_col} div {slot_ms}")
+            ).alias("n_rollup_slots"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )

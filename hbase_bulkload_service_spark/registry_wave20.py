@@ -688,3 +688,71 @@ def q186_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_events(spark, sf_dir, spread=True), "user_id",
         target_rows=_SALT_TARGET,
     )
+
+
+# ===========================================================================
+# q187 / q188 — privacy & governance: k-anonymity audit, forget plan
+# ===========================================================================
+
+_KANON_K = 5
+_KANON_BAL = 2000
+_FORGET_MOD = 37
+
+
+@register(
+    "q187_k_anonymity",
+    f"""
+    SELECT c_nationkey, c_mktsegment, bal_bucket,
+           CAST(group_n AS BIGINT) AS group_n
+    FROM (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / {_KANON_BAL}) AS BIGINT) AS bal_bucket,
+             COUNT(*) AS group_n
+      FROM customer GROUP BY 1, 2, 3
+    ) WHERE group_n < {_KANON_K}
+    """,
+)
+def q187_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk audit (operators/quality.py:k_anonymity_audit):
+    every (nation, market segment, balance-bucket) equivalence class
+    with fewer than {_KANON_K} members — the indirect-identifier
+    release gate complementing q58's direct-identifier scrub. One
+    map-side-combined keyed agg filtered to the risky tail."""
+    from hbase_bulkload_service_spark.operators import quality
+
+    cust = load(spark, sf_dir, "customer", spread=True)
+    return quality.k_anonymity_audit(
+        cust.withColumn(
+            "bal_bucket",
+            F.floor(F.col("c_acctbal") / _KANON_BAL).cast("long"),
+        ).select("c_nationkey", "c_mktsegment", "bal_bucket"),
+        ["c_nationkey", "c_mktsegment", "bal_bucket"],
+        k=_KANON_K,
+    )
+
+
+@register(
+    "q188_forget_plan",
+    f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT epoch_ms(ts) // 300000) AS BIGINT)
+             AS n_rollup_slots,
+           CAST(MIN(epoch_ms(ts)) AS BIGINT) AS first_ts,
+           CAST(MAX(epoch_ms(ts)) AS BIGINT) AS last_ts
+    FROM events WHERE user_id % {_FORGET_MOD} = 0
+    GROUP BY 1
+    """,
+)
+def q188_forget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten work order
+    (operators/quality.py:forget_plan): per deletion-cohort user, the
+    raw row count, the derived 5-minute rollup slots that must be
+    recomputed, and the affected time span (the regions to rewrite).
+    Cohort predicate prunes at the scan; one keyed agg, cohort-sized
+    output."""
+    from hbase_bulkload_service_spark.operators import quality
+
+    ev = load_events(spark, sf_dir, spread=True)
+    return quality.forget_plan(
+        ev, F.col("user_id") % _FORGET_MOD == 0
+    )

@@ -444,3 +444,42 @@ def test_salt_plan_factors_and_cutoff(spark):
     assert out[2].cnt == 33 and out[2].salt_factor == 2
     with pytest.raises(ValueError):
         analytics.salt_plan(df, "user_id", target_rows=0)
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit / forget_plan
+# ---------------------------------------------------------------------------
+
+from hbase_bulkload_service_spark.operators import quality  # noqa: E402
+
+
+def test_k_anonymity_flags_small_classes_only(spark):
+    rows = [("US", "A")] * 5 + [("US", "B")] * 2 + [("DE", "A")]
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    out = {(r.nation, r.seg): r.group_n for r in
+           quality.k_anonymity_audit(df, ["nation", "seg"], k=5).collect()}
+    assert out == {("US", "B"): 2, ("DE", "A"): 1}
+    # k=2: only the singleton remains
+    out2 = quality.k_anonymity_audit(df, ["nation", "seg"], k=2).collect()
+    assert [(r.nation, r.seg) for r in out2] == [("DE", "A")]
+    with pytest.raises(ValueError):
+        quality.k_anonymity_audit(df, ["nation"], k=1)
+    with pytest.raises(ValueError):
+        quality.k_anonymity_audit(df, [], k=5)
+
+
+def test_forget_plan_counts_slots_and_span(spark):
+    rows = [
+        (10, 1, 0, 1.0),          # slot 0
+        (10, 2, 100_000, 1.0),    # slot 0
+        (10, 3, 650_000, 1.0),    # slot 2
+        (11, 4, 50, 1.0),         # not in cohort
+    ]
+    df = _events(spark, rows)
+    out = {r.user_id: r for r in quality.forget_plan(
+        df, F.col("user_id") == 10).collect()}
+    assert set(out) == {10}
+    assert out[10].n_rows == 3 and out[10].n_rollup_slots == 2
+    assert out[10].first_ts == 0 and out[10].last_ts == 650_000
+    with pytest.raises(ValueError):
+        quality.forget_plan(df, F.col("user_id") == 10, slot_ms=0)

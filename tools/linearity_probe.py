@@ -95,6 +95,8 @@ PROBE_QUERIES = [
     "q183_stl_anomalies",      # stl + one series re-exchange for the median/MAD windows, no joins
     "q184_holt_forecast",      # one keyed exchange into per-series Arrow loops, O(1) two-register state
     "q186_salt_plan",          # one map-side-combined keyed agg + filter; output skewed-keys-sized
+    "q187_k_anonymity",        # one keyed agg filtered to the risky tail; class-cardinality output
+    "q188_forget_plan",        # scan-pruned cohort + one keyed agg; cohort-sized output
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
