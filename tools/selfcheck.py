@@ -146,10 +146,22 @@ def main() -> int:
         json.dump(results, f, indent=2)
     n_ok = sum(1 for r in results.values() if r["hash_match"])
     n_bad = sum(1 for r in results.values() if r["hash_match"] is False)
+    # errored rows (hash_match None with a real error — not the designed
+    # rows-only no-oracle case) are FAILURES too: a JVM that dies
+    # mid-sweep turns every later row into a stopped-context error, and
+    # counting only explicit mismatches once let such a run exit 0 and
+    # masquerade as green (caught when a crashed artifact was committed
+    # with a green message in round 6)
+    n_err = sum(
+        1
+        for r in results.values()
+        if r["hash_match"] is None and r.get("err")
+        and "no-oracle" not in str(r["err"])
+    )
     print(f"TOTAL {len(results)} queries, {n_ok} hash-exact, {n_bad} mismatched, "
-          f"{round(time.time() - t_all, 1)}s", flush=True)
+          f"{n_err} errored, {round(time.time() - t_all, 1)}s", flush=True)
     spark.stop()
-    return 1 if n_bad else 0
+    return 1 if (n_bad or n_err) else 0
 
 
 if __name__ == "__main__":
