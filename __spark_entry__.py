@@ -23,24 +23,25 @@ SF0001 = "/root/testdata/sf0.001"
 # order), so with >50 registered queries the set would stay partially
 # unchecked unless we rotate. Round-6 window layout (50 slots exactly —
 # VERDICT r05 item 2):
-#   1. q169-q188 — new this round (the full-DDL real-v3 container gate,
+#   1. q169-q190 — new this round (the full-DDL real-v3 container gate,
 #      the byte-level bloom+index point-read gate, DSIR, PQ-ANN, concat
 #      packing, n-gram novelty, IVF-PQ, LPA communities, vocab coverage,
-#      EWMA chart + streaming twin, scene shots, IVFADC, STL + MAD anomalies, Holt forecast, hard negatives, salt plan, privacy audits); new queries
+#      EWMA chart + streaming twin, scene shots, IVFADC, STL + MAD anomalies, Holt forecast, hard negatives, salt/join-size planning, privacy audits, split
+#      leakage); new queries
 #      are verified same-round, never debt.
 #   2. The 20 remaining r02-age rows (q35-q53 family) — their last
 #      driver row predates three rounds of shared-code evolution.
-#   3. The 10 OLDEST r03-age rows in registration order (q66/q68/q69,
-#      q26-q29, q54-q57) — q73 is skipped deliberately: it is no-oracle
+#   3. The 8 OLDEST r03-age rows in registration order (q66/q68/q69,
+#      q26-q29, q56 — the flagship e2e keeps its slot) — q73 is skipped deliberately: it is no-oracle
 #      by design (driver row is rows-only; its accuracy bound is
 #      hash-gated via q115), so its slot goes to a hash-checkable row.
 # ALL queries pass the in-repo driver replica (tools/selfcheck.py) —
-# see CORRECTNESS_SELF_r06.json (188 queries, 187 hash-exact + q73
+# see CORRECTNESS_SELF_r06.json (190 queries, 189 hash-exact + q73
 # rows-only by design, 0 mismatches at round-6 HEAD); the replica has
 # agreed with the real driver on every row it predicted across r03-r05
 # (148/148).
-# ROUND-7 ROTATION PLAN: back-fill with q58-q65/q67/q70-q72/q74-q77
-# (displaced from this window by the wave-19/20 queries q173-q188), then
+# ROUND-7 ROTATION PLAN: back-fill with q54/q57-q65/q67/q70-q72/q74-q77
+# (displaced from this window by the wave-19/20 queries q173-q190), then
 # the r03 tail (q73, q78-q100 in registration order), then the oldest
 # r04 rows (q101...), oldest first.
 PRIORITY = [
@@ -65,6 +66,8 @@ PRIORITY = [
     "q186_salt_plan",
     "q187_k_anonymity",
     "q188_forget_plan",
+    "q189_join_size_estimate",
+    "q190_split_leakage",
     # -- 2. r02-age back-fill (registration order) --
     "q35_minhash_lsh",
     "q44_neardup_clusters",
@@ -95,9 +98,7 @@ PRIORITY = [
     "q27_format_roundtrip",
     "q28_salted_join",
     "q29_running_stats",
-    "q54_srp_lsh",
     "q56_bulkload_e2e",
-    "q57_sql_surface",
 ]
 
 

@@ -1693,3 +1693,47 @@ def salt_plan(
             ),
         )
     )
+
+
+def join_size_estimate(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-join cardinality estimate: the EXACT output size of a
+    self-equi-join on ``key_col`` is ``sum(cnt_k^2)`` over per-key
+    counts — computed from the collapsed count table (key-cardinality
+    rows) WITHOUT running the join. The compute-governance planner that
+    decides, before burning a cluster-hour, whether a blocking key is
+    safe or a pair-explosion: together with :func:`key_skew_profile`
+    (q120 diagnoses the distribution) and :func:`salt_plan` (q186
+    prescribes the fix), this prices the join itself.
+
+    Output: the ``top_n`` keys by predicted contribution — (key, cnt,
+    pairs, share_ppm) with ``share_ppm = pairs * 1e6 div total_pairs``
+    — the keys a reviewer inspects first when the estimate is scary.
+
+    Scale shape: one map-side-combined keyed agg; the grand total is a
+    1-row aggregate broadcast back by crossJoin; the top-N is
+    orderBy+limit => TakeOrderedAndProject. Nothing row-level survives
+    the first agg.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .select(key_col, "cnt", (F.col("cnt") * F.col("cnt")).alias("pairs"))
+    )
+    total = counts.agg(F.sum("pairs").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "cnt",
+            "pairs",
+            F.expr("pairs * 1000000 div __total").alias("share_ppm"),
+        )
+        .orderBy(F.col("pairs").desc(), F.col(key_col))
+        .limit(top_n)
+    )

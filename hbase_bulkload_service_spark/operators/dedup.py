@@ -883,3 +883,51 @@ def containment_pairs(
         )
         .filter(F.col("containment_ppm") >= threshold_ppm)
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    test_mod: int = 10,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test split-leakage audit: near-duplicate pairs that CROSS
+    the split boundary — the eval-hygiene check every benchmark release
+    runs (a test document whose near-twin sits in train silently
+    inflates every score; Lee et al. 2022 measured the effect on
+    perplexity). The split is the standard deterministic hash split
+    (md5 bucket of the id: 1-in-``test_mod`` -> test), so the audit is
+    reproducible without materializing the split assignment.
+
+    Pipeline: :func:`minhash_lsh_neardups` supplies the verified
+    near-dup pairs (banded LSH candidates + exact-Jaccard verify — the
+    corpus-scale path, never all-pairs); split labels are computed
+    map-side from the ids on the SURVIVING pairs (no join), and pairs
+    with equal labels drop. Output: (doc_a, doc_b, split_a, split_b,
+    inter, union_n, jaccard) — empty is the healthy state.
+    """
+    if test_mod < 2:
+        raise ValueError("test_mod must be >= 2")
+    from hbase_bulkload_service_spark.operators.curation import hash_bucket
+
+    def split_of(c: Column) -> Column:
+        return F.when(
+            hash_bucket(F.concat(F.lit("s:"), c.cast("string")), test_mod)
+            == 0,
+            F.lit("test"),
+        ).otherwise(F.lit("train"))
+
+    pairs = minhash_lsh_neardups(docs, text_col, threshold)
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            split_of(F.col("doc_a")).alias("split_a"),
+            split_of(F.col("doc_b")).alias("split_b"),
+            "inter",
+            "union_n",
+            "jaccard",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

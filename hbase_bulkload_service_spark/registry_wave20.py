@@ -756,3 +756,105 @@ def q188_forget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.forget_plan(
         ev, F.col("user_id") % _FORGET_MOD == 0
     )
+
+
+# ===========================================================================
+# q189 / q190 — compute governance + eval hygiene: join-size estimate,
+# split-leakage audit
+# ===========================================================================
+
+_JSE_TOP = 10
+_LEAK_MOD = 10
+
+
+@register(
+    "q189_join_size_estimate",
+    f"""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt, COUNT(*) * COUNT(*) AS pairs
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(pairs) AS total FROM counts)
+    SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+           CAST(pairs AS BIGINT) AS pairs,
+           CAST((pairs * 1000000) // tot.total AS BIGINT) AS share_ppm
+    FROM counts, tot
+    ORDER BY pairs DESC, user_id LIMIT {_JSE_TOP}
+    """,
+)
+def q189_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality pricing
+    (operators/analytics.py:join_size_estimate): the exact self-join
+    output size per key (cnt^2) from the collapsed count table, top-10
+    contributors with their share — priced WITHOUT running the join.
+    Completes the skew triptych: q120 diagnoses, q189 prices, q186
+    prescribes, the q28 salted join executes."""
+    from hbase_bulkload_service_spark.operators import analytics
+
+    return analytics.join_size_estimate(
+        load_events(spark, sf_dir, spread=True), "user_id", top_n=_JSE_TOP
+    )
+
+
+from hbase_bulkload_service_spark.registry_llm import (  # noqa: E402
+    SHINGLES_CTE as _SHINGLES_CTE,
+    _BANDS_SQL,
+    _SIG_COLS,
+)
+
+_LEAK_SPLIT_A = (
+    f"CASE WHEN ('0x' || substr(md5('s:' || CAST(i.doc_a AS VARCHAR)), 1, 8))"
+    f"::BIGINT % {_LEAK_MOD} = 0 THEN 'test' ELSE 'train' END"
+)
+_LEAK_SPLIT_B = (
+    f"CASE WHEN ('0x' || substr(md5('s:' || CAST(i.doc_b AS VARCHAR)), 1, 8))"
+    f"::BIGINT % {_LEAK_MOD} = 0 THEN 'test' ELSE 'train' END"
+)
+
+
+@register(
+    "q190_split_leakage",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+    bk AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT * FROM (
+      SELECT i.doc_a, i.doc_b,
+             {_LEAK_SPLIT_A} AS split_a,
+             {_LEAK_SPLIT_B} AS split_b,
+             i.inter, (za.n + zb.n - i.inter) AS union_n,
+             i.inter * 1.0 / (za.n + zb.n - i.inter) AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.inter * 1.0 / (za.n + zb.n - i.inter) >= 0.5
+    ) WHERE split_a <> split_b
+    """,
+)
+def q190_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit
+    (operators/dedup.py:split_leakage): verified near-dup pairs
+    (q35's banded-LSH + exact-Jaccard path) whose deterministic hash
+    split labels differ — the eval-hygiene gate a benchmark release
+    runs (a test doc with a train near-twin inflates every score).
+    Split labels are computed map-side on the surviving pairs; empty
+    is the healthy state, and the synthetic corpus leaks 4 pairs at
+    sf0.01 so both branches are live."""
+    from hbase_bulkload_service_spark.operators import dedup as _dedup
+
+    return _dedup.split_leakage(
+        load(spark, sf_dir, "documents", spread=True), test_mod=_LEAK_MOD
+    )

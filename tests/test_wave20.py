@@ -483,3 +483,60 @@ def test_forget_plan_counts_slots_and_span(spark):
     assert out[10].first_ts == 0 and out[10].last_ts == 650_000
     with pytest.raises(ValueError):
         quality.forget_plan(df, F.col("user_id") == 10, slot_ms=0)
+
+
+# ---------------------------------------------------------------------------
+# join_size_estimate / split_leakage
+# ---------------------------------------------------------------------------
+
+from hbase_bulkload_service_spark.operators import dedup  # noqa: E402
+
+
+def test_join_size_estimate_prices_the_self_join_exactly(spark):
+    rows = [(1, i, i, 1.0) for i in range(5)] + [(2, i, i, 1.0) for i in range(3)] + [
+        (3, 0, 0, 1.0)
+    ]
+    df = _events(spark, rows)
+    out = sorted(analytics.join_size_estimate(df, "user_id", top_n=2).collect(),
+                 key=lambda r: -r.pairs)
+    # predicted sizes: 25, 9, 1 (total 35); top-2 kept
+    assert [(r.user_id, r.cnt, r.pairs) for r in out] == [(1, 5, 25), (2, 3, 9)]
+    assert out[0].share_ppm == 25 * 1_000_000 // 35
+    # ground truth: the actual self-join row count equals the total
+    actual = df.alias("a").join(df.alias("b"), "user_id").count()
+    assert actual == 35
+    with pytest.raises(ValueError):
+        analytics.join_size_estimate(df, "user_id", top_n=0)
+
+
+def test_split_leakage_flags_only_cross_split_neardups(spark):
+    # find ids on both sides of the hash split, then plant a near-dup
+    # pair across the boundary and an identical pair within one side
+    import hashlib
+
+    def side(d):
+        return int(hashlib.md5(f"s:{d}".encode()).hexdigest()[:8], 16) % 10 == 0
+
+    tests = [d for d in range(200) if side(d)]
+    trains = [d for d in range(200) if not side(d)]
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (tests[0], text),            # test twin
+        (trains[0], text),           # train twin -> cross-split leak
+        (trains[1], text + " iota"), # near-dup, train side
+        (trains[2], "totally different words all around here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.split_leakage(docs, test_mod=10)
+    got = {(r.doc_a, r.doc_b): (r.split_a, r.split_b) for r in out.collect()}
+    a, b = sorted((tests[0], trains[0]))
+    assert (a, b) in got          # the cross-split twin pair
+    for (da, db), (sa, sb) in got.items():
+        assert sa != sb
+    # the train-train near-dup pair never appears
+    assert all(
+        sorted((da, db)) != sorted((trains[0], trains[1]))
+        for da, db in got
+    )
+    with pytest.raises(ValueError):
+        dedup.split_leakage(docs, test_mod=1)

@@ -97,6 +97,7 @@ PROBE_QUERIES = [
     "q186_salt_plan",          # one map-side-combined keyed agg + filter; output skewed-keys-sized
     "q187_k_anonymity",        # one keyed agg filtered to the risky tail; class-cardinality output
     "q188_forget_plan",        # scan-pruned cohort + one keyed agg; cohort-sized output
+    "q189_join_size_estimate", # one keyed agg + 1-row broadcast total + TakeOrdered top-N
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -128,6 +129,7 @@ PROBE_QUERIES_PERTURBED = [
     "q176_label_propagation",  # per-round: one keyed contribution join + two hash aggs over per-rep-disjoint graphs
     "q181_ivfadc_topk",        # ivfpq shape + residual broadcast-join subtraction; per-(q,cell) ADC still broadcast
     "q185_hard_negatives",     # q42's cell-blocked pair join + thin id-keyed label joins on the survivors
+    "q190_split_leakage",      # q35's banded-LSH + verify path; split labels map-side on survivors
 ]
 # q146_rank_fusion is NOT probed: the fusion itself is k-bounded
 # (queries x k x n_lists rows); its scale cost lives entirely in the
