@@ -40,10 +40,10 @@ SF0001 = "/root/testdata/sf0.001"
 # rows-only by design, 0 mismatches at round-6 HEAD); the replica has
 # agreed with the real driver on every row it predicted across r03-r05
 # (148/148).
-# ROUND-7 ROTATION PLAN: back-fill with q54/q57-q65/q67/q70-q72/q74-q77
-# (displaced from this window by the wave-19/20 queries q173-q190), then
-# the r03 tail (q73, q78-q100 in registration order), then the oldest
-# r04 rows (q101...), oldest first.
+# ROUND-7 ROTATION PLAN: back-fill with q26-q29/q66/q68/q69 +
+# q54/q57-q65/q67/q70-q72/q74-q77 (displaced from this window by the
+# wave-19..22 queries q173-q197), then the r03 tail (q73, q78-q100 in
+# registration order), then the oldest r04 rows (q101...), oldest first.
 PRIORITY = [
     # -- 1. new round-6 queries --
     "q169_hfilev3_ddl",
@@ -68,6 +68,13 @@ PRIORITY = [
     "q188_forget_plan",
     "q189_join_size_estimate",
     "q190_split_leakage",
+    "q191_bitext_mining",
+    "q192_phrase_decontam",
+    "q193_temperature_mix",
+    "q194_surprisal_buckets",
+    "q195_doremi_mix",
+    "q196_blocklist_audit",
+    "q197_embedding_health",
     # -- 2. r02-age back-fill (registration order) --
     "q35_minhash_lsh",
     "q44_neardup_clusters",
@@ -89,15 +96,10 @@ PRIORITY = [
     "q47_stratified_sample",
     "q48_distinctive_terms",
     "q49_label_centroids",
-    # -- 3. oldest r03-age back-fill (registration order; q73 skipped —
-    #       no-oracle by design, accuracy gated via q115) --
-    "q66_merge_plan_df",
-    "q68_doc_chunks",
-    "q69_contamination",
-    "q26_group_quantiles",
-    "q27_format_roundtrip",
-    "q28_salted_join",
-    "q29_running_stats",
+    # -- 3. oldest r03-age back-fill (q73 skipped — no-oracle by design,
+    #       accuracy gated via q115; q26-q29/q66/q68/q69 displaced by the
+    #       wave-21/22 queries into the round-7 plan; the flagship e2e
+    #       keeps its slot) --
     "q56_bulkload_e2e",
 ]
 

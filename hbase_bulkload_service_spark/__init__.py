@@ -45,3 +45,5 @@ from hbase_bulkload_service_spark import registry_wave17  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave18  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave19  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave20  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave21  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave22  # noqa: E402,F401

@@ -914,3 +914,190 @@ def dsir_importance(
         .limit(keep_n)
         .select(id_col, "n_feats", "weight_ppm")
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    budget: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based multilingual resampling (the XLM-R / mT5
+    alpha-sampling move, Conneau et al. 2020 with alpha = 0.5): split a
+    document budget across languages proportionally to ``sqrt(n_lang)``
+    instead of ``n_lang``, flattening the head (a 100x bigger language
+    gets only 10x the slots) so low-resource languages survive the cut
+    — the standard counter to crawl-dominant multilingual mixes, sitting
+    between q127's explicit-weight budget and q47's fixed-rate
+    downsample: here the weights are DERIVED from the corpus itself.
+
+    Exactness: the weight is ``floor(sqrt(n))`` — exact in both engines
+    because sqrt over doubles is correctly rounded and n < 2^52, so the
+    floor cannot straddle an integer boundary; quotas are the
+    largest-remainder apportionment of ``budget`` over the weights
+    (integer div/mod + remainder rank, ties by language name — sums to
+    exactly ``budget``); within a language the kept rows are the first
+    ``quota`` by the reproducible ``md5(seed:key)`` draw (the
+    dataset_split device). A quota can exceed a tiny language's size —
+    real temperature sampling upsamples with replacement there — so the
+    output reports ``quota`` next to ``rnk`` and the shortfall is
+    visible as ``max(rnk) < quota``.
+
+    Output: the selected rows only — ``(doc_id, lang, rnk, n_docs,
+    weight, quota)``.
+
+    Scale shape for 100 TB: the language histogram is a map-side
+    combined keyed agg collapsing to |langs| rows; ALL apportionment
+    windows run on that metadata-scale table, which then BROADCASTS
+    onto the corpus; the only corpus-scale exchange is the per-language
+    rank window (same single exchange as dataset_split; a dominant
+    language is one partition — acceptable because the window computes
+    row_number only, and the md5 draw order means the cut is a filter,
+    not a sort-limit).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql.window import Window as W
+
+    counts = docs.groupBy(F.col(strata_col)).agg(F.count("*").alias("n_docs"))
+    wall = W.partitionBy()
+    w_rem = W.partitionBy().orderBy(F.col("__rem").desc(), F.col(strata_col))
+    quotas = (
+        counts.withColumn(
+            "weight", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+        )
+        .withColumn("__tw", F.sum("weight").over(wall))
+        .withColumn(
+            "__base", F.expr(f"(cast({budget} as bigint) * weight) div __tw")
+        )
+        .withColumn(
+            "__rem", F.expr(f"(cast({budget} as bigint) * weight) % __tw")
+        )
+        .withColumn("__extra", F.lit(budget) - F.sum("__base").over(wall))
+        .withColumn("__rr", F.row_number().over(w_rem))
+        .select(
+            strata_col,
+            "n_docs",
+            "weight",
+            (
+                F.col("__base")
+                + (F.col("__rr") <= F.col("__extra")).cast("long")
+            ).alias("quota"),
+        )
+    )
+    draw = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    w_rank = W.partitionBy(strata_col).orderBy(draw, F.col(key_col))
+    return (
+        docs.select(key_col, strata_col)
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .join(F.broadcast(quotas), strata_col)
+        .filter(F.col("rnk") <= F.col("quota"))
+        .select(key_col, strata_col, "rnk", "n_docs", "weight", "quota")
+    )
+
+
+def doremi_weights(
+    docs: DataFrame,
+    rounds: int = 3,
+    vocab_size: int = 500,
+    scale: int = 1000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """DoReMi-lite domain reweighting (after Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    ``rounds`` synchronous multiplicative-weights updates over the
+    domain axis, upweighting domains whose proxy loss EXCEEDS the
+    current mixture's weighted average — the paper's excess-loss signal
+    with a corpus statistic standing in for the proxy-model loss (here:
+    the domain's mean OOV-ppm against the corpus top-``vocab_size``
+    vocabulary, the q177 device — rare-vocabulary domains read as
+    "harder").
+
+    Integer protocol: weights live as ppm integers renormalized each
+    round by largest-remainder apportionment (sums to exactly 1e6 every
+    round); the update is ``w * (scale + excess) div scale`` with
+    ``excess = max(0, loss - avg)`` and ``avg`` the weighted mean loss
+    under the CURRENT weights — so each round genuinely depends on the
+    last (the mixture average moves as weights move; a fixed-loss
+    "update" would collapse to a closed-form power and test nothing).
+
+    Output: one row per domain — ``(source, loss, w0_ppm..wR_ppm)``.
+
+    Scale shape for 100 TB: ONE corpus pass builds the loss table
+    (token-keyed agg + broadcast vocabulary + domain rollup, exactly
+    q177's exchanges); every round after that is window arithmetic over
+    the |domains|-row table — metadata-scale, the q53/q127 class. The
+    loop is plan-side (fixed unroll), never a driver collect.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from pyspark.sql.window import Window as W
+
+    from hbase_bulkload_service_spark.operators.textops import words_of
+
+    toks = docs.select(
+        F.col(source_col), F.explode(words_of(F.col(text_col))).alias("__w")
+    )
+    vocab = (
+        toks.groupBy("__w")
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__w"))
+        .limit(vocab_size)
+        .select("__w", F.lit(1).alias("__in"))
+    )
+    loss = (
+        toks.join(F.broadcast(vocab), "__w", "left")
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
+                "__oov"
+            ),
+        )
+        .select(
+            source_col, F.expr("__oov * 1000000 div __n").alias("loss")
+        )
+    )
+    wall = W.partitionBy()
+
+    def renorm(df: DataFrame, raw: str, out: str) -> DataFrame:
+        w_rem = W.partitionBy().orderBy(F.col("__rem").desc(), F.col(source_col))
+        return (
+            df.withColumn("__tot", F.sum(raw).over(wall))
+            .withColumn(
+                "__base", F.expr(f"(1000000 * {raw}) div __tot")
+            )
+            .withColumn("__rem", F.expr(f"(1000000 * {raw}) % __tot"))
+            .withColumn(
+                "__extra", F.lit(1_000_000) - F.sum("__base").over(wall)
+            )
+            .withColumn("__rr", F.row_number().over(w_rem))
+            .withColumn(
+                out,
+                F.col("__base")
+                + (F.col("__rr") <= F.col("__extra")).cast("long"),
+            )
+            .drop("__tot", "__base", "__rem", "__extra", "__rr", raw)
+        )
+
+    cur = renorm(loss.withColumn("__raw", F.lit(1).cast("long")), "__raw", "w0_ppm")
+    for t in range(1, rounds + 1):
+        prev = f"w{t - 1}_ppm"
+        cur = (
+            cur.withColumn(
+                "__avg", F.expr(f"sum({prev} * loss) over () div 1000000")
+            )
+            .withColumn(
+                "__exc", F.greatest(F.col("loss") - F.col("__avg"), F.lit(0))
+            )
+            .withColumn(
+                "__raw", F.expr(f"({prev} * ({scale} + __exc)) div {scale}")
+            )
+            .drop("__avg", "__exc")
+        )
+        cur = renorm(cur, "__raw", f"w{t}_ppm")
+    return cur.select(
+        source_col, "loss", *[f"w{t}_ppm" for t in range(rounds + 1)]
+    )

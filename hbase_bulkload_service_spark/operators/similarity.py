@@ -1435,3 +1435,144 @@ def hard_negative_pairs(
         .filter(F.col("label_a") != F.col("label_b"))
         .select("vec_a", "vec_b", "label_a", "label_b", "cos_micros")
     )
+
+
+def bitext_margin_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    k: int = 4,
+    side_mod: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings"): mine
+    translation-pair candidates between two sides of an embedding space
+    as the MUTUAL nearest neighbors among blocked candidates, scored by
+    the ratio margin — cosine of the pair over the mean of each side's
+    top-``k`` candidate cosines.  The deterministic side split
+    (``id % side_mod``: evens are the "source language", odds the
+    "target") stands in for the per-language corpora; plug in real
+    language ids at deployment, the plumbing is identical.
+
+    Integer protocol: all similarities are floor-micros cosines; the
+    margin is the exact integer ``(cos * 2k * 1e6) div (sum_a + sum_b)``
+    (sum over each side's top-k candidate cosines; NULL when the sums
+    cancel to zero) — a monotone twin of the paper's
+    ``cos / ((avgA + avgB)/2)`` ratio, so ranking by it is ranking by
+    the real margin.
+
+    Scale shape for 100 TB: candidates come from the IVF-cell block
+    (equi-join on cell — never the O(|A|x|B|) cross product; the
+    standard ANN-kNN stand-in the paper itself uses at scale), with the
+    in-cell cosine verify spread by a ``pinned_width`` numbered
+    repartition (the q36/q42 AQE trap).  The top-k sums and both best
+    ranks are per-vector windows OVER THE CANDIDATE SET (pair-scale,
+    already blocked), and the mutual-best filter drops everything but
+    ~|A| rows before the thin margin arithmetic.  No raw vector crosses
+    a second shuffle after the cell join.
+    """
+    side_a = embeddings.filter(F.col(id_col) % side_mod == 0)
+    side_b = embeddings.filter(F.col(id_col) % side_mod != 0)
+    assign = ivf_assign(embeddings, centroids).select(id_col, "cell")
+    w = pinned_width(embeddings.sparkSession)
+    a = (
+        side_a.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+        .join(assign.withColumnRenamed(id_col, "vec_a"), "vec_a")
+        .repartition(w, "cell")
+    )
+    b = (
+        side_b.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+        .join(assign.withColumnRenamed(id_col, "vec_b"), "vec_b")
+        .repartition(w, "cell")
+    )
+    cand = a.join(b, "cell").select(
+        "vec_a",
+        "vec_b",
+        cosine_micros(F.col("va"), F.col("vb")).alias("cos_micros"),
+    )
+    wa = Window.partitionBy("vec_a").orderBy(
+        F.col("cos_micros").desc(), F.col("vec_b")
+    )
+    wb = Window.partitionBy("vec_b").orderBy(
+        F.col("cos_micros").desc(), F.col("vec_a")
+    )
+    ranked = cand.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    sum_a = ranked.groupBy("vec_a").agg(
+        F.sum(F.when(F.col("ra") <= k, F.col("cos_micros")).otherwise(0))
+        .alias("sum_a")
+    )
+    sum_b = ranked.groupBy("vec_b").agg(
+        F.sum(F.when(F.col("rb") <= k, F.col("cos_micros")).otherwise(0))
+        .alias("sum_b")
+    )
+    mutual = ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1))
+    return (
+        mutual.join(sum_a, "vec_a")
+        .join(sum_b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "cos_micros",
+            "sum_a",
+            "sum_b",
+            F.expr(
+                f"(cos_micros * {2 * k} * 1000000)"
+                " div nullif(sum_a + sum_b, 0)"
+            ).alias("margin_ppm"),
+        )
+    )
+
+
+def embedding_health(
+    embeddings: DataFrame,
+    low_norm_micros: int = 500_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-table health audit — the data-quality gate an ANN/
+    retrieval index build runs before trusting a vendor's or a training
+    run's vectors: per label cohort, how many vectors are degenerate
+    (zero norm — cosine undefined, they poison every similarity op),
+    suspiciously low-norm (under ``low_norm_micros``), or CONSTANT
+    across dimensions (a collapsed encoder emits these), plus the norm
+    spread (min/max/mean micros) that catches an un-normalized mixture
+    before it skews dot-product scores.
+
+    Integer protocol: per-vector norms are floor-micros
+    (``floor(sqrt(dot(v, v)) * 1e6)`` — the shared fold), the mean is
+    a truncating div, and the degeneracy checks are exact counts, so
+    the report hashes bit-for-bit cross-engine.
+
+    Scale shape: one scan, all per-vector math map-side (JVM fold, no
+    Python), one label-keyed map-side-combined agg; |labels| output
+    rows. No joins, no windows, nothing O(n^2).
+    """
+    v = F.col(vec_col)
+    norm_micros = F.floor(norm(v) * 1_000_000).cast("long")
+    is_const = (F.array_max(v) == F.array_min(v)).cast("long")
+    return (
+        embeddings.select(
+            F.col(label_col),
+            norm_micros.alias("__nm"),
+            is_const.alias("__const"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum((F.col("__nm") == 0).cast("long")).alias("zero_norm"),
+            F.sum(
+                ((F.col("__nm") > 0) & (F.col("__nm") < low_norm_micros))
+                .cast("long")
+            ).alias("low_norm"),
+            F.sum("__const").alias("const_dims"),
+            F.min("__nm").alias("min_norm_micros"),
+            F.max("__nm").alias("max_norm_micros"),
+            F.sum("__nm").alias("__sum_nm"),
+        )
+        .withColumn("mean_norm_micros", F.expr("__sum_nm div n_vecs"))
+        .drop("__sum_nm")
+    )

@@ -1296,3 +1296,218 @@ def vocab_coverage(
             F.expr("oov * 1000000 div n_tok").alias("oov_ppm"),
         )
     )
+
+
+def phrase_decontamination(
+    docs: DataFrame,
+    phrase_len: int = 6,
+    source_mod: int = 97,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase-level decontamination scan — the positional-postings twin
+    of q69's n-gram contamination check: treat the first ``phrase_len``
+    normalized tokens of every benchmark document (the deterministic
+    ``id % source_mod == 0`` cohort stands in for an eval set) as an
+    exact phrase, and find EVERY corpus document containing that phrase
+    as a contiguous token run, with occurrence counts and the first
+    match position — the evidence a decontamination ticket needs
+    ("which training docs quote this eval prompt, where, how often"),
+    not just a boolean overlap.
+
+    Mechanics: the corpus becomes a positional token stream
+    ``(doc, pos, word)``; each phrase token ``(phrase, i, word)`` joins
+    it on the word, every join hit votes for the alignment
+    ``start = pos - i``, and an alignment with exactly ``phrase_len``
+    votes is a verified contiguous match (pos = start + i is a distinct
+    token per vote, so the count cannot double-collect even when the
+    phrase repeats a word). Overlapping occurrences all surface —
+    substring-count arithmetic would merge them.
+
+    Scale shape for 100 TB: the phrase table is eval-set-sized and
+    BROADCASTS onto the token stream (map-side hash join in the scan
+    stage — the corpus never shuffles raw text); the vote count and the
+    per-(phrase, doc) rollup are two map-side-combined keyed aggs over
+    join hits only (token stream x tiny phrase vocabulary). The classic
+    suffix-array decontamination pass needs a global sort; this is the
+    shuffle-light special case for a known phrase set, which is what an
+    eval-set audit is.
+    """
+    if phrase_len < 1:
+        raise ValueError("phrase_len must be >= 1")
+    ws = words_of(F.col(text_col))
+    toks = docs.select(
+        F.col(id_col), F.posexplode(ws).alias("__pos", "__w")
+    )
+    phrases = (
+        docs.filter(F.col(id_col) % source_mod == 0)
+        .select(F.col(id_col).alias("phrase_doc"), ws.alias("__ws"))
+        .filter(F.size("__ws") >= phrase_len)
+        .select(
+            "phrase_doc",
+            F.posexplode(F.slice("__ws", 1, phrase_len)).alias("__i", "__w"),
+        )
+    )
+    votes = (
+        toks.join(F.broadcast(phrases), "__w")
+        .select(
+            "phrase_doc",
+            F.col(id_col),
+            (F.col("__pos") - F.col("__i")).alias("__start"),
+        )
+        .filter(F.col("__start") >= 0)
+    )
+    aligned = (
+        votes.groupBy("phrase_doc", id_col, "__start")
+        .agg(F.count("*").alias("__votes"))
+        .filter(F.col("__votes") == phrase_len)
+    )
+    return aligned.groupBy("phrase_doc", id_col).agg(
+        F.count("*").alias("n_matches"),
+        F.min("__start").alias("first_pos"),
+    )
+
+
+def surprisal_buckets(
+    docs: DataFrame,
+    rank_cap: int = 1000,
+    ref_mod: int = 7,
+    n_tiles: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    document by how surprising its tokens are to a REFERENCE corpus
+    (the deterministic ``id % ref_mod == 0`` slice stands in for the
+    "clean wiki" reference a crawl pipeline scores against), then cut
+    each language into head / middle / tail terciles — the standard
+    shape for "keep the head, sample the middle, drop the tail".
+
+    Integer twin of the reference-LM perplexity: a token's surprisal
+    proxy is its frequency RANK in the reference (capped at
+    ``rank_cap``; unseen tokens cost ``rank_cap + 1``), and the doc
+    score is the truncating mean rank — rank is monotone in -log p for
+    a unigram model, so the per-language ordering matches the
+    perplexity ordering while every number stays an exact integer.
+
+    Scale shape: one word-keyed agg builds the reference frequencies;
+    the top-``rank_cap`` cut is orderBy+limit (TakeOrderedAndProject)
+    and its rank window runs on those ``rank_cap`` rows only —
+    metadata-scale — before BROADCASTING onto the token stream (the
+    q177 vocabulary device); the doc rollup is the only corpus-keyed
+    exchange. The tercile cut is a per-language ntile window (the q89
+    device; languages are the partition axis, so no global sort).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode(words_of(F.col(text_col))).alias("__w"),
+    )
+    ranked_vocab = (
+        toks.filter(F.col(id_col) % ref_mod == 0)
+        .groupBy("__w")
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__w"))
+        .limit(rank_cap)
+        .withColumn(
+            "__rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("__cnt").desc(), F.col("__w"))
+            ),
+        )
+        .select("__w", "__rnk")
+    )
+    scored = (
+        toks.join(F.broadcast(ranked_vocab), "__w", "left")
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.coalesce(F.col("__rnk"), F.lit(rank_cap + 1))).alias(
+                "__total"
+            ),
+        )
+        .withColumn("avg_rank", F.expr("__total div n_tok"))
+    )
+    w_tile = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_rank").asc(), F.col(id_col).asc()
+    )
+    tier = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == n_tiles, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(n_tiles).over(w_tile))
+        .select(id_col, lang_col, "n_tok", "avg_rank", "bucket", tier.alias("tier"))
+    )
+
+
+def blocklist_audit(
+    docs: DataFrame,
+    blocklist: dict[str, int],
+    flag_threshold: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-blocklist release gate (the C4 "badwords" filter, Raffel et
+    al. 2020, as an auditable per-source report): each blocklist entry
+    carries an integer severity weight; a document's violation score is
+    the severity-weighted count of its blocklisted tokens, and a doc is
+    FLAGGED when the score reaches ``flag_threshold``. The output is
+    the per-source rollup a release review reads — total docs, flagged
+    docs, flagged ppm, total violation score — because blocklist policy
+    is enforced per corpus slice, not per row.
+
+    Exact by construction (integer counts and severities; token match
+    is exact on the shared normalization, the portable subset of the
+    C4 rule — regex-boundary variants bolt onto the same join).
+
+    Scale shape for 100 TB: the blocklist is policy-sized and
+    BROADCASTS onto the token stream (map-side hash join in the scan
+    stage); violations collapse doc-keyed, then source-keyed — both
+    map-side combined. Raw text never shuffles; the report is
+    |sources| rows.
+    """
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    if any(v <= 0 for v in blocklist.values()):
+        raise ValueError("severities must be positive")
+    spark = docs.sparkSession
+    bl = spark.createDataFrame(
+        sorted(blocklist.items()), "__w string, __sev long"
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(words_of(F.col(text_col))).alias("__w"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(bl), "__w")
+        .groupBy(id_col, source_col)
+        .agg(F.sum("__sev").alias("__score"))
+    )
+    # flagged-doc stats ride the violation rows only; the denominator
+    # (total docs per source) comes from the untokenized doc table
+    totals = docs.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    viol = per_doc.groupBy(source_col).agg(
+        F.sum((F.col("__score") >= flag_threshold).cast("long")).alias(
+            "flagged_docs"
+        ),
+        F.sum("__score").alias("total_score"),
+    )
+    return (
+        totals.join(viol, source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            F.coalesce(F.col("flagged_docs"), F.lit(0)).alias("flagged_docs"),
+            F.coalesce(F.col("total_score"), F.lit(0)).alias("total_score"),
+        )
+        .withColumn(
+            "flagged_ppm", F.expr("flagged_docs * 1000000 div n_docs")
+        )
+    )
