@@ -931,3 +931,49 @@ def split_leakage(
         )
         .filter(F.col("split_a") != F.col("split_b"))
     )
+
+
+def dup_source_matrix(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — the governance rollup over the
+    verified near-dup pairs: for every unordered source pair, how many
+    near-duplicate document pairs connect them. This is the "which
+    crawls copy which" report a curation review reads before weighting
+    sources (a source whose rows mostly duplicate another adds tokens,
+    not information — q155 scores sources in isolation, this exposes
+    the BETWEEN-source structure), and the diagonal (same-source pairs)
+    is the internal-redundancy signal.
+
+    Pipeline: :func:`minhash_lsh_neardups` supplies the pairs (banded
+    LSH + exact-Jaccard verify — never all-pairs); source labels ride
+    two thin id-keyed joins onto the surviving pairs only (pair count
+    << corpus at any sane threshold); least/greatest folds the pair to
+    unordered before the |sources|^2-bounded rollup.
+    """
+    pairs = minhash_lsh_neardups(docs, text_col, threshold)
+    labels = docs.select(F.col(id_col), F.col(group_col))
+    return (
+        pairs.join(
+            labels.select(
+                F.col(id_col).alias("doc_a"), F.col(group_col).alias("__ga")
+            ),
+            "doc_a",
+        )
+        .join(
+            labels.select(
+                F.col(id_col).alias("doc_b"), F.col(group_col).alias("__gb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("__ga", "__gb").alias("source_a"),
+            F.greatest("__ga", "__gb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -402,3 +402,45 @@ def scene_shots(
         F.min("luma").alias("min_luma"),
         F.max("luma").alias("max_luma"),
     )
+
+
+def audio_trim_plan(
+    media: DataFrame, frame_bytes: int = 64, threshold: int = 95
+) -> DataFrame:
+    """Silence-trim planning over opaque audio payloads — the
+    lead-in/lead-out removal pass a speech pipeline runs before
+    feature extraction (silence frames waste tokens and skew VAD
+    stats): per clip, the count of leading and trailing frames whose
+    mean amplitude sits below ``threshold`` and the surviving frame
+    span. Emits a PLAN (offsets), not rewritten payloads — the actual
+    cut is a byte slice at write time.
+
+    Frame energies come from :func:`frame_luma`'s integer
+    mean-byte-per-frame kernel (numpy over Arrow; swap in a real PCM
+    decode in deployment — only the kernel line changes). The plan is
+    ONE doc-keyed agg over the frame stream: min/max ACTIVE frame
+    index + frame count give lead/tail/kept arithmetically — no
+    windows, no sort, no second pass. All-silent clips surface as
+    kept_frames = 0 with the full span as lead trim.
+    """
+    audio = media.filter(F.col("media_type") == "audio")
+    frames = frame_luma(audio, frame_bytes=frame_bytes)
+    active = F.when(F.col("luma") >= threshold, F.col("frame_idx"))
+    agg = frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.min(active).alias("__first"),
+        F.max(active).alias("__last"),
+        F.max("luma").alias("max_energy"),
+    )
+    lead = F.coalesce(F.col("__first"), F.col("n_frames"))
+    tail = F.when(
+        F.col("__first").isNull(), F.lit(0)
+    ).otherwise(F.col("n_frames") - 1 - F.col("__last"))
+    return agg.select(
+        "doc_id",
+        "n_frames",
+        lead.cast("int").alias("lead_trim"),
+        tail.cast("int").alias("tail_trim"),
+        (F.col("n_frames") - lead - tail).cast("int").alias("kept_frames"),
+        "max_energy",
+    )

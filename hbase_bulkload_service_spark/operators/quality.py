@@ -247,3 +247,59 @@ def forget_plan(
             F.max(ts_col).alias("last_ts"),
         )
     )
+
+
+def column_profile(df: DataFrame, canon: dict[str, Column]) -> DataFrame:
+    """ANALYZE-style table profiler — the catalog/statistics pass a
+    lakehouse runs before cost-based planning and data-contract checks:
+    one row per column with row count, null count and ppm, EXACT
+    distinct count, and lexicographic min/max of the column's CANONICAL
+    string form.
+
+    ``canon`` maps output column name -> a Column expression producing
+    an engine-portable STRING (the caller chooses the canonicalization:
+    integers as decimal strings, doubles as floor-cents, timestamps as
+    epoch millis — the registry conventions — because raw float/
+    timestamp formatting differs between engines and would poison the
+    min/max verdict). NULLs must stay NULL through the expression.
+
+    Scale shape for 100 TB: the profile is ONE pass — every column's
+    canonical value melts into a (col_name, val) stream map-side
+    (|cols| x rows, the unpivot price every profiler pays) and
+    collapses through a (col, val)-keyed pre-agg (map-side combined;
+    bounds the exact-NDV shuffle by per-column cardinality, not row
+    count) before the |cols|-row rollup. No windows, no joins; output
+    is catalog-sized.
+    """
+    if not canon:
+        raise ValueError("canon must be non-empty")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        expr.cast("string").alias("val"),
+                    )
+                    for name, expr in sorted(canon.items())
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col_name", "kv.val")
+    # (col, val) pre-agg first: the exact-NDV shuffle then carries one
+    # row per DISTINCT value per column instead of one per input row
+    per_val = melted.groupBy("col_name", "val").agg(
+        F.count("*").alias("__c")
+    )
+    return (
+        per_val.groupBy("col_name")
+        .agg(
+            F.sum("__c").alias("n_rows"),
+            F.sum(F.when(F.col("val").isNull(), F.col("__c")).otherwise(0))
+            .alias("n_nulls"),
+            F.count(F.when(F.col("val").isNotNull(), 1)).alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .withColumn("null_ppm", F.expr("n_nulls * 1000000 div n_rows"))
+    )

@@ -1305,66 +1305,69 @@ def phrase_decontamination(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Phrase-level decontamination scan — the positional-postings twin
-    of q69's n-gram contamination check: treat the first ``phrase_len``
-    normalized tokens of every benchmark document (the deterministic
-    ``id % source_mod == 0`` cohort stands in for an eval set) as an
-    exact phrase, and find EVERY corpus document containing that phrase
-    as a contiguous token run, with occurrence counts and the first
-    match position — the evidence a decontamination ticket needs
-    ("which training docs quote this eval prompt, where, how often"),
-    not just a boolean overlap.
+    """Phrase-level decontamination scan — the exact-phrase twin of
+    q69's n-gram contamination check (the GPT-3 appendix-C shape:
+    eval-set n-grams as a membership set probed by the training
+    corpus): treat the first ``phrase_len`` normalized tokens of every
+    benchmark document (the deterministic ``id % source_mod == 0``
+    cohort stands in for an eval set) as an exact phrase, and find
+    EVERY corpus document containing that phrase as a contiguous token
+    run, with occurrence counts and the first match position — the
+    evidence a decontamination ticket needs ("which training docs
+    quote this eval prompt, where, how often"), not just a boolean
+    overlap. Overlapping occurrences all count.
 
-    Mechanics: the corpus becomes a positional token stream
-    ``(doc, pos, word)``; each phrase token ``(phrase, i, word)`` joins
-    it on the word, every join hit votes for the alignment
-    ``start = pos - i``, and an alignment with exactly ``phrase_len``
-    votes is a verified contiguous match (pos = start + i is a distinct
-    token per vote, so the count cannot double-collect even when the
-    phrase repeats a word). Overlapping occurrences all surface —
-    substring-count arithmetic would merge them.
-
-    Scale shape for 100 TB: the phrase table is eval-set-sized and
-    BROADCASTS onto the token stream (map-side hash join in the scan
-    stage — the corpus never shuffles raw text); the vote count and the
-    per-(phrase, doc) rollup are two map-side-combined keyed aggs over
-    join hits only (token stream x tiny phrase vocabulary). The classic
-    suffix-array decontamination pass needs a global sort; this is the
-    shuffle-light special case for a known phrase set, which is what an
-    eval-set audit is.
+    Scale shape for 100 TB — this operator was probe-hardened twice
+    (LINEARITY_r06_waves21_22 + SCALE.md):
+    - a positional-postings alignment join (token stream x phrase
+      tokens, vote per start) measured QUADRATIC SHUFFLE under a
+      saturated vocabulary — votes grow as |phrases| x |tokens| /
+      |vocab| (80x shuffle at 10x data);
+    - a broadcast nested-loop doc-x-phrase slice scan fixed the
+      shuffle but measured QUADRATIC CPU (55x wall at 10x) — per-doc
+      cost scales with the eval set;
+    - the shipped plan is the n-gram hash-set: each document emits its
+      sliding ``phrase_len``-grams ONCE (O(tokens), map-side, inside
+      whole-stage codegen) and probes them against the BROADCAST
+      phrase set with a hash join — per-token cost is O(1) regardless
+      of eval-set size, only (phrase, doc, start) HITS reach the one
+      hits-sized rollup exchange. Raw text never shuffles.
     """
     if phrase_len < 1:
         raise ValueError("phrase_len must be >= 1")
     ws = words_of(F.col(text_col))
-    toks = docs.select(
-        F.col(id_col), F.posexplode(ws).alias("__pos", "__w")
-    )
     phrases = (
         docs.filter(F.col(id_col) % source_mod == 0)
-        .select(F.col(id_col).alias("phrase_doc"), ws.alias("__ws"))
-        .filter(F.size("__ws") >= phrase_len)
+        .select(F.col(id_col).alias("phrase_doc"), ws.alias("__pw"))
+        .filter(F.size("__pw") >= phrase_len)
         .select(
             "phrase_doc",
-            F.posexplode(F.slice("__ws", 1, phrase_len)).alias("__i", "__w"),
+            F.concat_ws(" ", F.slice("__pw", 1, phrase_len)).alias("__gram"),
         )
     )
-    votes = (
-        toks.join(F.broadcast(phrases), "__w")
-        .select(
-            "phrase_doc",
-            F.col(id_col),
-            (F.col("__pos") - F.col("__i")).alias("__start"),
-        )
-        .filter(F.col("__start") >= 0)
+    # sliding P-grams with positions; the size filter guards sequence()
+    # (Spark's sequence(a, b) with b < a counts DOWN, not empty)
+    toks = docs.select(F.col(id_col), ws.alias("__ws")).filter(
+        F.size("__ws") >= phrase_len
     )
-    aligned = (
-        votes.groupBy("phrase_doc", id_col, "__start")
-        .agg(F.count("*").alias("__votes"))
-        .filter(F.col("__votes") == phrase_len)
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__ws") - phrase_len),
+                lambda st: F.concat_ws(
+                    " ", F.slice(F.col("__ws"), st + 1, phrase_len)
+                ),
+            )
+        ).alias("__start", "__gram"),
     )
-    return aligned.groupBy("phrase_doc", id_col).agg(
+    # tokens contain no spaces (split on single spaces), so the joined
+    # string is injective in the token sequence — exact match, no
+    # hash false positives
+    hits = grams.join(F.broadcast(phrases), "__gram")
+    return hits.groupBy("phrase_doc", id_col).agg(
         F.count("*").alias("n_matches"),
-        F.min("__start").alias("first_pos"),
+        F.min("__start").cast("int").alias("first_pos"),
     )
 
 

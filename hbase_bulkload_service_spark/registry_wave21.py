@@ -148,12 +148,15 @@ def q192_phrase_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase-level decontamination
     (operators/textops.py:phrase_decontamination): the first
     {_PHR_LEN} normalized tokens of every eval-cohort document
-    (doc_id % {_PHR_MOD} = 0), located in EVERY corpus document via a
-    positional-postings alignment join — each (token, phrase-offset)
-    hit votes for start = pos - i, and exactly {_PHR_LEN} votes at one
-    start is a verified contiguous occurrence (overlaps included,
-    which substring-count arithmetic would merge). The phrase table
-    broadcasts; the corpus never shuffles raw text."""
+    (doc_id % {_PHR_MOD} = 0), located in EVERY corpus document with
+    occurrence counts and first positions (overlaps included, which
+    substring-count arithmetic would merge). The GPT-3-style n-gram
+    hash-set plan: each doc emits its sliding P-grams once and probes
+    the BROADCAST phrase set (per-token cost independent of eval-set
+    size; only hits shuffle) — the probe measured both alternatives
+    quadratic: the postings join in shuffle, the nested-loop scan in
+    CPU (SCALE.md). The oracle replays the alignment as a positional
+    unnest + vote join."""
     return textops.phrase_decontamination(
         load(spark, sf_dir, "documents", spread=True),
         phrase_len=_PHR_LEN,

@@ -115,7 +115,11 @@ def test_phrase_decontam_short_sources_are_skipped(spark):
         textops.phrase_decontamination(_docs(spark, rows), phrase_len=0)
 
 
-def test_phrase_decontam_phrase_join_is_broadcast(spark):
+def test_phrase_decontam_is_gram_hashset_plan(spark):
+    # the 100 TB contract (probe-hardened twice, SCALE.md): sliding
+    # P-grams probe the BROADCAST phrase set via a hash join — per-token
+    # cost independent of eval-set size — and the only shuffle exchange
+    # is the hits-sized rollup
     plan = (
         textops.phrase_decontamination(
             _docs(spark, [(0, "a b c d"), (1, "a b c x")]), phrase_len=3,
@@ -123,6 +127,8 @@ def test_phrase_decontam_phrase_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 # ---------------------------------------------------------------------------

@@ -98,6 +98,10 @@ PROBE_QUERIES = [
     "q187_k_anonymity",        # one keyed agg filtered to the risky tail; class-cardinality output
     "q188_forget_plan",        # scan-pruned cohort + one keyed agg; cohort-sized output
     "q189_join_size_estimate", # one keyed agg + 1-row broadcast total + TakeOrdered top-N
+    "q193_temperature_mix",    # metadata-scale apportionment windows + one per-lang rank exchange
+    "q194_surprisal_buckets",  # ref-vocab agg + TakeOrdered cap broadcast; doc rollup + per-lang ntile
+    "q195_doremi_mix",         # one corpus pass for the loss table; rounds are |sources|-row windows
+    "q196_blocklist_audit",    # broadcast blocklist onto token stream; doc- then source-keyed aggs
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -130,6 +134,9 @@ PROBE_QUERIES_PERTURBED = [
     "q181_ivfadc_topk",        # ivfpq shape + residual broadcast-join subtraction; per-(q,cell) ADC still broadcast
     "q185_hard_negatives",     # q42's cell-blocked pair join + thin id-keyed label joins on the survivors
     "q190_split_leakage",      # q35's banded-LSH + verify path; split labels map-side on survivors
+    "q191_bitext_mining",      # cell-blocked A x B candidates + pair-scale rank/sum windows
+    "q192_phrase_decontam",    # broadcast phrase table; exact-copy reps would match every phrase K x (amplifier artifact)
+    "q197_embedding_health",   # map-side fold math + one label agg (embeddings grow under this amplifier)
 ]
 # q146_rank_fusion is NOT probed: the fusion itself is k-bounded
 # (queries x k x n_lists rows); its scale cost lives entirely in the
