@@ -23,26 +23,28 @@ SF0001 = "/root/testdata/sf0.001"
 # order), so with >50 registered queries the set would stay partially
 # unchecked unless we rotate. Round-6 window layout (50 slots exactly —
 # VERDICT r05 item 2):
-#   1. q169-q190 — new this round (the full-DDL real-v3 container gate,
-#      the byte-level bloom+index point-read gate, DSIR, PQ-ANN, concat
-#      packing, n-gram novelty, IVF-PQ, LPA communities, vocab coverage,
-#      EWMA chart + streaming twin, scene shots, IVFADC, STL + MAD anomalies, Holt forecast, hard negatives, salt/join-size planning, privacy audits, split
-#      leakage); new queries
-#      are verified same-round, never debt.
-#   2. The 20 remaining r02-age rows (q35-q53 family) — their last
-#      driver row predates three rounds of shared-code evolution.
-#   3. The 8 OLDEST r03-age rows in registration order (q66/q68/q69,
-#      q26-q29, q56 — the flagship e2e keeps its slot) — q73 is skipped deliberately: it is no-oracle
-#      by design (driver row is rows-only; its accuracy bound is
-#      hash-gated via q115), so its slot goes to a hash-checkable row.
+#   1. q169-q200 — new this round (the full-DDL real-v3 container gate,
+#      the byte-level bloom+index point-read gate, DSIR, PQ/IVF-PQ/
+#      IVFADC ANN, concat packing, n-gram novelty, LPA communities,
+#      vocab coverage, EWMA/Holt charts + streaming twin, scene shots,
+#      STL + MAD anomalies, hard negatives, salt/join-size planning,
+#      privacy audits, split leakage, bitext mining, phrase decontam,
+#      temperature mix, surprisal buckets, DoReMi, blocklist audit,
+#      embedding health, table profile, dup matrix, audio trim); new
+#      queries are verified same-round, never debt.
+#   2. The 17 oldest r02-age rows (q35-q53 family) — their last driver
+#      row predates three rounds of shared-code evolution.
+#   3. q56 — the flagship e2e keeps its slot. q73 is skipped
+#      deliberately: it is no-oracle by design (driver row rows-only;
+#      its accuracy bound is hash-gated via q115).
 # ALL queries pass the in-repo driver replica (tools/selfcheck.py) —
-# see CORRECTNESS_SELF_r06.json (190 queries, 189 hash-exact + q73
+# see CORRECTNESS_SELF_r06.json (200 queries, 199 hash-exact + q73
 # rows-only by design, 0 mismatches at round-6 HEAD); the replica has
 # agreed with the real driver on every row it predicted across r03-r05
 # (148/148).
-# ROUND-7 ROTATION PLAN: back-fill with q26-q29/q66/q68/q69 +
+# ROUND-7 ROTATION PLAN: back-fill with q26-q29/q47-q49/q66/q68/q69 +
 # q54/q57-q65/q67/q70-q72/q74-q77 (displaced from this window by the
-# wave-19..22 queries q173-q197), then the r03 tail (q73, q78-q100 in
+# wave-19..23 queries q173-q200), then the r03 tail (q73, q78-q100 in
 # registration order), then the oldest r04 rows (q101...), oldest first.
 PRIORITY = [
     # -- 1. new round-6 queries --
@@ -75,6 +77,9 @@ PRIORITY = [
     "q195_doremi_mix",
     "q196_blocklist_audit",
     "q197_embedding_health",
+    "q198_table_profile",
+    "q199_dup_matrix",
+    "q200_audio_trim",
     # -- 2. r02-age back-fill (registration order) --
     "q35_minhash_lsh",
     "q44_neardup_clusters",
@@ -93,12 +98,9 @@ PRIORITY = [
     "q51_removal_plan",
     "q53_merge_plan",
     "q52_restore_plan",
-    "q47_stratified_sample",
-    "q48_distinctive_terms",
-    "q49_label_centroids",
     # -- 3. oldest r03-age back-fill (q73 skipped — no-oracle by design,
     #       accuracy gated via q115; q26-q29/q66/q68/q69 displaced by the
-    #       wave-21/22 queries into the round-7 plan; the flagship e2e
+    #       wave-21..23 queries into the round-7 plan; the flagship e2e
     #       keeps its slot) --
     "q56_bulkload_e2e",
 ]

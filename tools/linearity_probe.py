@@ -102,6 +102,8 @@ PROBE_QUERIES = [
     "q194_surprisal_buckets",  # ref-vocab agg + TakeOrdered cap broadcast; doc rollup + per-lang ntile
     "q195_doremi_mix",         # one corpus pass for the loss table; rounds are |sources|-row windows
     "q196_blocklist_audit",    # broadcast blocklist onto token stream; doc- then source-keyed aggs
+    "q198_table_profile",      # map-side melt -> (col,val) pre-agg bounds the exact-NDV exchange
+    "q200_audio_trim",         # Arrow frame-energy map + ONE doc-keyed agg, no windows
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -137,6 +139,7 @@ PROBE_QUERIES_PERTURBED = [
     "q191_bitext_mining",      # cell-blocked A x B candidates + pair-scale rank/sum windows
     "q192_phrase_decontam",    # broadcast phrase table; exact-copy reps would match every phrase K x (amplifier artifact)
     "q197_embedding_health",   # map-side fold math + one label agg (embeddings grow under this amplifier)
+    "q199_dup_matrix",         # q35's banded-LSH + verify path; source labels join survivors only
 ]
 # q146_rank_fusion is NOT probed: the fusion itself is k-bounded
 # (queries x k x n_lists rows); its scale cost lives entirely in the
