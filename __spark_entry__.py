@@ -23,16 +23,17 @@ SF0001 = "/root/testdata/sf0.001"
 # order), so with >50 registered queries the set would stay partially
 # unchecked unless we rotate. Round-6 window layout (50 slots exactly —
 # VERDICT r05 item 2):
-#   1. q169-q200 — new this round (the full-DDL real-v3 container gate,
+#   1. q169-q204 — new this round (the full-DDL real-v3 container gate,
 #      the byte-level bloom+index point-read gate, DSIR, PQ/IVF-PQ/
 #      IVFADC ANN, concat packing, n-gram novelty, LPA communities,
 #      vocab coverage, EWMA/Holt charts + streaming twin, scene shots,
 #      STL + MAD anomalies, hard negatives, salt/join-size planning,
 #      privacy audits, split leakage, bitext mining, phrase decontam,
 #      temperature mix, surprisal buckets, DoReMi, blocklist audit,
-#      embedding health, table profile, dup matrix, audio trim); new
-#      queries are verified same-round, never debt.
-#   2. The 17 oldest r02-age rows (q35-q53 family) — their last driver
+#      embedding health, table profile, dup matrix, audio trim,
+#      streaming blocklist, sketch profile, dedup savings, rollup
+#      reconcile); new queries are verified same-round, never debt.
+#   2. The 13 oldest r02-age rows (q35-q46 family) — their last driver
 #      row predates three rounds of shared-code evolution.
 #   3. q56 — the flagship e2e keeps its slot. q73 is skipped
 #      deliberately: it is no-oracle by design (driver row rows-only;
@@ -42,9 +43,9 @@ SF0001 = "/root/testdata/sf0.001"
 # rows-only by design, 0 mismatches at round-6 HEAD); the replica has
 # agreed with the real driver on every row it predicted across r03-r05
 # (148/148).
-# ROUND-7 ROTATION PLAN: back-fill with q26-q29/q47-q49/q66/q68/q69 +
+# ROUND-7 ROTATION PLAN: back-fill with q26-q29/q47-q53/q66/q68/q69 +
 # q54/q57-q65/q67/q70-q72/q74-q77 (displaced from this window by the
-# wave-19..23 queries q173-q200), then the r03 tail (q73, q78-q100 in
+# wave-19..24 queries q173-q204), then the r03 tail (q73, q78-q100 in
 # registration order), then the oldest r04 rows (q101...), oldest first.
 PRIORITY = [
     # -- 1. new round-6 queries --
@@ -80,6 +81,10 @@ PRIORITY = [
     "q198_table_profile",
     "q199_dup_matrix",
     "q200_audio_trim",
+    "q201_streaming_blocklist",
+    "q202_sketch_profile",
+    "q203_dedup_savings",
+    "q204_rollup_reconcile",
     # -- 2. r02-age back-fill (registration order) --
     "q35_minhash_lsh",
     "q44_neardup_clusters",
@@ -94,10 +99,6 @@ PRIORITY = [
     "q41_frame_sample",
     "q43_waveform_stats",
     "q46_media_resize",
-    "q50_backup_candidates",
-    "q51_removal_plan",
-    "q53_merge_plan",
-    "q52_restore_plan",
     # -- 3. oldest r03-age back-fill (q73 skipped — no-oracle by design,
     #       accuracy gated via q115; q26-q29/q66/q68/q69 displaced by the
     #       wave-21..23 queries into the round-7 plan; the flagship e2e

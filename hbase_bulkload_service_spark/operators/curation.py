@@ -1101,3 +1101,42 @@ def doremi_weights(
     return cur.select(
         source_col, "loss", *[f"w{t}_ppm" for t in range(rounds + 1)]
     )
+
+
+def dedup_savings(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Dedup savings report — the governance rollup AFTER canonical
+    selection: per source, how many documents and characters the
+    exact-dedup pass would drop (non-canonical duplicate-group members)
+    and the drop rate in ppm — the number a curation review reads to
+    decide whether a source pays its storage ("adds tokens, not
+    information" quantified; q199's matrix shows WHO copies whom, this
+    prices what deleting the copies saves).
+
+    Rides :func:`canonical_selection`'s single md5-keyed window (the
+    keep verdicts), then one thin id-keyed join back to (source, size)
+    and one source-keyed map-side-combined rollup. |sources| output
+    rows.
+    """
+    verdicts = canonical_selection(docs)
+    sized = docs.select(
+        "doc_id",
+        F.col(source_col),
+        F.length(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("__nchars"),
+    )
+    return (
+        verdicts.join(sized, "doc_id")
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((~F.col("keep")).cast("long")).alias("docs_dropped"),
+            F.sum(
+                F.when(~F.col("keep"), F.col("__nchars")).otherwise(0)
+            ).alias("chars_dropped"),
+            F.sum("__nchars").alias("chars_total"),
+        )
+        .withColumn(
+            "drop_ppm", F.expr("docs_dropped * 1000000 div n_docs")
+        )
+    )

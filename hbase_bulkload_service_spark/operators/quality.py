@@ -303,3 +303,106 @@ def column_profile(df: DataFrame, canon: dict[str, Column]) -> DataFrame:
         )
         .withColumn("null_ppm", F.expr("n_nulls * 1000000 div n_rows"))
     )
+
+
+def reconcile_rollup(
+    expected: DataFrame,
+    stored: DataFrame,
+    keys: list[str],
+    measure: str,
+) -> DataFrame:
+    """Rollup reconciliation audit — the backfill-validation pass a
+    pipeline runs after recomputing an aggregate from raw data: full
+    outer join of the EXPECTED rollup (recomputed) against the STORED
+    one on the grain keys, emitting only the disagreements, each
+    classified: ``missing_in_stored`` (raw has a slot the store lost),
+    ``missing_in_expected`` (the store has a slot raw no longer
+    produces — late deletes, retention bugs), or ``value_mismatch``
+    (both present, measures differ). Agreeing slots are dropped — the
+    healthy state is an empty report.
+
+    Scale shape: both sides are already rollup-grain (slots, not raw
+    rows); ONE keyed full-outer sort-merge/shuffle join on the grain,
+    classification and delta are map-side, output is
+    discrepancy-sized. At 100 TB the raw->expected recompute upstream
+    dominates; the audit itself adds a single rollup-sized exchange.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    e = expected.select(
+        *keys, F.col(measure).alias("expected_" + measure)
+    ).withColumn("__e", F.lit(1))
+    s = stored.select(
+        *keys, F.col(measure).alias("stored_" + measure)
+    ).withColumn("__s", F.lit(1))
+    j = e.join(s, keys, "full_outer")
+    status = (
+        F.when(F.col("__s").isNull(), F.lit("missing_in_stored"))
+        .when(F.col("__e").isNull(), F.lit("missing_in_expected"))
+        .otherwise(F.lit("value_mismatch"))
+    )
+    return (
+        j.filter(
+            F.col("__s").isNull()
+            | F.col("__e").isNull()
+            | (F.col("expected_" + measure) != F.col("stored_" + measure))
+        )
+        .select(
+            *keys,
+            F.col("expected_" + measure),
+            F.col("stored_" + measure),
+            status.alias("status"),
+        )
+    )
+
+
+def column_profile_sketch(
+    df: DataFrame, canon: dict[str, Column], rel_err_ppm: int = 50_000
+) -> DataFrame:
+    """Sketch-mode table profiler — q198's scale companion: at 100 TB a
+    catalog pass usually estimates NDV with HLL++ instead of paying the
+    exact distinct shuffle; this operator runs BOTH on the same melted
+    stream and emits, per column, the exact count plus a boolean
+    verdict that the sketch landed within ``rel_err_ppm`` of it — the
+    q115 device (sketch STATES can't cross an engine oracle; their
+    ACCURACY can: the oracle asserts the boolean as literal TRUE, so a
+    sketch drifting out of contract breaks the hash).
+
+    The HLL probe runs over the (col, val) pre-agg — HLL is
+    duplicate-insensitive, so estimating on distinct values is
+    identical to estimating on the raw stream, and the pre-agg bounds
+    both paths' shuffle by per-column cardinality at once.
+    """
+    if not canon:
+        raise ValueError("canon must be non-empty")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        expr.cast("string").alias("val"),
+                    )
+                    for name, expr in sorted(canon.items())
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col_name", "kv.val")
+    per_val = melted.filter(F.col("val").isNotNull()).groupBy(
+        "col_name", "val"
+    ).agg(F.lit(1).alias("__one"))
+    return (
+        per_val.groupBy("col_name")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.approx_count_distinct("val", 0.02).alias("__hll"),
+        )
+        .select(
+            "col_name",
+            "n_distinct",
+            (
+                F.abs(F.col("__hll") - F.col("n_distinct")) * 1_000_000
+                <= F.lit(rel_err_ppm) * F.col("n_distinct")
+            ).alias("hll_within_bound"),
+        )
+    )

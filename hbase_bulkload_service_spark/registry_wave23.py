@@ -27,6 +27,17 @@ _PRF_INT = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
 _PRF_CENTS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _PRF_STR = ["l_returnflag", "l_linestatus"]
 
+def lineitem_canon(li: DataFrame) -> dict[str, F.Column]:
+    """Canonical string-able expressions for every lineitem column
+    (shared by q198's exact profile and q202's sketch profile)."""
+    canon = {c: F.col(c) for c in _PRF_INT + _PRF_STR}
+    canon.update(
+        {c: F.floor(F.col(c) * 100).cast("long") for c in _PRF_CENTS}
+    )
+    canon["l_shipdate"] = epoch_millis(li, "l_shipdate")
+    return canon
+
+
 _PRF_MELT = " UNION ALL ".join(
     [
         f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM lineitem"
@@ -70,12 +81,7 @@ def q198_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by a (col, val) pre-agg (per-column cardinality, not row
     count), output is catalog-sized."""
     li = load(spark, sf_dir, "lineitem", spread=True)
-    canon = {c: F.col(c) for c in _PRF_INT + _PRF_STR}
-    canon.update(
-        {c: F.floor(F.col(c) * 100).cast("long") for c in _PRF_CENTS}
-    )
-    canon["l_shipdate"] = epoch_millis(li, "l_shipdate")
-    return quality.column_profile(li, canon)
+    return quality.column_profile(li, lineitem_canon(li))
 
 
 # ===========================================================================

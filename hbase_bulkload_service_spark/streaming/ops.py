@@ -691,3 +691,42 @@ def streaming_ewma_chart(samples, spike_factor: int = 2):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_blocklist_audit(stream_df, blocklist, flag_threshold=1):
+    """Streaming token-blocklist monitor — the continuous twin of
+    textops.blocklist_audit (q196): each document's severity-weighted
+    violation score is computed STATELESS map-side (the blocklist is a
+    literal expression over the token array — no join, nothing to
+    broadcast into a stream), then a streaming groupBy folds per-source
+    (n_docs, flagged_docs, total_score) counters. State is bounded at
+    one row per source, so the monitor runs forever; complete-mode
+    sinks and availableNow finite replays both work, and a finite
+    replay must reproduce the batch audit exactly (the q137/q180
+    idiom — this operator inherits q196's oracle).
+    """
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.operators.textops import words_of
+
+    if not blocklist:
+        raise ValueError("streaming_blocklist_audit: empty blocklist")
+    if any(v <= 0 for v in blocklist.values()):
+        raise ValueError("severities must be positive")
+    ws = words_of(F.col("text"))
+    score = None
+    for word, sev in sorted(blocklist.items()):
+        term = F.lit(sev) * F.size(
+            F.filter(ws, lambda t: t == F.lit(word))
+        )
+        score = term if score is None else score + term
+    scored = stream_df.select(
+        F.col("source"), score.cast("long").alias("__score")
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("__score") >= flag_threshold).cast("long")).alias(
+            "flagged_docs"
+        ),
+        F.sum("__score").alias("total_score"),
+    )

@@ -104,6 +104,9 @@ PROBE_QUERIES = [
     "q196_blocklist_audit",    # broadcast blocklist onto token stream; doc- then source-keyed aggs
     "q198_table_profile",      # map-side melt -> (col,val) pre-agg bounds the exact-NDV exchange
     "q200_audio_trim",         # Arrow frame-energy map + ONE doc-keyed agg, no windows
+    "q202_sketch_profile",     # same (col,val) pre-agg as q198; HLL rides the rollup
+    "q203_dedup_savings",      # one md5-keyed window + id join + source rollup (q123 class)
+    "q204_rollup_reconcile",   # rollup-grain full-outer join; discrepancy-sized output
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
