@@ -1140,3 +1140,48 @@ def dedup_savings(docs: DataFrame, source_col: str = "source") -> DataFrame:
             "drop_ppm", F.expr("docs_dropped * 1000000 div n_docs")
         )
     )
+
+
+def stratified_batches(
+    docs: DataFrame,
+    n_batches: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Stratified minibatch assembly — the training-batch construction
+    move that keeps every batch's stratum mix representative: within
+    each stratum, rows are ordered by the reproducible ``md5(seed:key)``
+    draw and dealt ROUND-ROBIN over ``n_batches``, so per (batch,
+    stratum) counts differ by at most one from the stratum's ideal
+    share (homogeneous batches bias gradients; round-robin dealing is
+    the exact counter). Output is the audit view: one row per (batch,
+    stratum) with the count and its deviation from ``floor(n/B)`` —
+    ``dev`` is 0/1 BY CONSTRUCTION, so the column doubles as a
+    self-check the oracle pins.
+
+    Scale shape: one stratum-keyed rank exchange (the dataset_split
+    class) + a (batch, stratum)-keyed map-side-combined rollup;
+    B x |strata| output rows.
+    """
+    if n_batches < 1:
+        raise ValueError("n_batches must be >= 1")
+    from pyspark.sql.window import Window as W
+
+    draw = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    w_rank = W.partitionBy(strata_col).orderBy(draw, F.col(key_col))
+    assigned = docs.select(key_col, strata_col).withColumn(
+        "batch", (F.row_number().over(w_rank) - 1) % n_batches
+    )
+    return (
+        assigned.groupBy("batch", strata_col)
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "dev",
+            F.col("n_docs")
+            - F.expr(
+                f"sum(n_docs) over (partition by {strata_col})"
+                f" div {n_batches}"
+            ),
+        )
+    )

@@ -1576,3 +1576,98 @@ def embedding_health(
         .withColumn("mean_norm_micros", F.expr("__sum_nm div n_vecs"))
         .drop("__sum_nm")
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 5,
+    n_queries: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka dimension-budget recall curve (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): for each prefix-dimension
+    budget, the top-k neighbor overlap against the FULL-dimension
+    ground truth, per query — the analysis that decides how many
+    dimensions a production index actually needs (MRL embeddings are
+    trained so prefixes work; this measures whether yours do).
+
+    Protocol: queries are the first ``n_queries`` ids (deterministic);
+    every (query, candidate, budget) cosine is a floor-micros prefix
+    fold; per-(budget, query) top-k by (cos desc, id) — the largest
+    budget IS the ground truth, so its recall row is the built-in
+    1.0 control; ``recall_ppm = overlap * 1e6 div k``.
+
+    Scale shape: ONE corpus pass scores all budgets at once (the query
+    set broadcasts; per-row work is |dims| prefix folds — the
+    brute-force baseline, same posture as q38: at deployment scale the
+    corpus side stays partitioned and only queries broadcast); the
+    rank windows run per (budget, query) over the scored stream, and
+    the overlap join is k-bounded metadata.
+    """
+    if not dims or k < 1 or n_queries < 1:
+        raise ValueError("dims, k, n_queries must be positive")
+    full_d = max(dims)
+    q = F.broadcast(
+        embeddings.orderBy(id_col)
+        .limit(n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    )
+    scored = (
+        embeddings.crossJoin(q)
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("dim_budget"),
+                            cosine_micros(
+                                F.slice(F.col("qv"), 1, d),
+                                F.slice(F.col(vec_col), 1, d),
+                            ).alias("cos_micros"),
+                        )
+                        for d in sorted(dims)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", id_col, "s.dim_budget", "s.cos_micros")
+    )
+    w = Window.partitionBy("dim_budget", "qid").orderBy(
+        F.col("cos_micros").desc(), F.col(id_col)
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("dim_budget", "qid", id_col)
+    )
+    gt = topk.filter(F.col("dim_budget") == full_d).select(
+        F.col("qid").alias("__gqid"), F.col(id_col).alias("__gt")
+    )
+    overlap = (
+        topk.join(
+            F.broadcast(gt),
+            (F.col("qid") == F.col("__gqid"))
+            & (F.col(id_col) == F.col("__gt")),
+        )
+        .groupBy("dim_budget", "qid")
+        .agg(F.count("*").alias("overlap"))
+    )
+    # queries with zero overlap at a budget must still appear
+    grid = (
+        topk.select("dim_budget", "qid")
+        .distinct()
+        .join(overlap, ["dim_budget", "qid"], "left")
+        .select(
+            "dim_budget",
+            "qid",
+            F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
+        )
+    )
+    return grid.withColumn(
+        "recall_ppm", F.expr(f"overlap * 1000000 div {k}")
+    )

@@ -107,6 +107,7 @@ PROBE_QUERIES = [
     "q202_sketch_profile",     # same (col,val) pre-agg as q198; HLL rides the rollup
     "q203_dedup_savings",      # one md5-keyed window + id join + source rollup (q123 class)
     "q204_rollup_reconcile",   # rollup-grain full-outer join; discrepancy-sized output
+    "q206_stratified_batches", # one stratum-keyed rank exchange + (batch,stratum) rollup
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -143,6 +144,7 @@ PROBE_QUERIES_PERTURBED = [
     "q192_phrase_decontam",    # broadcast phrase table; exact-copy reps would match every phrase K x (amplifier artifact)
     "q197_embedding_health",   # map-side fold math + one label agg (embeddings grow under this amplifier)
     "q199_dup_matrix",         # q35's banded-LSH + verify path; source labels join survivors only
+    "q205_matryoshka_recall",  # brute-force baseline: query set broadcast, |dims| prefix folds per row
 ]
 # q146_rank_fusion is NOT probed: the fusion itself is k-bounded
 # (queries x k x n_lists rows); its scale cost lives entirely in the
