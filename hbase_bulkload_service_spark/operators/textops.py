@@ -1318,7 +1318,7 @@ def phrase_decontamination(
     overlap. Overlapping occurrences all count.
 
     Scale shape for 100 TB — this operator was probe-hardened twice
-    (LINEARITY_r06_waves21_23 + SCALE.md):
+    (LINEARITY_r06_waves21_25 + SCALE.md):
     - a positional-postings alignment join (token stream x phrase
       tokens, vote per start) measured QUADRATIC SHUFFLE under a
       saturated vocabulary — votes grow as |phrases| x |tokens| /
