@@ -23,7 +23,7 @@ SF0001 = "/root/testdata/sf0.001"
 # order), so with >50 registered queries the set would stay partially
 # unchecked unless we rotate. Round-6 window layout (50 slots exactly —
 # VERDICT r05 item 2):
-#   1. q169-q206 — new this round (the full-DDL real-v3 container gate,
+#   1. q169-q209 — new this round (the full-DDL real-v3 container gate,
 #      the byte-level bloom+index point-read gate, DSIR, PQ/IVF-PQ/
 #      IVFADC ANN, concat packing, n-gram novelty, LPA communities,
 #      vocab coverage, EWMA/Holt charts + streaming twin, scene shots,
@@ -32,10 +32,11 @@ SF0001 = "/root/testdata/sf0.001"
 #      temperature mix, surprisal buckets, DoReMi, blocklist audit,
 #      embedding health, table profile, dup matrix, audio trim,
 #      streaming blocklist, sketch profile, dedup savings, rollup
-#      reconcile, matryoshka recall, stratified batches); new queries
-#      are verified same-round, never debt.
-#   2. The 11 oldest r02-age rows (q35-q42 family) — their last driver
-#      row predates three rounds of shared-code evolution.
+#      reconcile, matryoshka recall, stratified batches, Holt-Winters,
+#      lang confusion, A/B guardrail); new queries are verified
+#      same-round, never debt.
+#   2. The 8 oldest r02-age rows (q35-q42 dedup/ANN core) — their last
+#      driver row predates three rounds of shared-code evolution.
 #   3. q56 — the flagship e2e keeps its slot. q73 is skipped
 #      deliberately: it is no-oracle by design (driver row rows-only;
 #      its accuracy bound is hash-gated via q115).
@@ -44,11 +45,11 @@ SF0001 = "/root/testdata/sf0.001"
 # rows-only by design, 0 mismatches at round-6 HEAD); the replica has
 # agreed with the real driver on every row it predicted across r03-r05
 # (148/148).
-# ROUND-7 ROTATION PLAN: back-fill with q26-q29/q43/q46-q53/q66/q68/
-# q69 + q54/q57-q65/q67/q70-q72/q74-q77 (displaced from this window by
-# the wave-19..25 queries q173-q206), then the r03 tail (q73, q78-q100
-# in registration order), then the oldest r04 rows (q101...), oldest
-# first.
+# ROUND-7 ROTATION PLAN: back-fill with q26-q29/q39b/q40/q41/q43/
+# q46-q53/q66/q68/q69 + q54/q57-q65/q67/q70-q72/q74-q77 (displaced
+# from this window by the wave-19..26 queries q173-q209), then the r03
+# tail (q73, q78-q100 in registration order), then the oldest r04 rows
+# (q101...), oldest first.
 PRIORITY = [
     # -- 1. new round-6 queries --
     "q169_hfilev3_ddl",
@@ -89,6 +90,9 @@ PRIORITY = [
     "q204_rollup_reconcile",
     "q205_matryoshka_recall",
     "q206_stratified_batches",
+    "q207_holt_winters",
+    "q208_lang_confusion",
+    "q209_ab_guardrail",
     # -- 2. r02-age back-fill (registration order) --
     "q35_minhash_lsh",
     "q44_neardup_clusters",
@@ -98,9 +102,6 @@ PRIORITY = [
     "q38_embedding_topk",
     "q39_ivf_assign",
     "q42_cosine_neardup",
-    "q39b_ivf_topk",
-    "q40_multimodal_features",
-    "q41_frame_sample",
     # -- 3. oldest r03-age back-fill (q73 skipped — no-oracle by design,
     #       accuracy gated via q115; q26-q29/q66/q68/q69 displaced by the
     #       wave-21..23 queries into the round-7 plan; the flagship e2e

@@ -1737,3 +1737,143 @@ def join_size_estimate(
         .orderBy(F.col("pairs").desc(), F.col(key_col))
         .limit(top_n)
     )
+
+
+def holt_winters_forecast(
+    events: DataFrame,
+    period: int = 4,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Integer Holt-Winters additive-seasonal chart per series (triple
+    exponential smoothing, Winters 1960) — the seasonal member closing
+    the control-chart family: :func:`ewma_control` carries a level,
+    :func:`holt_forecast` level+trend, this adds a ``period``-slot
+    seasonal register, all in the alpha=beta=gamma=1/2 integer form::
+
+        t = 1:  l = x, b = 0, s[*] = 0
+        t >= 2, p = (t-1) mod period:
+            f_t = l + b + s[p]              (one-step-ahead forecast)
+            l'  = (x - s[p] + l + b) div 2
+            b'  = (l' - l + b) div 2
+            s[p]= (x - l' + s[p]) div 2
+
+    Truncating (toward-zero) division throughout — level, trend AND
+    seasonal registers all go negative on real series, exactly where
+    Python's flooring ``//`` diverges from Spark ``div`` / DuckDB
+    ``//`` by one, so the loop uses the explicit truncate helper. The
+    per-step truncation breaks any window rewrite: the engine side is
+    the canonical applyInPandas per-series loop (ONE keyed exchange,
+    O(period) state), and the oracle is a recursive CTE that carries
+    the seasonal register as a LIST column, rebuilt functionally each
+    step — a one-ulp divergence in any register at any step breaks
+    every later row's hash.
+
+    Output per event: (key, event_id, rn, phase, x_cents, level_cents,
+    trend_cents, seasonal_cents [the row's phase slot, post-update],
+    forecast_cents, err_cents) — forecast/err NULL at rn=1.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    import pandas as pd
+
+    base = events.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(ts_col),
+        F.floor(F.col(value_col) * 100).cast("long").alias("x_cents"),
+    )
+    out_schema = (
+        f"{key_col} long, {id_col} long, rn long, phase int, "
+        "x_cents long, level_cents long, trend_cents long, "
+        "seasonal_cents long, forecast_cents long, err_cents long"
+    )
+
+    def chart(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col]).reset_index(drop=True)
+        xs = pdf["x_cents"].astype("int64").tolist()
+        lv = tr = 0
+        seas = [0] * period
+        phases, levels, trends, seasonals, fcs, errs = [], [], [], [], [], []
+        for t, x in enumerate(xs):
+            p = t % period
+            if t == 0:
+                lv, tr = x, 0
+                fcs.append(None)
+                errs.append(None)
+            else:
+                f = lv + tr + seas[p]
+                fcs.append(f)
+                errs.append(x - f)
+                prev = lv
+                lv = _tdiv(x - seas[p] + lv + tr, 2)
+                tr = _tdiv(lv - prev + tr, 2)
+                seas[p] = _tdiv(x - lv + seas[p], 2)
+            phases.append(p)
+            levels.append(lv)
+            trends.append(tr)
+            seasonals.append(seas[p])
+        out = pdf[[key_col, id_col, "x_cents"]].copy()
+        out.insert(2, "rn", range(1, len(xs) + 1))
+        out.insert(3, "phase", pd.array(phases, dtype="int32"))
+        out["level_cents"] = levels
+        out["trend_cents"] = trends
+        out["seasonal_cents"] = seasonals
+        out["forecast_cents"] = pd.array(fcs, dtype="Int64")
+        out["err_cents"] = pd.array(errs, dtype="Int64")
+        return out[
+            [key_col, id_col, "rn", "phase", "x_cents", "level_cents",
+             "trend_cents", "seasonal_cents", "forecast_cents", "err_cents"]
+        ]
+
+    from hbase_bulkload_service_spark.session import pinned_width
+
+    return base.repartition(
+        pinned_width(events.sparkSession), key_col
+    ).groupBy(key_col).applyInPandas(chart, out_schema)
+
+
+def ab_guardrail(
+    events: DataFrame,
+    hit_predicate,
+    group_col: str = "event_type",
+    unit_col: str = "user_id",
+    ab_mod: int = 2,
+) -> DataFrame:
+    """A/B guardrail comparison — the experimentation readout a rollout
+    gate runs: units are split into arms A/B by the deterministic md5
+    bucket of the unit id (reproducible, engine-portable — the
+    dataset_split draw), and per segment the arms' hit rates on a
+    guardrail predicate are compared EXACTLY by cross-multiplication
+    (``hits_a * n_b  vs  hits_b * n_a`` — integer arithmetic, no rate
+    division, no float): ``b_worse`` flags segments where arm B's rate
+    strictly exceeds arm A's, and ``lift_ppm`` reports the exact
+    truncating rate ratio in ppm (NULL when A has no hits).
+
+    Scale shape: arm assignment is a map-side expression; ONE
+    segment-keyed map-side-combined agg; |segments| output rows.
+    """
+    from hbase_bulkload_service_spark.operators.curation import hash_bucket
+
+    arm_b = hash_bucket(F.col(unit_col), ab_mod) == 0
+    hit = hit_predicate.cast("long")
+    out = events.groupBy(group_col).agg(
+        F.sum((~arm_b).cast("long")).alias("n_a"),
+        F.sum(F.when(~arm_b, hit).otherwise(0)).alias("hits_a"),
+        F.sum(arm_b.cast("long")).alias("n_b"),
+        F.sum(F.when(arm_b, hit).otherwise(0)).alias("hits_b"),
+    )
+    return out.select(
+        group_col,
+        "n_a",
+        "hits_a",
+        "n_b",
+        "hits_b",
+        (F.col("hits_b") * F.col("n_a") > F.col("hits_a") * F.col("n_b"))
+        .alias("b_worse"),
+        F.expr(
+            "(hits_b * n_a * 1000000) div nullif(hits_a * n_b, 0)"
+        ).alias("lift_ppm"),
+    )

@@ -1318,7 +1318,7 @@ def phrase_decontamination(
     overlap. Overlapping occurrences all count.
 
     Scale shape for 100 TB — this operator was probe-hardened twice
-    (LINEARITY_r06_waves21_25 + SCALE.md):
+    (LINEARITY_r06_waves21_26 + SCALE.md):
     - a positional-postings alignment join (token stream x phrase
       tokens, vote per start) measured QUADRATIC SHUFFLE under a
       saturated vocabulary — votes grow as |phrases| x |tokens| /
@@ -1513,4 +1513,27 @@ def blocklist_audit(
         .withColumn(
             "flagged_ppm", F.expr("flagged_docs * 1000000 div n_docs")
         )
+    )
+
+
+def lang_confusion(docs: DataFrame, text_col: str = "text",
+                   label_col: str = "lang") -> DataFrame:
+    """Language-ID confusion matrix — the classifier-eval readout over
+    :func:`lang_id`'s predictions vs the labeled language: per (label,
+    predicted) cell, the count and its share of the label's row (ppm)
+    — the diagonal is per-language recall, off-diagonal cells say
+    WHICH languages the n-gram heuristic confuses (the decision input
+    for adding markers). One doc-level map (the predictor is a pure
+    Column expression) + one (label, pred)-keyed agg; the share window
+    runs on the |langs|^2-bounded matrix.
+    """
+    pred, _hits = lang_cols(F.col(text_col))
+    cells = (
+        docs.select(F.col(label_col), pred.alias("pred_lang"))
+        .groupBy(label_col, "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    return cells.withColumn(
+        "share_ppm",
+        F.expr(f"n * 1000000 div sum(n) over (partition by {label_col})"),
     )

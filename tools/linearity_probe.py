@@ -108,6 +108,9 @@ PROBE_QUERIES = [
     "q203_dedup_savings",      # one md5-keyed window + id join + source rollup (q123 class)
     "q204_rollup_reconcile",   # rollup-grain full-outer join; discrepancy-sized output
     "q206_stratified_batches", # one stratum-keyed rank exchange + (batch,stratum) rollup
+    "q207_holt_winters",       # one keyed exchange into per-series Arrow loops, O(period) state
+    "q208_lang_confusion",     # map-side predictor + (label,pred)-keyed agg; |langs|^2 output
+    "q209_ab_guardrail",       # map-side arm assignment + one segment-keyed agg
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
