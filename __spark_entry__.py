@@ -41,7 +41,7 @@ SF0001 = "/root/testdata/sf0.001"
 #      deliberately: it is no-oracle by design (driver row rows-only;
 #      its accuracy bound is hash-gated via q115).
 # ALL queries pass the in-repo driver replica (tools/selfcheck.py) —
-# see CORRECTNESS_SELF_r06.json (200 queries, 199 hash-exact + q73
+# see CORRECTNESS_SELF_r06.json (209 queries, 208 hash-exact + q73
 # rows-only by design, 0 mismatches at round-6 HEAD); the replica has
 # agreed with the real driver on every row it predicted across r03-r05
 # (148/148).
