@@ -45,9 +45,9 @@ SF0001 = "/root/testdata/sf0.001"
 # rows-only by design, 0 mismatches at round-6 HEAD); the replica has
 # agreed with the real driver on every row it predicted across r03-r05
 # (148/148).
-# ROUND-7 ROTATION PLAN: back-fill with q26-q29/q39b/q40/q41/q43/
+# ROUND-7 ROTATION PLAN: back-fill with q26-q29/q36-q41/q43/
 # q46-q53/q66/q68/q69 + q54/q57-q65/q67/q70-q72/q74-q77 (displaced
-# from this window by the wave-19..26 queries q173-q209), then the r03
+# from this window by the wave-19..27 queries q173-q213), then the r03
 # tail (q73, q78-q100 in registration order), then the oldest r04 rows
 # (q101...), oldest first.
 PRIORITY = [
@@ -93,14 +93,16 @@ PRIORITY = [
     "q207_holt_winters",
     "q208_lang_confusion",
     "q209_ab_guardrail",
-    # -- 2. r02-age back-fill (registration order) --
+    "q210_cluster_split",
+    "q211_layout_pruning",
+    "q212_char_diversity",
+    "q213_tokenizer_fertility",
+    # -- 2. r02-age back-fill (q36/q37/q38/q39 displaced by wave 27 into
+    #       the round-7 plan; q35's LSH path is also exercised in-window
+    #       by q210, which nests q44's full cluster oracle) --
     "q35_minhash_lsh",
     "q44_neardup_clusters",
     "q45_corpus_curation",
-    "q36_ngram_jaccard",
-    "q37_simhash",
-    "q38_embedding_topk",
-    "q39_ivf_assign",
     "q42_cosine_neardup",
     # -- 3. oldest r03-age back-fill (q73 skipped — no-oracle by design,
     #       accuracy gated via q115; q26-q29/q66/q68/q69 displaced by the

@@ -977,3 +977,59 @@ def dup_source_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def cluster_split(
+    docs: DataFrame,
+    n_folds: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cluster-aware (GroupKFold-style) split assignment — the FIX for
+    the leakage :func:`split_leakage` audits: folds are drawn per
+    near-duplicate CLUSTER, not per document, so a test doc can never
+    have a train near-twin by construction (Lee et al. 2022's
+    deduplicate-across-splits recommendation, as an assignment operator
+    rather than a post-hoc check).
+
+    Pipeline: :func:`minhash_lsh_neardups` (banded LSH + exact-Jaccard
+    verify — never all-pairs) → :func:`neardup_clusters` (min-label
+    components); every document then takes
+    ``fold = md5_bucket('f:' ‖ cluster_id) % n_folds`` — singletons are
+    their own cluster (``cluster_id = doc_id``), and fold identity is a
+    pure function of the cluster label, so re-runs, retries, and
+    incremental additions to OTHER clusters never move a document.
+
+    Scale shape: the cluster ledger is bounded by the near-dup docs
+    (≪ corpus at sane dup rates); the docs⋈ledger join is doc_id-keyed
+    and AQE broadcasts the ledger when it is small. Fold hashing is
+    map-side. Output: (doc_id, cluster_id, cluster_size, fold).
+    """
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    from hbase_bulkload_service_spark.operators.curation import hash_bucket
+
+    pairs = minhash_lsh_neardups(docs, text_col, threshold).select(
+        "doc_a", "doc_b"
+    )
+    ledger = neardup_clusters(pairs).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    return (
+        docs.select("doc_id")
+        .join(ledger, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+        )
+        .withColumn(
+            "fold",
+            hash_bucket(
+                F.concat(F.lit("f:"), F.col("cluster_id").cast("string")),
+                n_folds,
+            ),
+        )
+    )

@@ -627,3 +627,143 @@ def collect_file_stats(spark, path: str, cols: list[str]):
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
     return df.groupBy(F.col("_file").alias("file")).agg(*aggs)
+
+
+def layout_pruning_audit(
+    df,
+    key_col: str,
+    natural_col: str,
+    probes: list[tuple[int, int, int]],
+    n_files: int = 64,
+):
+    """Sort-key pruning planner: quantify, BEFORE rewriting 100 TB, how
+    many files a zone-map scan (q112's manifest) would touch under two
+    candidate layouts — ``natural`` (insertion order: files bucketed
+    equi-width on ``natural_col``) vs ``keysorted`` (files bucketed
+    equi-width on ``key_col``) — for a set of range probes on
+    ``key_col``. The decision input for a sort/cluster rewrite: if
+    ``files_touched`` barely drops, the rewrite isn't worth the shuffle.
+
+    File assignment is the equi-width simulation
+    ``file = min(F-1, (v - min)·F // (max - min + 1))`` — a pure
+    map-side expression off broadcast global bounds, so the audit never
+    global-sorts (the real rewrite would repartitionByRange; the
+    simulated min/max per file is identical for pruning purposes).
+    Heavy key skew concentrates rows in few simulated files — that is
+    signal, not error (a skewed key prunes poorly near its mode).
+
+    One scan feeds a 2-way layout melt → one (layout, file) agg; probes
+    are a tiny broadcast relation. Output per (layout, probe):
+    files_total, files_touched, rows_scanned (Σ rows of touched files —
+    the I/O actually paid), rows_matched (exact predicate hits),
+    skip_ppm and waste_ppm (read amplification).
+
+    Parameters: probes = [(probe_id, lo, hi)] inclusive on key_col.
+    """
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(
+        list(probes), "probe_id int, lo long, hi long"
+    )
+    bounds = df.agg(
+        F.min(key_col).cast("long").alias("kmin"),
+        F.max(key_col).cast("long").alias("kmax"),
+        F.min(natural_col).cast("long").alias("nmin"),
+        F.max(natural_col).cast("long").alias("nmax"),
+    )
+
+    def file_of(v: str, lo: str, hi: str):
+        return F.least(
+            F.lit(n_files - 1),
+            F.expr(f"({v} - {lo}) * {n_files} div ({hi} - {lo} + 1)"),
+        ).cast("int")
+
+    tagged = (
+        df.select(
+            F.col(key_col).cast("long").alias("k"),
+            F.col(natural_col).cast("long").alias("nat"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            file_of("k", "kmin", "kmax").alias("f_key"),
+            file_of("nat", "nmin", "nmax").alias("f_nat"),
+        )
+    )
+    melted = tagged.select(
+        "k",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("keysorted").alias("layout"),
+                    F.col("f_key").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.col("f_nat").alias("file_id"),
+                ),
+            )
+        ).alias("s"),
+    ).select("k", "s.layout", "s.file_id")
+    stats = melted.groupBy("layout", "file_id").agg(
+        F.min("k").alias("fmin"),
+        F.max("k").alias("fmax"),
+        F.count("*").alias("n_rows"),
+    )
+    per_layout = stats.groupBy("layout").agg(
+        F.count("*").alias("files_total")
+    )
+    touched = (
+        stats.join(
+            F.broadcast(probe_df),
+            (F.col("fmin") <= F.col("hi")) & (F.col("fmax") >= F.col("lo")),
+        )
+        .groupBy("layout", "probe_id")
+        .agg(
+            F.count("*").alias("files_touched"),
+            F.sum("n_rows").alias("rows_scanned"),
+        )
+    )
+    matched = (
+        tagged.select("k")
+        .join(
+            F.broadcast(probe_df),
+            (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+        )
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("rows_matched"))
+    )
+    grid = per_layout.crossJoin(F.broadcast(probe_df))
+    return (
+        grid.join(touched, ["layout", "probe_id"], "left")
+        .join(F.broadcast(matched), "probe_id", "left")
+        .select(
+            "layout",
+            "probe_id",
+            "lo",
+            "hi",
+            "files_total",
+            F.coalesce("files_touched", F.lit(0).cast("long")).alias(
+                "files_touched"
+            ),
+            F.coalesce("rows_scanned", F.lit(0).cast("long")).alias(
+                "rows_scanned"
+            ),
+            F.coalesce("rows_matched", F.lit(0).cast("long")).alias(
+                "rows_matched"
+            ),
+        )
+        .withColumn(
+            "skip_ppm",
+            F.expr(
+                "(files_total - files_touched) * 1000000 div files_total"
+            ),
+        )
+        .withColumn(
+            "waste_ppm",
+            F.expr(
+                "CASE WHEN rows_scanned = 0 THEN 0 ELSE"
+                " (rows_scanned - rows_matched) * 1000000 div rows_scanned"
+                " END"
+            ),
+        )
+    )

@@ -1537,3 +1537,101 @@ def lang_confusion(docs: DataFrame, text_col: str = "text",
         "share_ppm",
         F.expr(f"n * 1000000 div sum(n) over (partition by {label_col})"),
     )
+
+
+def char_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    low_ppm: int = 800000,
+) -> DataFrame:
+    """Character-diversity quality gate: per document, the Gini diversity
+    index of the normalized character distribution — ``1 - Σ(c_i/n)²``
+    as the exact rational ``(n² - Σc_i²)·1e6 // n²`` (pure integers, no
+    float entropy; same ranking as Shannon entropy for the degenerate
+    tails this gate exists to catch: keyboard-mash, "aaaa…" padding,
+    single-char separators repeated). Emits the distinct-char census and
+    the top character's share too; ``low_diversity`` flags docs under
+    ``low_ppm``.
+
+    Scale shape: explode-to-chars → (doc, char) partial-agg (map-side
+    combine collapses each doc's repeats inside the scan task) → one
+    doc-keyed agg. No joins, no windows. Overflow guard: n²·1e6 stays
+    inside int64 for docs up to ~3M normalized chars — beyond that,
+    chunk first (chunk_documents).
+    """
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(norm_text(F.col(text_col)), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars_norm"),
+            F.count("*").alias("distinct_chars"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_norm",
+            "distinct_chars",
+            F.expr(
+                "(n_chars_norm * n_chars_norm - ss) * 1000000"
+                " div (n_chars_norm * n_chars_norm)"
+            ).alias("gini_ppm"),
+            F.expr("top_c * 1000000 div n_chars_norm").alias("top_char_ppm"),
+        )
+        .withColumn("low_diversity", F.col("gini_ppm") < low_ppm)
+    )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility audit: per language (or any stratum), the
+    corpus-level tokens-per-word and bytes-per-token ratios under a
+    trained BPE merge table — the readout a tokenizer review runs per
+    language before freezing a vocabulary (high fertility on a language
+    means its text costs disproportionate sequence length; the classic
+    multilingual-tokenizer fairness metric).
+
+    Pipeline: :func:`bpe_encode` supplies per-doc (n_words, n_tokens)
+    — its expensive symbolic work is vocab-sized, not corpus-sized —
+    then one doc-keyed join against the (lang, byte-length) projection
+    and one lang-keyed agg. Ratios are truncating-integer ppm on the
+    SUMS (corpus fertility, not mean-of-per-doc — robust to short-doc
+    noise and exactly reproducible).
+    """
+    enc = bpe_encode(docs, merges, text_col)
+    meta = docs.select(
+        "doc_id",
+        F.col(group_col),
+        F.octet_length(F.col(text_col)).cast("long").alias("nbytes"),
+    )
+    return (
+        enc.join(meta, "doc_id")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("nbytes").alias("n_bytes"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_bytes",
+            F.expr("n_tokens * 1000000 div n_words").alias(
+                "tokens_per_word_ppm"
+            ),
+            F.expr("n_bytes * 1000000 div n_tokens").alias(
+                "bytes_per_token_ppm"
+            ),
+        )
+    )
