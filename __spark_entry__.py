@@ -97,13 +97,16 @@ PRIORITY = [
     "q211_layout_pruning",
     "q212_char_diversity",
     "q213_tokenizer_fertility",
-    # -- 2. r02-age back-fill (q36/q37/q38/q39 displaced by wave 27 into
-    #       the round-7 plan; q35's LSH path is also exercised in-window
-    #       by q210, which nests q44's full cluster oracle) --
-    "q35_minhash_lsh",
-    "q44_neardup_clusters",
-    "q45_corpus_curation",
-    "q42_cosine_neardup",
+    "q214_kappa_agreement",
+    "q215_countmin_sketch",
+    "q216_token_tvd",
+    "q217_nprobe_recall",
+    # -- 2. the r02-age back-fill is fully displaced by waves 27-28 into
+    #       the round-7 plan (new queries are verified same-round, never
+    #       debt). Mitigation in-window: q210 nests q44's full cluster
+    #       oracle and drives q35's LSH path; q217 re-drives q118's
+    #       Lloyd device; the whole r02 block keeps selfcheck-at-head
+    #       coverage (CORRECTNESS_SELF_r06) --
     # -- 3. oldest r03-age back-fill (q73 skipped — no-oracle by design,
     #       accuracy gated via q115; q26-q29/q66/q68/q69 displaced by the
     #       wave-21..23 queries into the round-7 plan; the flagship e2e

@@ -1877,3 +1877,81 @@ def ab_guardrail(
             "(hits_b * n_a * 1000000) div nullif(hits_a * n_b, 0)"
         ).alias("lift_ppm"),
     )
+
+
+def countmin_estimates(
+    df,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+):
+    """Count-min sketch frequency estimation with its exact-recount
+    accuracy gate: build the d×w sketch, then compare the sketched
+    estimate against the true count for the ``top_n`` heaviest keys —
+    the streaming-frequency companion to q117's exact Misra-Gries
+    (CMS answers point queries over keys chosen LATER; MG must fix k
+    up front). Hash rows use the engine-portable md5 device
+    (``md5(j ‖ ':' ‖ key)``), so the sketch — not just its verdict —
+    is reproducible bit-for-bit across engines and runs.
+
+    The two CMS guarantees surface as columns: ``lower_bound_ok``
+    (est ≥ true — structural, always TRUE) and ``over_ppm`` (the
+    collision overestimate, ≤ ε·N w.h.p. for w = ⌈e/ε⌉).
+
+    Scale shape: the sketch is built from the COLLAPSED per-key count
+    table (one keyed agg), not the raw stream — depth·|keys| hash rows
+    fold into d·w cells by partial agg; estimation is a broadcast join
+    against the d·w-row cell table. Nothing here scales with rows
+    except the first agg.
+    """
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark.operators.curation import hash_bucket
+
+    if depth < 1 or width < 2 or top_n < 1:
+        raise ValueError("need depth >= 1, width >= 2, top_n >= 1")
+    truth = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    hashed = truth.select(
+        "key",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_id"),
+                        hash_bucket(
+                            F.concat(F.lit(f"{j}:"), F.col("key")), width
+                        ).alias("col_id"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("h"),
+    ).select("key", "true_cnt", "h.row_id", "h.col_id")
+    cells = hashed.groupBy("row_id", "col_id").agg(
+        F.sum("true_cnt").alias("cell_sum")
+    )
+    top = truth.orderBy(F.desc("true_cnt"), "key").limit(top_n)
+    est = (
+        hashed.join(F.broadcast(top.select("key")), "key")
+        .join(F.broadcast(cells), ["row_id", "col_id"])
+        .groupBy("key")
+        .agg(F.min("cell_sum").alias("est_cnt"))
+    )
+    return (
+        top.join(est, "key")
+        .select(
+            "key",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias("lower_bound_ok"),
+            F.expr(
+                "(est_cnt - true_cnt) * 1000000 div true_cnt"
+            ).alias("over_ppm"),
+        )
+    )

@@ -1671,3 +1671,130 @@ def matryoshka_recall(
     return grid.withColumn(
         "recall_ppm", F.expr(f"overlap * 1000000 div {k}")
     )
+
+
+def nprobe_recall(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    n_queries: int = 4,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF nprobe-vs-recall curve: for each probe budget, the top-k
+    overlap against exact ground truth PLUS the candidate count the
+    budget actually paid — the tuning readout that sizes a production
+    IVF index (q205 sweeps the dimension budget; this sweeps the
+    search budget). The largest nprobe ≥ n_cells row is the built-in
+    exhaustive control (recall 1.0 at full candidate cost).
+
+    Protocol (all integer, oracle-replayable): coarse centroids are the
+    shared q118 integer-Lloyd device (init = k lowest ids, truncating
+    centroid division); every vector's cell and every distance is the
+    exact integer d2 of floor-micros vectors; ranks break ties on id.
+    Queries are the first ``n_queries`` ids; self never counts.
+
+    Scale shape: ONE exact-distance pass (queries broadcast against the
+    partitioned corpus — the q38 posture) feeds ground truth AND, after
+    attaching each vector's cell and joining the tiny
+    (nprobe, query, cell) allow-list, every budget's candidate ranking;
+    per-(nprobe, query) windows run over the candidate stream. At
+    deployment scale the alld pass restricts to probed cells first —
+    here it is shared with the ground-truth control by construction.
+    """
+    if not nprobes or k < 1 or n_queries < 1 or n_cells < 1:
+        raise ValueError("need nprobes, k, n_queries, n_cells positive")
+    spark = embeddings.sparkSession
+    vm = _quantized(embeddings, id_col, vec_col, scale)
+    cents = _lloyd_centroids(spark, vm, n_cells, iters, id_col)
+    cdf = spark.createDataFrame(cents, "cid int, cvec array<long>")
+    asn = (
+        _lloyd_scored(vm, cdf, id_col)
+        .groupBy(id_col, "vm")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(id_col, F.col("m.cid").alias("cid"))
+    )
+    qs = F.broadcast(
+        vm.orderBy(id_col)
+        .limit(n_queries)
+        .select(F.col(id_col).alias("qid"), F.col("vm").alias("qv"))
+    )
+
+    def d2(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    alld = (
+        vm.crossJoin(qs)
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, d2("vm", "qv").alias("d2"))
+    )
+    wq = Window.partitionBy("qid").orderBy("d2", id_col)
+    gt = (
+        alld.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select(F.col("qid").alias("__gqid"), F.col(id_col).alias("__gt"))
+    )
+    qcell = (
+        qs.crossJoin(F.broadcast(cdf))
+        .select("qid", "cid", d2("qv", "cvec").alias("d2"))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("d2", "cid")
+            ),
+        )
+    )
+    allowed = (
+        qcell.select(
+            "qid",
+            "cid",
+            "cell_rank",
+            F.explode(
+                F.array(*[F.lit(int(p)) for p in sorted(set(nprobes))])
+            ).alias("nprobe"),
+        )
+        .filter(F.col("cell_rank") <= F.col("nprobe"))
+        .select("nprobe", "qid", "cid")
+    )
+    cand = alld.join(asn.select(id_col, "cid"), id_col).join(
+        F.broadcast(allowed), ["qid", "cid"]
+    )
+    wnq = Window.partitionBy("nprobe", "qid").orderBy("d2", id_col)
+    topk = (
+        cand.withColumn("rn", F.row_number().over(wnq))
+        .filter(F.col("rn") <= k)
+        .select("nprobe", "qid", id_col)
+    )
+    ncand = cand.groupBy("nprobe", "qid").agg(
+        F.count("*").alias("n_candidates")
+    )
+    overlap = (
+        topk.join(
+            F.broadcast(gt),
+            (F.col("qid") == F.col("__gqid"))
+            & (F.col(id_col) == F.col("__gt")),
+        )
+        .groupBy("nprobe", "qid")
+        .agg(F.count("*").alias("overlap"))
+    )
+    grid = allowed.select("nprobe", "qid").distinct()
+    return (
+        grid.join(ncand, ["nprobe", "qid"], "left")
+        .join(overlap, ["nprobe", "qid"], "left")
+        .select(
+            "nprobe",
+            "qid",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            F.coalesce("overlap", F.lit(0).cast("long")).alias("overlap"),
+        )
+        .withColumn("recall_ppm", F.expr(f"overlap * 1000000 div {k}"))
+    )

@@ -1635,3 +1635,137 @@ def tokenizer_fertility(
             ),
         )
     )
+
+
+def kappa_agreement(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    group_col: str = "source",
+) -> DataFrame:
+    """Chance-corrected agreement (Cohen's kappa) between the n-gram
+    language predictor and the labeled language, per source — the
+    annotator-quality readout an eval pipeline runs per data provider
+    (raw accuracy flatters sources with skewed label marginals; kappa
+    subtracts the agreement their marginals would produce by chance).
+
+    Exact rational form: with N docs, D agreeing, and
+    ``pe_num = Σ_class row_class · col_class``,
+    ``kappa = (N·D − pe_num) / (N² − pe_num)`` — emitted as truncating
+    ppm (Spark ``div`` / DuckDB ``//`` agree on the negative-kappa
+    case), alongside po/pe ppm. Degenerate ``pe = 1`` yields NULL.
+
+    One doc-level map + one (group, label, pred)-keyed agg; everything
+    after runs on the |groups|·|langs|²-bounded matrix.
+    """
+    pred, _hits = lang_cols(F.col(text_col))
+    cells = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.col(label_col).alias("label"),
+            pred.alias("pred"),
+        )
+        .groupBy("g", "label", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = cells.groupBy("g", F.col("label").alias("cls")).agg(
+        F.sum("n").alias("row_n")
+    )
+    cols = cells.groupBy("g", F.col("pred").alias("cls")).agg(
+        F.sum("n").alias("col_n")
+    )
+    pe = (
+        rows.join(cols, ["g", "cls"])
+        .groupBy("g")
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).alias("pe_num"))
+    )
+    tot = cells.groupBy("g").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(
+            F.when(F.col("label") == F.col("pred"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_agree"),
+    )
+    return (
+        tot.join(pe, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "n_agree",
+            F.coalesce("pe_num", F.lit(0).cast("long")).alias("pe_num"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_agree",
+            F.expr("n_agree * 1000000 div n_docs").alias("po_ppm"),
+            F.expr("pe_num * 1000000 div (n_docs * n_docs)").alias(
+                "pe_ppm"
+            ),
+            F.expr(
+                "(n_docs * n_agree - pe_num) * 1000000"
+                " div nullif(n_docs * n_docs - pe_num, 0)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+def token_tvd(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source unigram-distribution drift: the exact total-variation
+    distance between each source's token distribution and the corpus
+    mixture, in ppm — the corpus-composition monitor that catches a
+    crawl whose vocabulary shifted (template floods, language drift,
+    boilerplate regressions) without any reference model.
+
+    Exactness device: TVD = ½·Σ_w |p_s(w) − p(w)| over the FULL corpus
+    vocabulary, but words absent from the source contribute
+    ``c_w·N_s``, so the whole sum collapses to source-present rows:
+    ``Σ_{w∈s} |c_sw·N − c_w·N_s| + N_s·(N − Σ_{w∈s} c_w)`` — pure
+    integer cross-multiplication, no float probabilities, no
+    source×vocabulary grid. Overflow bound: N·N_s·1e6 must fit int64
+    (fine to ~10⁶ tokens/source · 10⁶ corpus tokens; shard the corpus
+    dimension beyond that).
+
+    Shuffle census: one (source, word) agg off the exploded scan (the
+    corpus totals derive from it — the corpus is never re-scanned),
+    one word-keyed join, one source-keyed agg.
+    """
+    words = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(words_of(F.col(text_col))).alias("w"),
+    ).filter(F.col("w") != "")
+    sw = words.groupBy("g", "w").agg(F.count("*").alias("c_sw"))
+    wtot = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    totals = sw.groupBy("g").agg(
+        F.sum("c_sw").alias("n_s"), F.count("*").alias("n_types")
+    )
+    n_corpus = wtot.agg(F.sum("c_w").alias("n_corpus"))
+    j = (
+        sw.join(wtot, "w")
+        .join(F.broadcast(totals), "g")
+        .crossJoin(F.broadcast(n_corpus))
+        .groupBy("g", "n_s", "n_types", "n_corpus")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_sw") * F.col("n_corpus")
+                    - F.col("c_w") * F.col("n_s")
+                )
+            ).alias("present_num"),
+            F.sum("c_w").alias("c_w_present"),
+        )
+    )
+    return j.select(
+        F.col("g").alias(group_col),
+        F.col("n_s").alias("n_tokens"),
+        "n_types",
+        F.expr(
+            "(present_num + n_s * (n_corpus - c_w_present)) * 1000000"
+            " div (2 * n_s * n_corpus)"
+        ).alias("tvd_ppm"),
+    )
