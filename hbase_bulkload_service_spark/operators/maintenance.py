@@ -733,8 +733,10 @@ def layout_pruning_audit(
         .agg(F.count("*").alias("rows_matched"))
     )
     grid = per_layout.crossJoin(F.broadcast(probe_df))
+    # every post-agg relation is (layouts × probes)-bounded metadata —
+    # broadcast so no SMJ/exchange ever forms over them
     return (
-        grid.join(touched, ["layout", "probe_id"], "left")
+        grid.join(F.broadcast(touched), ["layout", "probe_id"], "left")
         .join(F.broadcast(matched), "probe_id", "left")
         .select(
             "layout",

@@ -1785,9 +1785,10 @@ def nprobe_recall(
         .agg(F.count("*").alias("overlap"))
     )
     grid = allowed.select("nprobe", "qid").distinct()
+    # ncand/overlap are (|nprobes| × n_queries)-bounded — broadcast them
     return (
-        grid.join(ncand, ["nprobe", "qid"], "left")
-        .join(overlap, ["nprobe", "qid"], "left")
+        grid.join(F.broadcast(ncand), ["nprobe", "qid"], "left")
+        .join(F.broadcast(overlap), ["nprobe", "qid"], "left")
         .select(
             "nprobe",
             "qid",

@@ -357,3 +357,83 @@ def test_ivfpq_broadcasts_probe_list_and_adc_table(spark):
     assert "BroadcastExchange" in plan
     # raw vectors never shuffle: no exchange output carries the vm array
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+
+
+def test_char_diversity_two_agg_levels_no_joins(spark):
+    """q212: explode → (doc, char) partial agg → doc agg — exactly two
+    shuffle exchanges beyond the spread fixture's, zero joins, zero
+    windows. The whole gate is agg-only by design."""
+    plan = formatted_plan(
+        registry.QUERIES["q212_char_diversity"](spark, SF_DIR)
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3  # spread + 2
+
+
+def test_layout_pruning_all_small_joins_broadcast(spark):
+    """q211: every post-agg relation is (layouts × probes)-bounded and
+    must broadcast — a SortMergeJoin over the metadata tables would
+    mean the planner lost the hints; the probe range-joins are
+    broadcast nested-loop by construction."""
+    plan = formatted_plan(
+        registry.QUERIES["q211_layout_pruning"](spark, SF_DIR)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # probe range joins
+
+
+def test_countmin_estimation_rides_broadcasts_and_take_ordered(spark):
+    """q215: the top-n cut is TakeOrderedAndProject (never a global
+    sort) and every estimation join is broadcast — the sketch cells
+    and the top keys are metadata-sized by construction."""
+    plan = formatted_plan(
+        registry.QUERIES["q215_countmin_sketch"](spark, SF_DIR)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_tvd_no_cartesian_no_window(spark):
+    """q216: the absent-mass algebra keeps the plan join+agg only —
+    no source×vocab grid (cartesian) ever forms, and no window runs;
+    the 1-row corpus total rides a broadcast nested loop."""
+    plan = formatted_plan(registry.QUERIES["q216_token_tvd"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_cluster_split_fold_is_pure_map_over_ledger_join(spark):
+    """q210: one doc_id-keyed ledger join (broadcastable), fold hashing
+    map-side — no cartesian, no extra window beyond the ledger's
+    cluster_size count."""
+    plan = formatted_plan(
+        registry.QUERIES["q210_cluster_split"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_tokenizer_fertility_vocab_join_broadcasts(spark):
+    """q213: the per-word token counts join the corpus via broadcast
+    (vocabulary ≪ corpus — bpe_encode's memoization contract), and the
+    lang rollup is agg-only."""
+    plan = formatted_plan(
+        registry.QUERIES["q213_tokenizer_fertility"](spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_nprobe_recall_gating_joins_broadcast(spark):
+    """q217: the (nprobe, query, cell) allow-list, ground truth, and
+    per-budget tallies all broadcast; the only corpus-sized join is
+    alld⋈assignment on vec_id. No cartesian anywhere (the query side
+    is an explicit tiny broadcast)."""
+    plan = formatted_plan(
+        registry.QUERIES["q217_nprobe_recall"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
