@@ -111,6 +111,12 @@ PROBE_QUERIES = [
     "q207_holt_winters",       # one keyed exchange into per-series Arrow loops, O(period) state
     "q208_lang_confusion",     # map-side predictor + (label,pred)-keyed agg; |langs|^2 output
     "q209_ab_guardrail",       # map-side arm assignment + one segment-keyed agg
+    "q211_layout_pruning",     # map-side file tags off broadcast bounds + one (layout,file) agg
+    "q212_char_diversity",     # explode -> (doc,char) partial agg -> doc agg; no joins
+    "q213_tokenizer_fertility",  # vocab-bounded fold chain + broadcast vocab join + lang rollup
+    "q214_kappa_agreement",    # map-side predictor + (src,label,pred) agg; matrix-bounded tail
+    "q215_countmin_sketch",    # keyed truth agg; sketch cells d*w-bounded, broadcast estimation
+    "q216_token_tvd",          # (src,word) agg + word-keyed join + src rollup; no grid
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
@@ -148,6 +154,8 @@ PROBE_QUERIES_PERTURBED = [
     "q197_embedding_health",   # map-side fold math + one label agg (embeddings grow under this amplifier)
     "q199_dup_matrix",         # q35's banded-LSH + verify path; source labels join survivors only
     "q205_matryoshka_recall",  # brute-force baseline: query set broadcast, |dims| prefix folds per row
+    "q210_cluster_split",      # q35's banded-LSH + CC ledger; fold hash map-side on the join
+    "q217_nprobe_recall",      # one broadcast-query distance pass + id-keyed cell join; tallies broadcast
 ]
 # q146_rank_fusion is NOT probed: the fusion itself is k-bounded
 # (queries x k x n_lists rows); its scale cost lives entirely in the
