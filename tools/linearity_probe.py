@@ -265,17 +265,29 @@ def _amplify_perturbed(spark, work: str, amp: int) -> str:
     max_cust = load(spark, SF_DIR, "customer").agg(
         F.max("c_custkey")
     ).collect()[0][0]
-    # rep-dependent byte-run PREFIX (distinct char, rep-varying length):
-    # a short suffix is enough for exact/shingle dedup but NOT for the
-    # byte-mean aHash (q109) — a long distinct run shifts many cell
-    # means, pushing cross-rep Hamming distance past the near-dup band
+    # three perturbations compose so NO representation sees cross-rep
+    # near-dups:
+    # - rep-dependent byte-run PREFIX (distinct char, rep-varying
+    #   length): shifts many aHash cell means, pushing cross-rep Hamming
+    #   distance past the q109 band;
+    # - a rep tag on EVERY 3rd WORD: with 5-word shingles every shingle
+    #   contains >= 1 tagged word, so cross-rep shingle/gram Jaccard
+    #   collapses to ~0 (the prefix+suffix alone left same-base docs at
+    #   Jaccard >= 0.5 — measured wave-27 q210 artifact: 255 pairs at 1x
+    #   -> 248,445 at 10x, 225,000 of them the 5000*C(10,2) cross-rep
+    #   same-base classes). Within-rep variants differ by substitutions,
+    #   so their tag positions align and true near-dup pairs survive;
+    # - the ' r{rep}' SUFFIX keeps exact-dedup digests distinct.
     build(
         "documents",
         {
             "doc_id": f"doc_id + rep * {n_doc}",
             "text": (
                 "concat(repeat(char(48 + CAST(rep % 60 AS INT)), "
-                "CAST(40 + (rep * 17) % 50 AS INT)), text, "
+                "CAST(40 + (rep * 17) % 50 AS INT)), ' ', "
+                "concat_ws(' ', transform(split(text, ' '), (w, i) -> "
+                "CASE WHEN i % 3 = 0 THEN concat(w, '_', CAST(rep AS STRING)) "
+                "ELSE w END)), "
                 "' r', CAST(rep AS STRING))"
             ),
         },
