@@ -652,8 +652,10 @@ def layout_pruning_audit(
     Heavy key skew concentrates rows in few simulated files — that is
     signal, not error (a skewed key prunes poorly near its mode).
 
-    One scan feeds a 2-way layout melt → one (layout, file) agg; probes
-    are a tiny broadcast relation. Output per (layout, probe):
+    Two passes over the fact: the 2-way layout melt → one (layout,
+    file) agg, and the probe-match count (row-level k vs range — not
+    derivable from file stats); probes are a tiny broadcast relation.
+    Output per (layout, probe):
     files_total, files_touched, rows_scanned (Σ rows of touched files —
     the I/O actually paid), rows_matched (exact predicate hits),
     skip_ppm and waste_ppm (read amplification).

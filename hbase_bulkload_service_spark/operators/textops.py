@@ -1659,6 +1659,12 @@ def kappa_agreement(
     after runs on the |groups|·|langs|²-bounded matrix.
     """
     pred, _hits = lang_cols(F.col(text_col))
+    # localCheckpoint the matrix: rows/cols/tot prune DIFFERENT columns
+    # off this aggregate, which breaks Catalyst's exchange reuse — without
+    # it the doc-level predictor subtree evaluates THREE times (measured:
+    # 3 × ~20 s executor time at sf0.1×10). The matrix is
+    # |groups|·|langs|²-bounded, so the checkpoint is metadata-sized.
+    # Eager-execution contract: jobs run when this operator is CALLED.
     cells = (
         docs.select(
             F.col(group_col).alias("g"),
@@ -1667,6 +1673,7 @@ def kappa_agreement(
         )
         .groupBy("g", "label", "pred")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     rows = cells.groupBy("g", F.col("label").alias("cls")).agg(
         F.sum("n").alias("row_n")
@@ -1735,11 +1742,19 @@ def token_tvd(
     corpus totals derive from it — the corpus is never re-scanned),
     one word-keyed join, one source-keyed agg.
     """
+    from hbase_bulkload_service_spark import cachereg
+
     words = docs.select(
         F.col(group_col).alias("g"),
         F.explode(words_of(F.col(text_col))).alias("w"),
     ).filter(F.col("w") != "")
-    sw = words.groupBy("g", "w").agg(F.count("*").alias("c_sw"))
+    # persist the collapsed (source, word) counts: wtot/totals/the join
+    # prune DIFFERENT columns off this aggregate, which breaks exchange
+    # reuse — unpersisted, the explode scan evaluates three times. The
+    # table is (sources × vocab)-bounded; registration keeps long
+    # sessions storage-bounded (same contract as the minhash family).
+    sw = words.groupBy("g", "w").agg(F.count("*").alias("c_sw")).persist()
+    cachereg.register(sw, family="tvd")
     wtot = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
     totals = sw.groupBy("g").agg(
         F.sum("c_sw").alias("n_s"), F.count("*").alias("n_types")
