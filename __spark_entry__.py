@@ -23,7 +23,7 @@ SF0001 = "/root/testdata/sf0.001"
 # order), so with >50 registered queries the set would stay partially
 # unchecked unless we rotate. Round-6 window layout (50 slots exactly —
 # VERDICT r05 item 2):
-#   1. q169-q209 — new this round (the full-DDL real-v3 container gate,
+#   1. q169-q217 — new this round (the full-DDL real-v3 container gate,
 #      the byte-level bloom+index point-read gate, DSIR, PQ/IVF-PQ/
 #      IVFADC ANN, concat packing, n-gram novelty, LPA communities,
 #      vocab coverage, EWMA/Holt charts + streaming twin, scene shots,

@@ -164,3 +164,31 @@ def test_nprobe_recall_bounds_and_validation(spark):
     assert all(r.recall_ppm == r.overlap * 1_000_000 // 2 for r in out)
     with pytest.raises(ValueError):
         similarity.nprobe_recall(_emb(spark, rows), nprobes=())
+
+
+def test_token_tvd_storage_bounded_across_calls(spark):
+    # q216's (source, word) persist goes through cachereg (family
+    # "tvd") — repeated calls in one long session stay storage-capped
+    import time
+
+    from hbase_bulkload_service_spark import cachereg
+
+    cachereg.release_all()
+
+    def storage_count():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = storage_count()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i}", f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    for _ in range(6):
+        textops.token_tvd(docs).collect()
+    assert cachereg.eviction_counts().get("tvd", 0) >= 1
+    for _ in range(20):
+        if storage_count() - base <= 4:
+            break
+        time.sleep(0.25)
+    assert storage_count() - base <= 4
+    cachereg.release_all()
