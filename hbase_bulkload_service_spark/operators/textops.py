@@ -1654,6 +1654,10 @@ def kappa_agreement(
     ``kappa = (N·D − pe_num) / (N² − pe_num)`` — emitted as truncating
     ppm (Spark ``div`` / DuckDB ``//`` agree on the negative-kappa
     case), alongside po/pe ppm. Degenerate ``pe = 1`` yields NULL.
+    Overflow bound: ``N²·1e6`` must fit int64, i.e. ≤ ~3e6 docs per
+    source — sample or shard a bigger stratum first (the verdict is a
+    rate; it is invariant under uniform per-source sampling in
+    expectation).
 
     One doc-level map + one (group, label, pred)-keyed agg; everything
     after runs on the |groups|·|langs|²-bounded matrix.
