@@ -113,6 +113,13 @@ PRIORITY = [
     #       wave-21..23 queries into the round-7 plan; the flagship e2e
     #       keeps its slot) --
     "q56_bulkload_e2e",
+    # -- 4. past the 50-slot window: wave-29 (q218-q220), registered
+    #       after the window filled. Verified this round via the
+    #       vanilla driver-protocol sweep + selfcheck + TZ sweep;
+    #       placed here so they LEAD the round-7 window. --
+    "q218_readability",
+    "q219_length_floor",
+    "q220_soft_sampling",
 ]
 
 

@@ -1185,3 +1185,52 @@ def stratified_batches(
             ),
         )
     )
+
+
+def soft_quality_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-WEIGHTED soft sampling (the CCNet/FineWeb device: instead
+    of a hard quality cutoff, keep each document with probability equal
+    to its quality score): doc i survives iff
+    ``md5_bucket('q:' ‖ doc_id) < quality_ppm_i`` — deterministic,
+    engine-portable, re-run/retry-stable, and exactly
+    inclusion-probability-proportional-to-quality since the md5 bucket
+    is uniform on [0, 1e6). Quality here is the q212 Gini
+    character-diversity score; any per-doc ppm metric slots in.
+
+    Output per source: docs, kept, kept_ppm, and the mean quality ppm —
+    kept_ppm tracks mean quality in expectation, so a large gap is a
+    sampler-health signal (the audit column, not an assertion).
+
+    Scale shape: the gate is one map-side comparison over the scored
+    docs (scoring is q212's two keyed aggs); the rollup is one
+    source-keyed agg.
+    """
+    from hbase_bulkload_service_spark.operators.textops import char_diversity
+
+    scored = docs.select("doc_id", F.col("source")).join(
+        char_diversity(docs, text_col).select("doc_id", "gini_ppm"),
+        "doc_id",
+    )
+    kept = F.when(
+        hash_bucket(
+            F.concat(F.lit("q:"), F.col("doc_id").cast("string")), 1_000_000
+        )
+        < F.col("gini_ppm"),
+        1,
+    ).otherwise(0)
+    return (
+        scored.select("source", "gini_ppm", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum("gini_ppm").alias("sum_quality_ppm"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr("n_kept * 1000000 div n_docs").alias("kept_ppm"),
+            F.expr("sum_quality_ppm div n_docs").alias("mean_quality_ppm"),
+        )
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -1787,4 +1787,110 @@ def token_tvd(
             "(present_num + n_s * (n_corpus - c_w_present)) * 1000000"
             " div (2 * n_s * n_corpus)"
         ).alias("tvd_ppm"),
+    )
+
+
+def readability_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    hard_milli: int = 30000,
+) -> DataFrame:
+    """Integer Flesch-reading-ease twin: per document, words, sentences
+    (``[.!?]+`` runs, floored at 1), syllables (vowel runs — the
+    standard cheap estimator), and
+    ``206835 − 1015·(words/sentence) − 84600·(syllables/word)`` with
+    every ratio a truncating per-mille integer (the classic score ×
+    1000; same ordering, zero float drift). ``hard_to_read`` flags
+    scores under ``hard_milli`` — the quality-filter feature sets like
+    C4's use to drop listings/boilerplate that cluster at the extremes.
+
+    Pure map-side expression census (three regexp_count passes + the
+    normalizer) — no shuffle at all; at 100 TB this fuses into
+    whatever scan already reads the text.
+    """
+    t = norm_text(F.col(text_col))
+    n_words = F.size(words_of(F.col(text_col))).cast("long")
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"),
+    )
+    n_syll = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(t, F.lit(r"[aeiouy]+")).cast("long"),
+    )
+    return (
+        docs.filter(F.length(norm_text(F.col(text_col))) > 0)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.expr("n_words * 1000 div n_sentences").alias("wps_milli"),
+            F.expr("n_syllables * 1000 div n_words").alias("spw_milli"),
+        )
+        .withColumn(
+            "flesch_milli",
+            F.expr(
+                "206835 - (1015 * wps_milli) div 1000"
+                " - (84600 * spw_milli) div 1000"
+            ),
+        )
+        .withColumn("hard_to_read", F.col("flesch_milli") < hard_milli)
+    )
+
+
+def calibrated_length_floor(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    q_permille: int = 250,
+) -> DataFrame:
+    """Per-stratum calibrated length gate: the exact q-th percentile
+    (PERCENTILE_DISC by rank: value at ``ceil(q·n)`` in (words, doc_id)
+    order) of per-doc word counts WITHIN each language, and how many of
+    the stratum's docs fall under their own floor — the
+    threshold-per-language calibration a multilingual filter needs
+    (a fixed global length floor over-drops terse languages; Gopher
+    and FineWeb both calibrate per language for exactly this reason).
+
+    One stratum-keyed rank window (the totals and the flag count share
+    its exchange); the per-stratum floor table is |langs|-bounded and
+    broadcast back. Output: (lang, n_docs, p_words, n_flagged,
+    flagged_ppm).
+    """
+    if not 0 < q_permille < 1000:
+        raise ValueError("q_permille must be in (0, 1000)")
+    n_words = F.size(words_of(F.col(text_col))).cast("long")
+    base = docs.select(
+        "doc_id", F.col(group_col).alias("g"), n_words.alias("n_words")
+    )
+    w = Window.partitionBy("g").orderBy("n_words", "doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("g"))
+    )
+    floor_tbl = ranked.filter(
+        F.col("rn") == F.expr(f"(n * {q_permille} + 999) div 1000")
+    ).select("g", F.col("n_words").alias("p_words"))
+    return (
+        ranked.join(F.broadcast(floor_tbl), "g")
+        .groupBy("g", "p_words")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_words") < F.col("p_words"), 1).otherwise(0)
+            ).cast("long").alias("n_flagged"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "p_words",
+            "n_flagged",
+            F.expr("n_flagged * 1000000 div n_docs").alias("flagged_ppm"),
+        )
     )

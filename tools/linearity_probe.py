@@ -117,6 +117,9 @@ PROBE_QUERIES = [
     "q214_kappa_agreement",    # map-side predictor + (src,label,pred) agg; matrix-bounded tail
     "q215_countmin_sketch",    # keyed truth agg; sketch cells d*w-bounded, broadcast estimation
     "q216_token_tvd",          # (src,word) agg + word-keyed join + src rollup; no grid
+    "q218_readability",        # pure map-side regexp census; zero shuffle
+    "q219_length_floor",       # one stratum-keyed rank window; floor table broadcast
+    "q220_soft_sampling",      # q212's two keyed aggs + map-side md5 gate + src rollup
 ]
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
