@@ -41,7 +41,7 @@ SF0001 = "/root/testdata/sf0.001"
 #      deliberately: it is no-oracle by design (driver row rows-only;
 #      its accuracy bound is hash-gated via q115).
 # ALL queries pass the in-repo driver replica (tools/selfcheck.py) —
-# see CORRECTNESS_SELF_r06.json (217 queries, 216 hash-exact + q73
+# see CORRECTNESS_SELF_r06.json (220 queries, 219 hash-exact + q73
 # rows-only by design, 0 mismatches at round-6 session-4 HEAD; a full
 # vanilla-session driver-protocol sweep at the same head matched
 # 216/216 + q73 rows-only); the replica has agreed with the real
