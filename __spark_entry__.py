@@ -43,9 +43,10 @@ SF0001 = "/root/testdata/sf0.001"
 # ALL queries pass the in-repo driver replica (tools/selfcheck.py) —
 # see CORRECTNESS_SELF_r06.json (220 queries, 219 hash-exact + q73
 # rows-only by design, 0 mismatches at round-6 session-4 HEAD; a full
-# vanilla-session driver-protocol sweep at the same head matched
-# 216/216 + q73 rows-only); the replica has agreed with the real
-# driver on every row it predicted across r03-r05 (148/148).
+# vanilla-session driver-protocol sweep matched 216/216 + q73 at the
+# pre-wave-29 head, and the wave-29 trio matched in both the vanilla
+# replica and a TZ-pinned vanilla session); the replica has agreed with
+# the real driver on every row it predicted across r03-r05 (148/148).
 # ROUND-7 ROTATION PLAN: back-fill with q26-q29/q36-q41/q43/
 # q46-q53/q66/q68/q69 + q54/q57-q65/q67/q70-q72/q74-q77 (displaced
 # from this window by the wave-19..27 queries q173-q213), then the r03
