@@ -110,6 +110,11 @@ def main() -> None:
     run_all = os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
     skipped = {} if run_all else dict(BENCH_SKIP)
     times: dict[str, float] = {}
+    # trimmed runs use a DIFFERENT metric name so they can never be
+    # compared-by-accident with the full-registry totals of rounds 1-5
+    # (ADVICE r06): "total_query_wall_sec" is reserved for runs that
+    # timed every registered query.
+    metric = "total_query_wall_sec" if run_all else "benched_query_wall_sec"
     # hardware calibration: fixed deterministic work, so wall times from
     # different rounds/VMs can be normalized before comparison (round-3
     # observation: identical code measured ~1.4x slower than the recorded
@@ -118,23 +123,10 @@ def main() -> None:
     calibration = _calibration(spark, int(cpus))
 
     def emit(truncated: bool) -> None:
-        # headline keys LAST: the driver records only the stdout TAIL,
-        # which truncated the FRONT of this (long) line in rounds 1-5
-        # (BENCH_r0N.json "parsed": null) — with metric/value at the end
-        # they survive any tail cut. The leading newline guarantees the
-        # JSON starts a fresh line even after a \r progress bar.
-        payload = {
-            "queries": times,
-            "skipped": skipped,
-            "calibration": calibration,
-            "sf": sf,
-            "n_queries": len(times),
-            "truncated": truncated,
-            "metric": "total_query_wall_sec",
-            "unit": "sec",
-            "value": round(sum(times.values()), 3),
-        }
-        print("\n" + json.dumps(payload), flush=True)
+        print(
+            "\n" + json.dumps(build_payload(times, skipped, calibration, sf, truncated, metric)),
+            flush=True,
+        )
 
     # an external timeout (SIGTERM) must still leave ONE parseable JSON
     # line: flush what completed, marked truncated, then exit non-zero
@@ -161,6 +153,35 @@ def main() -> None:
         spark.catalog.clearCache()
 
     emit(truncated=False)
+
+
+def build_payload(
+    times: dict,
+    skipped: dict,
+    calibration: dict,
+    sf,
+    truncated: bool,
+    metric: str,
+) -> dict:
+    """Headline keys LAST: the driver records only the stdout TAIL,
+    which truncated the FRONT of this (long) line in rounds 1-5
+    (BENCH_r0N.json "parsed": null) — with metric/value at the end they
+    survive any tail cut. The leading newline at the print site
+    guarantees the JSON starts a fresh line even after a \\r progress
+    bar. test_bench_payload pins both the key ordering and the
+    survive-a-2KB-tail-cut property."""
+    return {
+        "queries": times,
+        "skipped": skipped,
+        "calibration": calibration,
+        "sf": sf,
+        "n_queries": len(times),
+        "n_skipped": len(skipped),
+        "truncated": truncated,
+        "metric": metric,
+        "unit": "sec",
+        "value": round(sum(times.values()), 3),
+    }
 
 
 def _calibration(spark, cpus: int) -> dict:

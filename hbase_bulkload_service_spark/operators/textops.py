@@ -16,6 +16,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+# int64 ppm-arithmetic bounds (ADVICE r06): non-ANSI Spark wraps
+# silently past these, corrupting ppm outputs while the DuckDB oracle
+# (HUGEINT) diverges — the guards below turn that into a loud job
+# failure. 3e6 keeps n²·1e6 inside int64 (3e6² · 1e6 = 9e18 < 2⁶³);
+# 3e12 keeps the TVD numerator ≤ 3·n_s·n_corpus·1e6 inside int64.
+INT64_SQ_PPM_BOUND = 3_000_000
+INT64_TVD_PRODUCT_BOUND = 3_000_000_000_000
+
+
+def int64_bound_guard(df: DataFrame, cond: Column, msg: Column) -> DataFrame:
+    """Row-preserving loud overflow guard: ``assert_true(cond)`` returns
+    NULL when ``cond`` holds (the coalesce keeps every row) and raises
+    ``msg`` when it doesn't — so exceeding a documented int64 ppm bound
+    fails the job instead of silently wrapping. Applied to group-level
+    frames only (one row per source/doc-census), so it costs nothing.
+    """
+    return df.filter(
+        F.coalesce(F.assert_true(cond, msg).cast("boolean"), F.lit(True))
+    )
+
+
 # deterministic marker vocabularies for the lang-ID heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "a", "value"],
@@ -1556,22 +1577,33 @@ def char_diversity(
     Scale shape: explode-to-chars → (doc, char) partial-agg (map-side
     combine collapses each doc's repeats inside the scan task) → one
     doc-keyed agg. No joins, no windows. Overflow guard: n²·1e6 stays
-    inside int64 for docs up to ~3M normalized chars — beyond that,
-    chunk first (chunk_documents).
+    inside int64 for docs up to ~3M normalized chars — past that the
+    job fails loudly (int64_bound_guard); chunk first
+    (chunk_documents).
     """
     chars = docs.select(
         "doc_id",
         F.explode(F.split(norm_text(F.col(text_col)), "")).alias("ch"),
     ).filter(F.col("ch") != "")
     per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    census = per_char.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_norm"),
+        F.count("*").alias("distinct_chars"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.max("c").alias("top_c"),
+    )
+    census = int64_bound_guard(
+        census,
+        F.col("n_chars_norm") <= F.lit(INT64_SQ_PPM_BOUND),
+        F.format_string(
+            "char_diversity int64 bound exceeded: doc %s has %s normalized"
+            " chars (> 3e6); chunk_documents first",
+            F.col("doc_id").cast("string"),
+            F.col("n_chars_norm").cast("string"),
+        ),
+    )
     return (
-        per_char.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_chars_norm"),
-            F.count("*").alias("distinct_chars"),
-            F.sum(F.col("c") * F.col("c")).alias("ss"),
-            F.max("c").alias("top_c"),
-        )
+        census
         .select(
             "doc_id",
             "n_chars_norm",
@@ -1655,9 +1687,9 @@ def kappa_agreement(
     ppm (Spark ``div`` / DuckDB ``//`` agree on the negative-kappa
     case), alongside po/pe ppm. Degenerate ``pe = 1`` yields NULL.
     Overflow bound: ``N²·1e6`` must fit int64, i.e. ≤ ~3e6 docs per
-    source — sample or shard a bigger stratum first (the verdict is a
-    rate; it is invariant under uniform per-source sampling in
-    expectation).
+    source — past that the job fails loudly (int64_bound_guard);
+    sample or shard a bigger stratum first (the verdict is a rate; it
+    is invariant under uniform per-source sampling in expectation).
 
     One doc-level map + one (group, label, pred)-keyed agg; everything
     after runs on the |groups|·|langs|²-bounded matrix.
@@ -1698,14 +1730,24 @@ def kappa_agreement(
             )
         ).alias("n_agree"),
     )
+    joined = tot.join(pe, "g", "left").select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        "n_agree",
+        F.coalesce("pe_num", F.lit(0).cast("long")).alias("pe_num"),
+    )
+    joined = int64_bound_guard(
+        joined,
+        F.col("n_docs") <= F.lit(INT64_SQ_PPM_BOUND),
+        F.format_string(
+            "kappa_agreement int64 bound exceeded: source %s has %s docs"
+            " (> 3e6); sample or shard the stratum first",
+            F.col(group_col).cast("string"),
+            F.col("n_docs").cast("string"),
+        ),
+    )
     return (
-        tot.join(pe, "g", "left")
-        .select(
-            F.col("g").alias(group_col),
-            "n_docs",
-            "n_agree",
-            F.coalesce("pe_num", F.lit(0).cast("long")).alias("pe_num"),
-        )
+        joined
         .select(
             group_col,
             "n_docs",
@@ -1738,9 +1780,11 @@ def token_tvd(
     ``c_w·N_s``, so the whole sum collapses to source-present rows:
     ``Σ_{w∈s} |c_sw·N − c_w·N_s| + N_s·(N − Σ_{w∈s} c_w)`` — pure
     integer cross-multiplication, no float probabilities, no
-    source×vocabulary grid. Overflow bound: N·N_s·1e6 must fit int64
-    (fine to ~10⁶ tokens/source · 10⁶ corpus tokens; shard the corpus
-    dimension beyond that).
+    source×vocabulary grid. Overflow bound: the numerator is at most
+    3·N·N_s, so N·N_s ≤ 3e12 keeps it·1e6 inside int64 (fine to ~10⁶
+    tokens/source · 10⁶ corpus tokens) — past that the job fails
+    loudly (int64_bound_guard, division-form so the check itself
+    cannot wrap); shard the corpus dimension beyond that.
 
     Shuffle census: one (source, word) agg off the exploded scan (the
     corpus totals derive from it — the corpus is never re-scanned),
@@ -1778,6 +1822,20 @@ def token_tvd(
             ).alias("present_num"),
             F.sum("c_w").alias("c_w_present"),
         )
+    )
+    j = int64_bound_guard(
+        j,
+        # division form: n_s·n_corpus ≤ 3e12 checked without the product
+        # itself (which could wrap inside the guard)
+        F.col("n_s") <= F.expr(f"{INT64_TVD_PRODUCT_BOUND} div n_corpus"),
+        F.format_string(
+            "token_tvd int64 bound exceeded: source %s has %s tokens"
+            " against a %s-token corpus (n_s*n_corpus > 3e12); shard the"
+            " corpus dimension first",
+            F.col("g").cast("string"),
+            F.col("n_s").cast("string"),
+            F.col("n_corpus").cast("string"),
+        ),
     )
     return j.select(
         F.col("g").alias(group_col),
