@@ -380,13 +380,20 @@ def funnel_conversion(
     ordering filter (`ts > t_first`) runs map-side, and a second keyed
     aggregate takes the min. Strictly-after semantics prevent the
     same-timestamp ambiguity from counting a purchase that raced the
-    click.
+    click. ``firsts`` feeds two consumers that prune it differently
+    (the q214/q216 exchange-reuse class — r07 sweep: events scanned 3x
+    before the persist), so it is persisted; it is first-step-key
+    cardinality, storage-bounded via cachereg.
     """
+    from hbase_bulkload_service_spark import cachereg
+
     firsts = (
         events.filter(F.col(type_col) == first_step)
         .groupBy(key_col)
         .agg(F.min(ts_col).alias("t_first"))
+        .persist()
     )
+    cachereg.register(firsts, family="funnel")
     seconds = (
         events.filter(F.col(type_col) == second_step)
         .join(firsts, key_col)
@@ -1911,11 +1918,18 @@ def countmin_estimates(
 
     if depth < 1 or width < 2 or top_n < 1:
         raise ValueError("need depth >= 1, width >= 2, top_n >= 1")
+    from hbase_bulkload_service_spark import cachereg
+
+    # truth fans into three consumers (cells, est, top) with different
+    # prunings — the q214/q216 exchange-reuse class (r07 sweep: the
+    # stream scanned twice before the persist). Key-cardinality-bounded.
     truth = (
         df.select(F.col(key_col).cast("string").alias("key"))
         .groupBy("key")
         .agg(F.count("*").alias("true_cnt"))
+        .persist()
     )
+    cachereg.register(truth, family="countmin")
     hashed = truth.select(
         "key",
         "true_cnt",

@@ -747,7 +747,13 @@ def source_reputation(
     NULL text hashes as empty text (every doc counts, the
     strip_boilerplate convention).
     """
+    from hbase_bulkload_service_spark import cachereg
+
     digest = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    # per_sd feeds the global digest counts AND the join with different
+    # prunings — the q214/q216 exchange-reuse class (r07 sweep: the
+    # corpus was scanned 4x before the persist). (source, digest)
+    # cardinality, storage-bounded via cachereg.
     per_sd = (
         docs.select(
             F.col(source_col).alias("source"),
@@ -756,7 +762,9 @@ def source_reputation(
         )
         .groupBy("source", "__digest")
         .agg(F.count("*").alias("__cnt"), F.sum("__chars").alias("__chr"))
+        .persist()
     )
+    cachereg.register(per_sd, family="sourcerep")
     global_counts = per_sd.groupBy("__digest").agg(
         F.sum("__cnt").alias("__gcnt")
     )
@@ -801,14 +809,21 @@ def source_overlap(
     20 sources pairs at most 20x20 rows per distinct content. NULL text
     hashes as empty (every doc counts).
     """
+    from hbase_bulkload_service_spark import cachereg
+
     digest = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    # the digest self-join consumes sd twice; Catalyst does not reuse
+    # the aliased branches (r07 sweep: 2 corpus scans, 1 reuse before
+    # the persist). (source, digest) cardinality, cachereg-bounded.
     sd = (
         docs.select(
             F.col(source_col).alias("__src"), digest.alias("__digest")
         )
         .groupBy("__src", "__digest")
         .agg(F.count("*").alias("__cnt"))
+        .persist()
     )
+    cachereg.register(sd, family="sourcerep")
     a = sd.select(
         F.col("__src").alias("source_a"),
         F.col("__digest").alias("__d"),
@@ -888,19 +903,31 @@ def dsir_importance(
             hash_bucket(F.col("__bg"), n_buckets).alias("bucket"),
         )
     )
-    stats = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
-        F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("__cr"),
+    from hbase_bulkload_service_spark import cachereg
+
+    # ONE corpus explode: collapse to (doc, side, bucket) counts first,
+    # then derive both the bucket score table and the per-doc features
+    # from that — before this restructure the explode subtree evaluated
+    # once per consumer (the q214/q216 exchange-reuse class; r07 sweep:
+    # 2 corpus scans). The collapsed table is (doc x distinct-bucket)
+    # incidence, cachereg-bounded like the gram index.
+    base = (
+        feats.groupBy(id_col, "__t", "bucket")
+        .agg(F.count("*").alias("__c"))
+        .persist()
+    )
+    cachereg.register(base, family="dsir")
+    stats = base.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__ct"),
+        F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.col("__c"))).alias(
+            "__cr"
+        ),
     )
     scores = stats.select(
         "bucket",
         F.expr("((__ct + 1) * 1000000) div (__cr + 1)").alias("__ratio_ppm"),
     )
-    doc_feats = (
-        feats.filter(~F.col("__t"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("__c"))
-    )
+    doc_feats = base.filter(~F.col("__t")).select(id_col, "bucket", "__c")
     weights = (
         doc_feats.join(F.broadcast(scores), "bucket")
         .groupBy(id_col)
@@ -1040,21 +1067,34 @@ def doremi_weights(
     toks = docs.select(
         F.col(source_col), F.explode(words_of(F.col(text_col))).alias("__w")
     )
+    # ONE corpus explode: collapse to the (source, word) count table —
+    # the token_tvd device — and derive both the top-V vocabulary and
+    # the per-source OOV loss from it (before: the explode evaluated
+    # once per consumer; r07 sweep: 2 corpus scans). (sources x vocab)
+    # cardinality, cachereg-bounded.
+    from hbase_bulkload_service_spark import cachereg
+
+    sw = (
+        toks.groupBy(source_col, "__w")
+        .agg(F.count("*").alias("__c"))
+        .persist()
+    )
+    cachereg.register(sw, family="doremi")
     vocab = (
-        toks.groupBy("__w")
-        .agg(F.count("*").alias("__cnt"))
+        sw.groupBy("__w")
+        .agg(F.sum("__c").alias("__cnt"))
         .orderBy(F.col("__cnt").desc(), F.col("__w"))
         .limit(vocab_size)
         .select("__w", F.lit(1).alias("__in"))
     )
     loss = (
-        toks.join(F.broadcast(vocab), "__w", "left")
+        sw.join(F.broadcast(vocab), "__w", "left")
         .groupBy(source_col)
         .agg(
-            F.count("*").alias("__n"),
-            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
-                "__oov"
-            ),
+            F.sum("__c").alias("__n"),
+            F.sum(
+                F.when(F.col("__in").isNull(), F.col("__c")).otherwise(0)
+            ).alias("__oov"),
         )
         .select(
             source_col, F.expr("__oov * 1000000 div __n").alias("loss")

@@ -493,7 +493,16 @@ def bm25_scores(
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
 
-    base = docs.select("doc_id", F.size(words_of(F.col(text_col))).alias("dl"))
+    # base feeds the corpus stats AND the per-doc join; unprotected, the
+    # text column is re-split once per consumer (the q214/q216
+    # exchange-reuse class; r07 sweep: 3 corpus scans in q104). Two ints
+    # per doc — persist is near-free.
+    from hbase_bulkload_service_spark import cachereg
+
+    base = docs.select(
+        "doc_id", F.size(words_of(F.col(text_col))).alias("dl")
+    ).persist()
+    cachereg.register(base, family="bm25")
     stats = base.agg(
         F.count("*").alias("n_docs"),
         F.expr("(10 * sum(dl)) div count(*)").alias("a10"),
@@ -803,6 +812,14 @@ def bpe_encode(
     words = docs.select(
         "doc_id", F.explode(words_of(F.col(text_col))).alias("word")
     ).filter(F.col("word") != "")  # empty docs contribute no words/tokens
+    # `words` feeds the vocab distinct AND the scoring join — a DELIBERATE
+    # double evaluation (r07 exchange-reuse sweep, adjudicated class D):
+    # the explode is scan-CPU with only SMALL exchanges above it
+    # (map-side-combined vocab distinct; broadcast join; doc-collapsed
+    # rollup), while deduplicating it via a (doc, word) count table adds
+    # a corpus-incidence-scale exchange + cache — MEASURED 5.5x slower
+    # at sf0.1 (5.6 -> 31 s) before being reverted. Recompute beats
+    # materialize when the shared frame is corpus-sized and cheap.
     syms = F.concat(F.split("word", ""), F.array(F.lit(end_marker)))
     for left, right in ranked:
         syms = _merge_pair(syms, left, right)
@@ -851,8 +868,19 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(words_of(F.col(text_col)), lambda x: x != "").alias("ws"),
     )
     words = wf.select(F.explode("ws").alias("w"))
-    uni = words.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
-    vv = words.agg(F.countDistinct("w").alias("v"))
+    # uni feeds both the vocab-size count and the scoring join (the
+    # q214/q216 exchange-reuse class; r07 sweep: 3 corpus scans before
+    # this) — persist it (vocab-bounded) and derive V as its row count
+    # instead of a second corpus-wide countDistinct pass.
+    from hbase_bulkload_service_spark import cachereg
+
+    uni = (
+        words.groupBy(F.col("w").alias("w1"))
+        .agg(F.count("*").alias("c1"))
+        .persist()
+    )
+    cachereg.register(uni, family="bigramlm")
+    vv = uni.agg(F.count("*").alias("v"))
     pairs = wf.filter(F.size("ws") >= 2).select(
         "doc_id",
         F.explode(
@@ -926,11 +954,25 @@ def strip_boilerplate(
         "\\" + ch if ch in r"\.[]{}()*+-?^$|" else ch for ch in sep
     )
     arr = F.split(F.coalesce(F.col(text_col), F.lit("")), sep_re)
-    lines = docs.select(
-        "doc_id",
-        source_col,
-        F.posexplode_outer(arr).alias("pos", "line"),
-    ).select("doc_id", source_col, "pos", F.md5(F.col("line")).alias("_lh"))
+    # lines feeds the df aggregate AND the verdict semi-join with
+    # different prunings (the q214/q216 exchange-reuse class; r07 sweep:
+    # the split+md5 pass ran once per consumer). Digest-incidence
+    # cardinality (16-byte hashes + ints, never line text) — persist,
+    # cachereg-bounded like the gram index.
+    from hbase_bulkload_service_spark import cachereg
+
+    lines = (
+        docs.select(
+            "doc_id",
+            source_col,
+            F.posexplode_outer(arr).alias("pos", "line"),
+        )
+        .select(
+            "doc_id", source_col, "pos", F.md5(F.col("line")).alias("_lh")
+        )
+        .persist()
+    )
+    cachereg.register(lines, family="boilerplate")
     freq = lines.groupBy(source_col, "_lh").agg(
         F.count_distinct("doc_id").alias("line_df")
     )
@@ -1294,6 +1336,14 @@ def vocab_coverage(
     toks = docs.select(
         F.col(id_col), F.explode(words_of(F.col(text_col))).alias("__w")
     )
+    # `toks` feeds the frequency table AND the per-doc rollup — a
+    # DELIBERATE double evaluation (r07 exchange-reuse sweep,
+    # adjudicated class D): every exchange above the explode is small
+    # (map-side-combined vocab agg + TakeOrdered; broadcast join;
+    # doc-collapsed rollup), while deduplicating the explode via a
+    # (doc, word) count table adds a corpus-incidence-scale exchange +
+    # cache for zero wall gain at sf0.1 (measured 1.01x) and a strict
+    # loss at 100 TB. Same adjudication as bpe_encode.
     vocab = (
         toks.groupBy("__w")
         .agg(F.count("*").alias("__cnt"))
@@ -1807,7 +1857,10 @@ def token_tvd(
     totals = sw.groupBy("g").agg(
         F.sum("c_sw").alias("n_s"), F.count("*").alias("n_types")
     )
-    n_corpus = wtot.agg(F.sum("c_w").alias("n_corpus"))
+    # corpus total from the SOURCES-bounded totals, not a second pass
+    # over the vocab-sized wtot (r07 exchange-reuse sweep): sum_g n_s ==
+    # sum_w c_w by construction.
+    n_corpus = totals.agg(F.sum("n_s").alias("n_corpus"))
     j = (
         sw.join(wtot, "w")
         .join(F.broadcast(totals), "g")

@@ -202,10 +202,19 @@ def q204_rollup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagreements, each classified. All three discrepancy classes are
     live at sf0.01. One rollup-grain full-outer exchange; the report
     is discrepancy-sized."""
+    from hbase_bulkload_service_spark import cachereg
+
     ev = load_events(spark, sf_dir, spread=True)
-    expected = ev.groupBy(
-        "user_id", F.expr(f"ts_ms div {_RC_SLOT}").alias("slot")
-    ).agg(F.sum(cents(F.col("value"))).alias("cents"))
+    # expected feeds three consumers (two fault-injection branches + the
+    # reconcile join) with different prunings — the q214/q216
+    # exchange-reuse class (r07 sweep: events scanned 3x before the
+    # persist). Rollup-grain (user x slot), cachereg-bounded.
+    expected = (
+        ev.groupBy("user_id", F.expr(f"ts_ms div {_RC_SLOT}").alias("slot"))
+        .agg(F.sum(cents(F.col("value"))).alias("cents"))
+        .persist()
+    )
+    cachereg.register(expected, family="reconcile")
     stored = (
         expected.filter(F.col("user_id") % _RC_DROP != 3)
         .withColumn(
