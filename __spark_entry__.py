@@ -103,8 +103,13 @@ PRIORITY = [
     "q78_scd2_history",
     # -- 6. flagship e2e --
     "q56_bulkload_e2e",
-    # -- 7. wave-30 (new this round; capped at 4) fills the remaining
-    #       slots — names appended below when registered --
+    # -- 7. wave-30 (new this round; capped at exactly the 4 free
+    #       slots): the SNAPPY full-DDL container gate + winnowing +
+    #       label majority + vocab concentration --
+    "q221_hfilev3_snappy",
+    "q222_winnowing",
+    "q223_label_majority",
+    "q224_vocab_concentration",
 ]
 
 

@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.session import pinned_width
 
-__all__ = ["expectations_audit"]
+__all__ = ["expectations_audit", "label_majority"]
 
 
 def expectations_audit(
@@ -404,5 +404,48 @@ def column_profile_sketch(
                 F.abs(F.col("__hll") - F.col("n_distinct")) * 1_000_000
                 <= F.lit(rel_err_ppm) * F.col("n_distinct")
             ).alias("hll_within_bound"),
+        )
+    )
+
+
+def label_majority(
+    votes,
+    item_col: str = "doc_id",
+    ann_col: str = "annotator",
+    label_col: str = "label",
+):
+    """Majority-vote label aggregation — the annotation-consolidation
+    step of a labeling/RLHF pipeline: per item, the label with the most
+    votes, ties broken deterministically to the lexicographically
+    smallest label (the Dawid-Skene initialization every aggregation
+    scheme starts from; kappa_agreement then scores annotators against
+    the consolidated labels).
+
+    Output per item: ``(item, maj_label, n_votes, maj_votes,
+    unanimous)``.
+
+    Scale shape: one (item, label) map-side-combined hash agg collapses
+    the vote stream, then ONE item-keyed agg computes the argmax via
+    ``min_by(lbl, struct(-c, lbl))`` — max count, then min label,
+    single pass, no join-back, no window over raw votes.
+    """
+    from pyspark.sql import functions as F
+
+    counts = votes.groupBy(
+        F.col(item_col).alias("item"), F.col(label_col).alias("lbl")
+    ).agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("item")
+        .agg(
+            F.expr("min_by(lbl, struct(-c, lbl))").alias("maj_label"),
+            F.sum("c").cast("long").alias("n_votes"),
+            F.max("c").cast("long").alias("maj_votes"),
+        )
+        .select(
+            F.col("item").alias(item_col),
+            "maj_label",
+            "n_votes",
+            "maj_votes",
+            (F.col("maj_votes") == F.col("n_votes")).alias("unanimous"),
         )
     )

@@ -2005,3 +2005,160 @@ def calibrated_length_floor(
             F.expr("n_flagged * 1000000 div n_docs").alias("flagged_ppm"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-word gram, slide a
+    ``window``-wide window over the hash sequence, and select each
+    window's minimum hash with the RIGHTMOST tie-break — the guarantee
+    is that any shared substring of at least ``k + window - 1`` words
+    produces at least one shared fingerprint, at ~2/(window+1)
+    selection density. The local-fingerprint primitive between exact
+    hashing (too brittle) and MinHash (no position locality): plagiarism
+    / clone detection and positional near-dup evidence.
+
+    Output per document: ``(doc_id, n_grams, n_windows,
+    n_fingerprints, density_ppm, fp_digest)`` where ``fp_digest`` is
+    md5 over the sorted distinct "pos:hash" fingerprint strings — the
+    digest pins the exact selected set, not just its size. Documents
+    shorter than ``k`` words emit zeros with an empty-set digest.
+
+    Scale shape: ENTIRELY map-side — grams, hashes, window minima, and
+    the digest are array expressions inside the scan projection; no
+    explode ever reaches an exchange, so at 100 TB this fuses into
+    whatever scan reads the text. Hashes are the engine-portable 32-bit
+    md5-prefix device (same as curation.hash_bucket). The rightmost
+    minimum comes from reverse+array_position (both engines index the
+    reversed window identically) — no iterative reduce.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    maxlong = (1 << 63) - 1
+    expr = f"""
+    CASE WHEN size(__ws) >= {k} THEN
+      transform(sequence(0, size(__ws) - {k}),
+                i -> concat_ws(' ', slice(__ws, i + 1, {k})))
+    ELSE array() END
+    """
+    hashes = f"""
+    transform(__grams, g ->
+        cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))
+    """
+    sel = f"""
+    CASE WHEN size(__hs) = 0 THEN array()
+    ELSE transform(
+      sequence(0, IF(size(__hs) < {window}, 0, size(__hs) - {window})),
+      w -> concat(
+        cast(w + least({window}, size(__hs) - w)
+               - array_position(
+                   reverse(slice(__hs, w + 1, least({window}, size(__hs) - w))),
+                   array_min(slice(__hs, w + 1, least({window}, size(__hs) - w)))
+                 ) as string),
+        ':',
+        cast(array_min(slice(__hs, w + 1, least({window}, size(__hs) - w)))
+             as string)))
+    END
+    """
+    return (
+        docs.select(
+            "doc_id",
+            F.filter(words_of(F.col(text_col)), lambda x: x != "").alias(
+                "__ws"
+            ),
+        )
+        .select("doc_id", F.expr(expr).alias("__grams"))
+        .select(
+            "doc_id",
+            F.size("__grams").cast("long").alias("n_grams"),
+            F.expr(hashes).alias("__hs"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.expr(
+                f"CASE WHEN n_grams = 0 THEN 0"
+                f" WHEN n_grams < {window} THEN 1"
+                f" ELSE n_grams - {window} + 1 END"
+            ).cast("long").alias("n_windows"),
+            F.expr(f"array_sort(array_distinct({sel}))").alias("__fps"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_windows",
+            F.size("__fps").cast("long").alias("n_fingerprints"),
+            F.expr(
+                "CASE WHEN n_windows = 0 THEN 0"
+                " ELSE size(__fps) * 1000000 div n_windows END"
+            ).cast("long").alias("density_ppm"),
+            F.md5(F.array_join("__fps", ",")).alias("fp_digest"),
+        )
+    )
+
+
+def vocab_concentration(
+    docs: DataFrame,
+    ks: tuple = (1, 10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary concentration curve: the cumulative corpus-token share
+    of the top-k words at each ``k`` — the Zipf-shape health readout
+    that catches template floods and boilerplate regressions (a crawl
+    whose top-10 share jumps is repeating itself) without any float
+    log-log fit: every number is an exact integer or truncating ppm.
+
+    Output: one row per k — ``(k, cum_cnt, share_ppm, n_vocab,
+    n_tokens)``; ``cum_cnt`` saturates at the corpus total when k
+    exceeds the vocabulary.
+
+    Scale shape: one word-keyed map-side-combined agg; the top-max(k)
+    cut is orderBy+limit => TakeOrderedAndProject; the rank window and
+    the per-k rollup run over max(k) rows (metadata-scale); corpus
+    totals ride a broadcast 1-row cross join.
+    """
+    from pyspark.sql.window import Window
+
+    ks = sorted(set(int(x) for x in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive integers")
+    counts = (
+        docs.select(F.explode(words_of(F.col(text_col))).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    totals = counts.agg(
+        F.count("*").alias("n_vocab"), F.sum("__cnt").alias("n_tokens")
+    )
+    top = counts.orderBy(F.col("__cnt").desc(), F.col("__w")).limit(ks[-1])
+    ranked = top.withColumn(
+        "__rnk",
+        F.row_number().over(Window.orderBy(F.col("__cnt").desc(), F.col("__w"))),
+    )
+    cum_aggs = [
+        F.sum(F.when(F.col("__rnk") <= kk, F.col("__cnt")).otherwise(0))
+        .cast("long")
+        .alias(f"_c{kk}")
+        for kk in ks
+    ]
+    one = ranked.agg(*cum_aggs)
+    stack_args = ", ".join(f"{kk}, _c{kk}" for kk in ks)
+    return (
+        one.selectExpr(
+            f"stack({len(ks)}, {stack_args}) AS (k, cum_cnt)"
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "cum_cnt",
+            F.expr("cum_cnt * 1000000 div n_tokens").alias("share_ppm"),
+            "n_vocab",
+            "n_tokens",
+        )
+    )

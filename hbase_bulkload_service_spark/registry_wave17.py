@@ -84,9 +84,9 @@ def q168_hfilev3_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     block arithmetic (checksums over compressed bytes, index sizes in
     on-disk terms, trailer codec ordinal 1) is exercised end-to-end and
     must reproduce the same per-region summary as the uncompressed gate
-    and the shared container-agnostic oracle. GZ stands in for the
-    reference DDL's SNAPPY (HBaseManager.java:381 — same framing, codec
-    library not present in this container; both are one-ordinal swaps)."""
+    and the shared container-agnostic oracle. (The reference DDL's own
+    SNAPPY codec is gated by q221 — round 7 added a pure-Python snappy
+    implementation; GZ remains as the deflate-family codec gate.)"""
     cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
     c1 = cells.withColumn("value", tsdb.encode_double_be(F.col("dvalue")))
     kv = tsdb.bulkload_kv(c1, num_partitions=16, tie_col="dvalue")

@@ -20,9 +20,12 @@ public-source knowledge):
                       version word (major=3 | minor=3 << 24)
 
 Choices within the format (all valid HFiles):
-- ``compression`` NONE or GZ (trailer codec ordinal 2 / 1). GZ stands in
-  for the reference DDL's SNAPPY (``HBaseManager.java:381`` — identical
-  framing, snappy lib absent in this sandbox; one-ordinal swap).
+- ``compression`` NONE, GZ, or SNAPPY (trailer codec ordinals 2 / 1 /
+  3). SNAPPY is the reference DDL's own codec
+  (``HBaseManager.java:381``); no snappy library exists in this
+  sandbox, so the raw snappy format and Hadoop's BlockCompressorStream
+  framing are implemented here in pure Python (see the Snappy codec
+  section) — round 7 closed this last reference-DDL delta.
 - ``encoding`` NONE or DIFF: DIFF writes ENCODED_DATA blocks
   ("DATABLKE", 2-byte encoding id 4) whose payload is the
   ``DiffKeyDeltaEncoder`` stream — per-cell flag byte, compressed-int
@@ -83,6 +86,13 @@ CHECKSUM_CRC32 = 1  # ChecksumType.CRC32 code
 BYTES_PER_CHECKSUM = 16384  # HConstants.DEFAULT_BYTES_PER_CHECKSUM
 COMPRESSION_GZ_ORDINAL = 1  # Compression.Algorithm ordinals: LZO,GZ,NONE,..
 COMPRESSION_NONE_ORDINAL = 2
+COMPRESSION_SNAPPY_ORDINAL = 3  # ...,SNAPPY,LZ4,BZIP2,ZSTD
+COMPRESSION_ORDINALS = {
+    "GZ": COMPRESSION_GZ_ORDINAL,
+    "NONE": COMPRESSION_NONE_ORDINAL,
+    "SNAPPY": COMPRESSION_SNAPPY_ORDINAL,
+}
+ORDINAL_CODECS = {v: k for k, v in COMPRESSION_ORDINALS.items()}
 KEYVALUE_TYPE_PUT = 4  # KeyValue.Type.Put code
 COMPARATOR = b"org.apache.hadoop.hbase.CellComparatorImpl"
 PB_MAGIC = b"PBUF"  # ProtobufMagic.PB_MAGIC (file-info block prefix)
@@ -387,7 +397,7 @@ def _parse_bloom_meta(payload: bytes) -> dict:
     }
 
 
-def _bloom_contains(data: bytes, bloom: dict, row: bytes, gz: bool) -> bool:
+def _bloom_contains(data: bytes, bloom: dict, row: bytes, codec: bool) -> bool:
     """CompoundBloomFilter.contains: root-index the chunk whose first
     key is the last one <= row, load just that chunk, probe its bits."""
     import bisect
@@ -398,7 +408,7 @@ def _bloom_contains(data: bytes, bloom: dict, row: bytes, gz: bool) -> bool:
     if ci < 0:
         return False  # row sorts before every chunk — cannot be present
     payload, odwh, _, _ = _parse_block(
-        data, chunks[ci][0], BLOCK_MAGIC_BLOOM_CHUNK, gz
+        data, chunks[ci][0], BLOCK_MAGIC_BLOOM_CHUNK, codec
     )
     if odwh != chunks[ci][1]:
         raise AssertionError("bloom index onDiskSize disagrees for a chunk")
@@ -636,15 +646,205 @@ def _gzip_compress(payload: bytes) -> bytes:
     return co.compress(payload) + co.flush()
 
 
+# --- Snappy codec (pure Python; closes the last reference-DDL delta) --------
+#
+# The reference ships SNAPPY HFiles (bulkload/HFileOutputUtil.java:23,
+# manager/HBaseManager.java:381). No snappy library exists in this
+# sandbox, so the raw format (google/snappy format_description.txt) and
+# Hadoop's BlockCompressorStream framing (what HBase's SNAPPY codec
+# writes per block: 4-byte BE uncompressed length, then one or more
+# [4-byte BE compressed length][raw snappy chunk]) are implemented
+# here. The compressor is a greedy hash-match encoder — any conforming
+# snappy decoder reads its output; the decoder handles the full element
+# set (literals + all three copy forms), so externally-produced files
+# read back too. Compressed bytes are never compared across
+# implementations (same contract as GZ).
+
+_SNAPPY_HADOOP_BUFFER = 256 * 1024  # io.compression.codec.snappy.buffersize
+
+
+def _snappy_compress_raw(data: bytes) -> bytes:
+    """One snappy 'compressed data' stream: varint32 uncompressed
+    length, then literal/copy elements (greedy 4-byte hash matcher,
+    64-byte copies, 16-bit offsets)."""
+    n = len(data)
+    out = bytearray()
+    v = n
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    if n == 0:
+        return bytes(out)
+
+    def emit_literal(start: int, end: int) -> None:
+        while start < end:
+            ln = min(end - start, 65536)
+            if ln <= 60:
+                out.append(((ln - 1) << 2) | 0)
+            elif ln <= 256:
+                out.append((60 << 2) | 0)
+                out.append(ln - 1)
+            else:
+                out.append((61 << 2) | 0)
+                out.extend((ln - 1).to_bytes(2, "little"))
+            out.extend(data[start : start + ln])
+            start += ln
+
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    limit = n - 4
+    while i <= limit:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 65535:
+            length = 4
+            maxlen = min(n - i, 64)
+            while length < maxlen and data[j + length] == data[i + length]:
+                length += 1
+            if lit_start < i:
+                emit_literal(lit_start, i)
+            off = i - j
+            if off < 2048 and length <= 11:
+                out.append(((off >> 8) << 5) | ((length - 4) << 2) | 1)
+                out.append(off & 0xFF)
+            else:
+                out.append(((length - 1) << 2) | 2)
+                out += off.to_bytes(2, "little")
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    if lit_start < n:
+        emit_literal(lit_start, n)
+    return bytes(out)
+
+
+def _snappy_decompress_raw(buf: bytes) -> bytes:
+    """Decode one snappy compressed stream (full element set)."""
+    pos = 0
+    n = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    out = bytearray()
+    end = len(buf)
+    while pos < end:
+        tag = buf[pos]
+        pos += 1
+        t = tag & 3
+        if t == 0:
+            ln = tag >> 2
+            if ln >= 60:
+                extra = ln - 59
+                ln = int.from_bytes(buf[pos : pos + extra], "little")
+                pos += extra
+            ln += 1
+            out += buf[pos : pos + ln]
+            pos += ln
+            continue
+        if t == 1:
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | buf[pos]
+            pos += 1
+        elif t == 2:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(buf[pos : pos + 2], "little")
+            pos += 2
+        else:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise AssertionError("snappy copy offset out of range")
+        start = len(out) - off
+        if off >= ln:
+            out += out[start : start + ln]
+        else:  # overlapping copy: byte-at-a-time RLE semantics
+            for k in range(ln):
+                out.append(out[start + k])
+    if len(out) != n:
+        raise AssertionError("snappy uncompressed length disagrees")
+    return bytes(out)
+
+
+def _snappy_hadoop_compress(payload: bytes) -> bytes:
+    """Hadoop BlockCompressorStream framing over raw snappy chunks."""
+    out = bytearray()
+    for s in range(0, max(len(payload), 1), _SNAPPY_HADOOP_BUFFER):
+        block = payload[s : s + _SNAPPY_HADOOP_BUFFER]
+        raw = _snappy_compress_raw(block)
+        out += struct.pack(">I", len(block))
+        out += struct.pack(">I", len(raw))
+        out += raw
+    return bytes(out)
+
+
+def _snappy_hadoop_decompress(disk: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(disk):
+        (ulen,) = struct.unpack_from(">I", disk, pos)
+        pos += 4
+        got = 0
+        while got < ulen or (ulen == 0 and got == 0):
+            (clen,) = struct.unpack_from(">I", disk, pos)
+            pos += 4
+            chunk = _snappy_decompress_raw(disk[pos : pos + clen])
+            pos += clen
+            out += chunk
+            got += len(chunk)
+            if ulen == 0:
+                break
+    return bytes(out)
+
+
+def _compress_payload(payload: bytes, codec) -> bytes:
+    codec = _codec_name(codec)
+    if codec == "GZ":
+        return _gzip_compress(payload)
+    if codec == "SNAPPY":
+        return _snappy_hadoop_compress(payload)
+    return payload
+
+
+def _decompress_payload(disk_payload: bytes, codec) -> bytes:
+    codec = _codec_name(codec)
+    if codec == "GZ":
+        return zlib.decompress(disk_payload, 16 + zlib.MAX_WBITS)
+    if codec == "SNAPPY":
+        return _snappy_hadoop_decompress(disk_payload)
+    return disk_payload
+
+
+def _codec_name(codec) -> str:
+    """Normalize the block-codec argument: legacy booleans (the pre-
+    SNAPPY plumbing) mean GZ/NONE; strings pass through validated."""
+    if codec is True:
+        return "GZ"
+    if codec is False or codec is None:
+        return "NONE"
+    if codec in COMPRESSION_ORDINALS:
+        return codec
+    raise ValueError(f"unsupported block codec {codec!r}")
+
+
 def _write_block(
-    out, magic: bytes, payload: bytes, prev_offset: int, compress: bool = False
+    out, magic: bytes, payload: bytes, prev_offset: int, compress=False
 ) -> tuple[int, int, int]:
-    """Write one v2/v3 block (33-byte header, payload — gzip-compressed
-    when ``compress`` — then CRC32 chunk checksums over header + on-disk
-    payload). Returns (offset, on_disk_size_with_header,
-    uncompressed_size_with_header)."""
+    """Write one v2/v3 block (33-byte header, payload — compressed per
+    ``compress`` (codec name or legacy bool) — then CRC32 chunk
+    checksums over header + on-disk payload). Returns (offset,
+    on_disk_size_with_header, uncompressed_size_with_header)."""
     offset = out.tell()
-    disk_payload = _gzip_compress(payload) if compress else payload
+    disk_payload = _compress_payload(payload, compress)
     on_disk_data_with_header = HEADER_SIZE + len(disk_payload)
     n_chunks = -(-on_disk_data_with_header // BYTES_PER_CHECKSUM)
     on_disk_without_header = len(disk_payload) + 4 * n_chunks
@@ -670,11 +870,11 @@ def _parse_block(
     data: bytes,
     offset: int,
     expect_magic: bytes | None = None,
-    compressed: bool = False,
+    compressed=False,
 ):
-    """Parse + checksum-verify one block (decompressing GZ payloads when
-    ``compressed``); returns (payload, on_disk_size_with_header,
-    prev_offset, magic)."""
+    """Parse + checksum-verify one block (decompressing per
+    ``compressed`` — codec name or legacy bool); returns (payload,
+    on_disk_size_with_header, prev_offset, magic)."""
     hdr = data[offset : offset + HEADER_SIZE]
     if len(hdr) < HEADER_SIZE:
         raise AssertionError("truncated block header")
@@ -698,10 +898,7 @@ def _parse_block(
         (want,) = struct.unpack_from(">I", csums, 4 * c)
         if zlib.crc32(chunk) & 0xFFFFFFFF != want:
             raise AssertionError(f"CRC mismatch in chunk {c} at offset {offset}")
-    if compressed:
-        payload = zlib.decompress(disk_payload, 16 + zlib.MAX_WBITS)
-    else:
-        payload = disk_payload
+    payload = _decompress_payload(disk_payload, compressed)
     if len(payload) != uncompressed:
         raise AssertionError("uncompressedSizeWithoutHeader disagrees")
     return payload, HEADER_SIZE + on_disk_without_header, prev, magic
@@ -757,9 +954,11 @@ def write_hfile_v3(
 ) -> dict:
     """Write sorted cells ((row, family, qualifier, ts, value) tuples,
     ascending in CellComparator order) as one HFile v3. ``compression``
-    is NONE or GZ (the gzip codec, Compression.Algorithm.GZ — applied to
-    EVERY block's payload, data and load-on-open alike, exactly as the
-    file-wide codec works in HBase). ``index_chunk_entries > 0`` writes
+    is NONE, GZ, or SNAPPY (Compression.Algorithm ordinals 2/1/3 —
+    applied to EVERY block's payload, data and load-on-open alike,
+    exactly as the file-wide codec works in HBase; SNAPPY is the
+    reference DDL's own codec, pure-Python raw snappy under Hadoop's
+    BlockCompressorStream framing). ``index_chunk_entries > 0`` writes
     a TWO-LEVEL index: inline LEAF_INDEX blocks every that-many data
     blocks (HBase's non-root format) with the root pointing at the
     leaves — the shape that keeps the load-on-open root small for
@@ -772,11 +971,11 @@ def write_hfile_v3(
     GENERAL_BLOOM_META in load-on-open) — together the reference DDL's
     full feature set (``HBaseManager.java:379-385``). Returns summary
     meta (rows, first/last row hex, block count, file size)."""
-    if compression not in ("NONE", "GZ"):
-        raise ValueError("compression must be NONE or GZ")
+    if compression not in COMPRESSION_ORDINALS:
+        raise ValueError("compression must be NONE, GZ, or SNAPPY")
     if encoding not in ("NONE", "DIFF"):
         raise ValueError("encoding must be NONE or DIFF")
-    gz = compression == "GZ"
+    codec = compression
     diff = encoding == "DIFF"
 
     # peek the first cell BEFORE creating the file: a refused (empty)
@@ -823,7 +1022,7 @@ def write_hfile_v3(
             payload = _leaf_index_payload(pending_leaf)
             leaf_payload_bytes += len(payload)
             off, odwh, unc = _write_block(
-                out, BLOCK_MAGIC_LEAF_INDEX, payload, prev_leaf_offset, gz
+                out, BLOCK_MAGIC_LEAF_INDEX, payload, prev_leaf_offset, codec
             )
             leaves.append((off, odwh, pending_leaf[0][2]))
             prev_leaf_offset = off
@@ -837,7 +1036,7 @@ def write_hfile_v3(
                 return
             payload = _bloom_chunk_payload(bloom_rows)
             off, odwh, unc = _write_block(
-                out, BLOCK_MAGIC_BLOOM_CHUNK, payload, prev_bloom_offset, gz
+                out, BLOCK_MAGIC_BLOOM_CHUNK, payload, prev_bloom_offset, codec
             )
             bloom_chunks.append((off, odwh, bloom_rows[0]))
             bloom_total_bytes += len(payload)
@@ -859,7 +1058,7 @@ def write_hfile_v3(
                 )
                 magic = BLOCK_MAGIC_DATA
             off, odwh, unc = _write_block(
-                out, magic, payload, prev_data_offset, gz
+                out, magic, payload, prev_data_offset, codec
             )
             blocks.append((off, odwh, cur_first_key))
             prev_data_offset = off
@@ -928,12 +1127,12 @@ def write_hfile_v3(
             idx_payload += struct.pack(">i", leaves[mid_leaf][1])
             idx_payload += struct.pack(">i", within)
         _, _, unc = _write_block(
-            out, BLOCK_MAGIC_ROOT_INDEX, bytes(idx_payload), -1, gz
+            out, BLOCK_MAGIC_ROOT_INDEX, bytes(idx_payload), -1, codec
         )
         total_uncompressed += unc
         uncompressed_index_size = len(idx_payload) + leaf_payload_bytes
         # meta index (zero entries — still a root-index block)
-        _, _, unc = _write_block(out, BLOCK_MAGIC_ROOT_INDEX, b"", -1, gz)
+        _, _, unc = _write_block(out, BLOCK_MAGIC_ROOT_INDEX, b"", -1, codec)
         total_uncompressed += unc
         # file info
         file_info_offset = out.tell()
@@ -954,7 +1153,7 @@ def write_hfile_v3(
             for k, v in sorted(entries)
         )
         fi_payload = PB_MAGIC + _pb_varint(len(proto)) + proto
-        _, _, unc = _write_block(out, BLOCK_MAGIC_FILE_INFO, fi_payload, -1, gz)
+        _, _, unc = _write_block(out, BLOCK_MAGIC_FILE_INFO, fi_payload, -1, codec)
         total_uncompressed += unc
         # general bloom meta — last load-on-open block before the
         # trailer, exactly where HFileWriterImpl.close puts it
@@ -962,7 +1161,7 @@ def write_hfile_v3(
             bm = _bloom_meta_payload(
                 bloom_chunks, bloom_total_bytes, bloom_key_count
             )
-            _, _, unc = _write_block(out, BLOCK_MAGIC_BLOOM_META, bm, -1, gz)
+            _, _, unc = _write_block(out, BLOCK_MAGIC_BLOOM_META, bm, -1, codec)
             total_uncompressed += unc
 
         # --- fixed trailer (4096 bytes for v3) ---
@@ -981,7 +1180,7 @@ def write_hfile_v3(
                 _pb_field_varint(10, blocks[-1][0]),  # last_data_block_offset
                 _pb_field_bytes(11, COMPARATOR),
                 _pb_field_varint(
-                    12, COMPRESSION_GZ_ORDINAL if gz else COMPRESSION_NONE_ORDINAL
+                    12, COMPRESSION_ORDINALS[codec]
                 ),
             ]
         )
@@ -1042,18 +1241,15 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
     }
     if meta["num_data_index_levels"] not in (1, 2):
         raise AssertionError("only 1- and 2-level indexes are written/read")
-    if meta["compression_codec"] == COMPRESSION_GZ_ORDINAL:
-        gz = True
-    elif meta["compression_codec"] == COMPRESSION_NONE_ORDINAL:
-        gz = False
-    else:
+    if meta["compression_codec"] not in ORDINAL_CODECS:
         raise AssertionError(
             f"unsupported codec ordinal {meta['compression_codec']}"
         )
+    codec = ORDINAL_CODECS[meta["compression_codec"]]
 
     # root data index
     idx_payload, idx_size, _, _ = _parse_block(
-        data, meta["load_on_open_offset"], BLOCK_MAGIC_ROOT_INDEX, gz
+        data, meta["load_on_open_offset"], BLOCK_MAGIC_ROOT_INDEX, codec
     )
     entries = []
     pos = 0
@@ -1091,7 +1287,7 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
         data_entries = []
         for off, odwh, first_key in entries:
             payload, size_wh, _, _ = _parse_block(
-                data, off, BLOCK_MAGIC_LEAF_INDEX, gz
+                data, off, BLOCK_MAGIC_LEAF_INDEX, codec
             )
             if size_wh != odwh:
                 raise AssertionError("root onDiskSize disagrees for a leaf")
@@ -1106,13 +1302,13 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
         entries = data_entries
     # meta index (must parse, zero entries)
     m_payload, _, _, _ = _parse_block(
-        data, meta["load_on_open_offset"] + idx_size, BLOCK_MAGIC_ROOT_INDEX, gz
+        data, meta["load_on_open_offset"] + idx_size, BLOCK_MAGIC_ROOT_INDEX, codec
     )
     if meta["meta_index_count"] == 0 and m_payload != b"":
         raise AssertionError("meta index should be empty")
     # file info
     fi_payload, fi_size, _, _ = _parse_block(
-        data, meta["file_info_offset"], BLOCK_MAGIC_FILE_INFO, gz
+        data, meta["file_info_offset"], BLOCK_MAGIC_FILE_INFO, codec
     )
     if fi_payload[:4] != PB_MAGIC:
         raise AssertionError("file info lacks PBUF magic")
@@ -1128,7 +1324,7 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
     bloom_meta = None
     next_off = meta["file_info_offset"] + fi_size
     while next_off < toff:
-        payload, bsize, _, magic = _parse_block(data, next_off, None, gz)
+        payload, bsize, _, magic = _parse_block(data, next_off, None, codec)
         if magic == BLOCK_MAGIC_BLOOM_META:
             if bloom_meta is not None:
                 raise AssertionError("duplicate general bloom meta")
@@ -1155,7 +1351,7 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
     prev_row = None
     for i, (off, odwh, first_key) in enumerate(entries):
         payload, size_with_header, prev, magic = _parse_block(
-            data, off, data_magic, gz
+            data, off, data_magic, codec
         )
         if size_with_header != odwh:
             raise AssertionError(f"index onDiskSize disagrees for block {i}")
@@ -1196,7 +1392,7 @@ def read_hfile_v3(fname: str) -> tuple[list, dict]:
         if block_first != first_key:
             raise AssertionError(f"index first-key disagrees for block {i}")
         if bloom_meta is not None and not _bloom_contains(
-            data, bloom_meta, decode_cell_key(block_first)[0], gz
+            data, bloom_meta, decode_cell_key(block_first)[0], codec
         ):
             raise AssertionError(
                 f"bloom false-negative on block {i}'s first row"
@@ -1376,12 +1572,12 @@ def seek_row_hfile_v3(fname: str, row: bytes, stats: dict | None = None) -> list
         raise AssertionError("bad trailer magic")
     tlen, pos = _pb_read_varint(data, toff + 8)
     t = _pb_decode(data[pos : pos + tlen])
-    gz = t[12][0] == COMPRESSION_GZ_ORDINAL
+    codec = ORDINAL_CODECS[t[12][0]]
     levels = t[8][0]
 
     # load-on-open walk past the file info for the general bloom meta
     fi_payload, fi_size, _, _ = _parse_block(
-        data, t[1][0], BLOCK_MAGIC_FILE_INFO, gz
+        data, t[1][0], BLOCK_MAGIC_FILE_INFO, codec
     )
     filen, fpos = _pb_read_varint(fi_payload, 4)
     fi_fields = _pb_decode(fi_payload[fpos : fpos + filen])
@@ -1392,15 +1588,15 @@ def seek_row_hfile_v3(fname: str, row: bytes, stats: dict | None = None) -> list
     enc_diff = file_info.get(FI_DATA_BLOCK_ENCODING) == b"DIFF"
     next_off = t[1][0] + fi_size
     while next_off < toff:
-        payload, bsize, _, magic = _parse_block(data, next_off, None, gz)
+        payload, bsize, _, magic = _parse_block(data, next_off, None, codec)
         if magic == BLOCK_MAGIC_BLOOM_META:
             stats["bloom_checked"] = True
-            if not _bloom_contains(data, _parse_bloom_meta(payload), row, gz):
+            if not _bloom_contains(data, _parse_bloom_meta(payload), row, codec):
                 stats["bloom_negative"] = True
                 return []
         next_off += bsize
     idx_payload, _, _, _ = _parse_block(
-        data, t[2][0], BLOCK_MAGIC_ROOT_INDEX, gz
+        data, t[2][0], BLOCK_MAGIC_ROOT_INDEX, codec
     )
     root = []
     pos = 0
@@ -1428,7 +1624,7 @@ def seek_row_hfile_v3(fname: str, row: bytes, stats: dict | None = None) -> list
             if li > lstart and rorders[li][0] > row:
                 break
             payload, _, _, _ = _parse_block(
-                data, root[li][0], BLOCK_MAGIC_LEAF_INDEX, gz
+                data, root[li][0], BLOCK_MAGIC_LEAF_INDEX, codec
             )
             entries.extend(_parse_leaf_index(payload))
     else:
@@ -1448,7 +1644,7 @@ def seek_row_hfile_v3(fname: str, row: bytes, stats: dict | None = None) -> list
         first_row = orders[i][0]
         if i > start and first_row > row:
             break
-        payload, _, _, _ = _parse_block(data, entries[i][0], data_magic, gz)
+        payload, _, _, _ = _parse_block(data, entries[i][0], data_magic, codec)
         stats["data_blocks_read"] += 1
         if enc_diff:
             kvs = _diff_decode_block(payload)

@@ -226,15 +226,15 @@ def test_gz_corruption_detected_before_decompress(tmp_path):
 
 
 def test_unknown_codec_rejected(tmp_path):
-    with pytest.raises(ValueError, match="NONE or GZ"):
-        h3.write_hfile_v3(str(tmp_path / "x.hfile"), _cells(5), compression="SNAPPY")
+    with pytest.raises(ValueError, match="NONE, GZ, or SNAPPY"):
+        h3.write_hfile_v3(str(tmp_path / "x.hfile"), _cells(5), compression="LZ4")
 
 
 # ---------------------------------------------------------------------------
 # index-seek point read
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("comp", ["NONE", "GZ"])
+@pytest.mark.parametrize("comp", ["NONE", "GZ", "SNAPPY"])
 def test_seek_row_reads_only_needed_blocks(tmp_path, comp):
     cells = []
     for i in range(300):
@@ -258,7 +258,7 @@ def test_seek_row_reads_only_needed_blocks(tmp_path, comp):
 # two-level index (inline IDXLEAF2 leaves + root-of-leaves)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("comp", ["NONE", "GZ"])
+@pytest.mark.parametrize("comp", ["NONE", "GZ", "SNAPPY"])
 def test_two_level_index_roundtrip_and_seek(tmp_path, comp):
     cells = []
     for i in range(600):
@@ -395,7 +395,7 @@ def test_diff_rejects_mixed_families():
         h3._diff_encode_block([(k1, b"a"), (k2, b"b")])
 
 
-@pytest.mark.parametrize("comp", ["NONE", "GZ"])
+@pytest.mark.parametrize("comp", ["NONE", "GZ", "SNAPPY"])
 def test_diff_file_roundtrip_and_fileinfo(tmp_path, comp):
     cells = _varied_cells(seed=11)
     fn = str(tmp_path / f"diff{comp}.hfile")
@@ -458,7 +458,7 @@ def test_bloom_meta_constants_and_roundtrip():
     assert h3.BLOOM_HASH_TYPE_MURMUR == 1  # Hash.MURMUR_HASH
 
 
-@pytest.mark.parametrize("comp", ["NONE", "GZ"])
+@pytest.mark.parametrize("comp", ["NONE", "GZ", "SNAPPY"])
 def test_bloom_file_roundtrip_and_short_circuit(tmp_path, comp):
     cells = _cells(400)
     fn = str(tmp_path / f"bl{comp}.hfile")
@@ -625,3 +625,103 @@ def test_rolling_writer_full_ddl_config_and_validate(spark, tmp_path):
         for r in back.collect()
     }
     assert got == {(r[0], r[1], r[4], r[6]) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# round 7: pure-Python SNAPPY codec (the reference DDL's own compression)
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+
+def test_snappy_raw_roundtrip_varied():
+    _random.seed(7)
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 5000,                                   # long-range matches
+        bytes(_random.randrange(256) for _ in range(10000)),  # incompressible
+        b"the quick brown fox " * 1000,
+        b"x" * 70000,                                     # RLE: overlapping copies
+    ]
+    for c in cases:
+        raw = h3._snappy_compress_raw(c)
+        assert h3._snappy_decompress_raw(raw) == c
+    # repetitive input genuinely compresses
+    assert len(h3._snappy_compress_raw(b"abcd" * 5000)) < 2000
+
+
+def test_snappy_decoder_reads_external_literal_only_stream():
+    """A conforming literal-only stream (what a 'stored' external encoder
+    may emit) decodes identically — the decoder is format-complete, not
+    paired to our encoder."""
+    def literal_only(data: bytes) -> bytes:
+        out = bytearray()
+        v = len(data)
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+        i = 0
+        while i < len(data):
+            ln = min(len(data) - i, 60)
+            out.append((ln - 1) << 2)
+            out += data[i : i + ln]
+            i += ln
+        return bytes(out)
+
+    for c in (b"", b"hello world", b"abc" * 999):
+        assert h3._snappy_decompress_raw(literal_only(c)) == c
+
+
+def test_snappy_hadoop_framing_multi_chunk():
+    """Payloads beyond the 256 KiB Hadoop buffer split into multiple
+    [BE4 ulen][BE4 clen][raw] blocks and reassemble exactly."""
+    _random.seed(13)
+    big = bytes(_random.randrange(8) for _ in range(600_000))
+    framed = h3._snappy_hadoop_compress(big)
+    import struct as _s
+
+    (first_ulen,) = _s.unpack_from(">I", framed, 0)
+    assert first_ulen == h3._SNAPPY_HADOOP_BUFFER  # first block is full
+    assert h3._snappy_hadoop_decompress(framed) == big
+
+
+def test_snappy_container_corruption_detected(tmp_path):
+    fn = str(tmp_path / "sn.hfile")
+    h3.write_hfile_v3(fn, _cells(200), block_size=512, compression="SNAPPY")
+    blob = bytearray(open(fn, "rb").read())
+    blob[40] ^= 0xFF  # inside the first compressed payload -> CRC
+    fn2 = str(tmp_path / "snbad.hfile")
+    open(fn2, "wb").write(bytes(blob))
+    with pytest.raises(AssertionError):
+        h3.read_hfile_v3(fn2)
+
+
+def test_snappy_trailer_ordinal_is_hbase_algorithm_ordinal(tmp_path):
+    """Compression.Algorithm: LZO=0, GZ=1, NONE=2, SNAPPY=3."""
+    fn = str(tmp_path / "ord.hfile")
+    h3.write_hfile_v3(fn, _cells(50), compression="SNAPPY")
+    _, meta = h3.read_hfile_v3(fn)
+    assert meta["compression_codec"] == 3
+    assert h3.COMPRESSION_ORDINALS == {"GZ": 1, "NONE": 2, "SNAPPY": 3}
+
+
+def test_reference_ddl_snappy_all_features(tmp_path):
+    """The reference's ACTUAL table DDL: DIFF + SNAPPY + ROW bloom
+    (HBaseManager.java:379-385, HFileOutputUtil.java:23) in one file —
+    write, full readback, and bloom-gated point reads."""
+    cells = _varied_cells(seed=21)
+    fn = str(tmp_path / "ddl_snappy.hfile")
+    h3.write_hfile_v3(
+        fn, cells, block_size=700, compression="SNAPPY", encoding="DIFF",
+        bloom=True, index_chunk_entries=4,
+    )
+    back, meta = h3.read_hfile_v3(fn)
+    assert back == cells
+    assert meta["compression_codec"] == 3
+    assert meta["data_block_encoding"] == "DIFF"
+    row = cells[len(cells) // 2][0]
+    assert h3.seek_row_hfile_v3(fn, row) == [c for c in cells if c[0] == row]
+    stats = {}
+    assert h3.seek_row_hfile_v3(fn, b"\xff\xfe-no-such-row", stats) == []
