@@ -119,22 +119,29 @@ def lookup_join(
     probe_key: str,
     htable: DataFrame,
     how: str = "inner",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Lookup (temporal) join keyed strictly on the single rowkey
     (AbstractHBaseDynamicTableSource.java:66-84 validates exactly one join
     key == rowkey; eval() collects only non-empty ⇒ inner semantics,
     HBaseRowDataLookupFunction.java:76-86).
 
-    Spark-first: broadcast hash join replaces per-probe-row RPC. At 100 TB
-    with a large dim table, drop the broadcast hint and let AQE choose a
-    shuffled hash join on the bucketed key.
+    Spark-first: broadcast hash join replaces per-probe-row RPC. At
+    100 TB with a dim past the broadcast threshold, pass
+    ``broadcast=False`` — the planner then picks a sort-merge /
+    shuffled-hash join on the rowkey, and when ``htable`` is stored
+    bucketed BY rowkey (create_bucketed_table's device applied to the
+    rowkey axis) the dim side plans ZERO exchanges: only the probe
+    shuffles, which is F1's actual 100 TB shape
+    (test_plan_contracts.test_lookup_join_big_dim_* pins it).
     """
     if how not in ("inner", "left"):
         raise ValueError(
             "JOIN HBase table requires inner (reference) or left semantics"
         )
+    build = F.broadcast(htable) if broadcast else htable
     return probe.join(
-        F.broadcast(htable), probe[probe_key] == htable["rowkey"], how
+        build, probe[probe_key] == htable["rowkey"], how
     )
 
 

@@ -80,11 +80,49 @@ def _frame_sig(pdf):
     return cols, len(rows), h.hexdigest()
 
 
+def driver_row_ages(repo: str, current_round: int) -> dict[str, int | None]:
+    """Per-query age ledger (VERDICT r06 item 8): rounds since the last
+    REAL driver verification — the max N across CORRECTNESS_r{N}.json
+    files in which the query has a row. None = never driver-verified.
+    Window-rotation debt becomes a number instead of prose."""
+    import glob
+    import re
+
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return {
+        name: (current_round - rnd) for name, rnd in last.items()
+    }
+
+
+CURRENT_ROUND = 7  # bump per round; ages are relative to this
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_SELF.json"
     # optional comma-separated query filter for fast iteration
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    # opt-in window-rotation debt gate: exit nonzero when any query's
+    # driver-row age exceeds N rounds (round 8+ enforces N=3)
+    max_age = (
+        int(sys.argv[sys.argv.index("--enforce-max-age") + 1])
+        if "--enforce-max-age" in sys.argv
+        else None
+    )
 
     from pyspark.sql import SparkSession
 
@@ -105,6 +143,9 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ages = driver_row_ages(repo, CURRENT_ROUND)
 
     results: dict[str, dict] = {}
     t_all = time.time()
@@ -137,6 +178,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
         rec["sec"] = round(time.time() - t0, 2)
+        # rounds since the last real driver row (None = never verified
+        # by the external driver; the 50-slot window rotation plans
+        # against this number)
+        rec["age"] = ages.get(name)
         results[name] = rec
         flag = "OK " if rec["hash_match"] else ("??? " if rec["err"] else "FAIL")
         print(f"{flag} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']} "
@@ -158,10 +203,28 @@ def main() -> int:
         if r["hash_match"] is None and r.get("err")
         and "no-oracle" not in str(r["err"])
     )
+    age_vals = [r["age"] for r in results.values() if r["age"] is not None]
+    n_never = sum(1 for r in results.values() if r["age"] is None)
     print(f"TOTAL {len(results)} queries, {n_ok} hash-exact, {n_bad} mismatched, "
           f"{n_err} errored, {round(time.time() - t_all, 1)}s", flush=True)
+    if age_vals:
+        print(
+            f"DRIVER-ROW AGE: max {max(age_vals)} rounds, "
+            f"{sum(1 for a in age_vals if a > 3)} queries over 3 rounds, "
+            f"{n_never} never driver-verified",
+            flush=True,
+        )
+    age_fail = 0
+    if max_age is not None:
+        stale = sorted(
+            n for n, r in results.items()
+            if r["age"] is None or r["age"] > max_age
+        )
+        if stale:
+            print(f"MAX-AGE VIOLATIONS (> {max_age} rounds): {stale}", flush=True)
+            age_fail = 1
     spark.stop()
-    return 1 if (n_bad or n_err) else 0
+    return 1 if (n_bad or n_err or age_fail) else 0
 
 
 if __name__ == "__main__":

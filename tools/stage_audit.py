@@ -9,7 +9,18 @@ one must have an explanation.
 
 Flag rule: stage runtime > --min-ms AND numTasks < cores/4.
 
+Round 7 (VERDICT r06 item 6): by default the audit first RE-SPREADS the
+base tables into a scratch mirror with file counts proportional to the
+scale factor (the driver-generated sf0.1 parquet is 1-3 row groups per
+table, so every raw scan planned <= 3 tasks and the SAME split-bounded
+"few-task scan" flags — q01/q11/q130/q198 class — were re-adjudicated
+every round; parquet cannot split inside a row group, so the fix must
+rewrite the fixture). The mirror is schema-faithful (events' nanos
+timestamps normalize through load_events either way), written once per
+(sf_dir, file plan) and reused. --no-respread audits the raw fixtures.
+
 Usage: python tools/stage_audit.py [sf_dir] [out_json] [--min-ms 1000]
+       [--no-respread]
 """
 
 from __future__ import annotations
@@ -27,6 +38,43 @@ def _api(spark, path):
     base = spark.sparkContext.uiWebUrl
     with urllib.request.urlopen(f"{base}/api/v1/{path}") as r:
         return json.load(r)
+
+
+def respread_fixtures(spark, sf_dir: str, cpus: int) -> str:
+    """Materialize a scratch mirror of the base tables with file counts
+    proportional to table size (target ~4 MB/file, capped at the core
+    count), so scan parallelism reflects the ENGINE's plan rather than
+    the fixture's row-group count. Idempotent per (sf_dir, plan)."""
+    import hashlib
+    import tempfile
+
+    from hbase_bulkload_service_spark.sources.tables import TABLES, load
+
+    plan = {}
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(src)
+            for f in fs
+        ) if os.path.isdir(src) else os.path.getsize(src)
+        plan[t] = max(1, min(cpus, -(-size // (4 * 1024 * 1024))))
+    tag = hashlib.md5(
+        (sf_dir + json.dumps(plan, sort_keys=True)).encode()
+    ).hexdigest()[:10]
+    dst = os.path.join(tempfile.gettempdir(), f"stage_audit_fixtures_{tag}")
+    done = os.path.join(dst, "_DONE")
+    if os.path.exists(done):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    for t, n in plan.items():
+        load(spark, sf_dir, t).repartition(n).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+    with open(done, "w") as f:
+        json.dump(plan, f)
+    print(f"respread fixtures -> {dst} ({plan})", flush=True)
+    return dst
 
 
 def main() -> int:
@@ -59,6 +107,9 @@ def main() -> int:
     sc.setLogLevel("ERROR")
 
     from hbase_bulkload_service_spark import cachereg, registry
+
+    if "--no-respread" not in sys.argv:
+        sf_dir = respread_fixtures(spark, sf_dir, cpus)
 
     app = _api(spark, "applications")[0]["id"]
     results: dict[str, dict] = {}
