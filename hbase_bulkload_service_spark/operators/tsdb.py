@@ -187,15 +187,31 @@ def latest_version_dedup(
     ``struct(version, tie)`` so same-version collisions resolve to the
     max tie value in the SAME aggregate — one shuffle where a separate
     pre-collapse groupBy would cost a second.
+
+    The exchange is WIDTH-PINNED (repartition(width, keys) feeding the
+    groupBy — same single shuffle, but a user-specified partition count
+    is exempt from AQE's byte-based coalescing): the dedup's shuffle
+    payload is byte-small binary keys, but the reduce side carries the
+    post-agg codec expressions, and AQE was serializing ~15 s of that
+    CPU onto 3 tasks at sf0.1 (STAGE_AUDIT_r07; same class as the q69
+    trap's CPU sibling). Width scales with the cluster via
+    session.pinned_width.
     """
+    from hbase_bulkload_service_spark.session import pinned_width
+
     order = (
         F.struct(F.col(version_col), F.col(tie_col))
         if tie_col
         else F.col(version_col)
     )
-    return cells.groupBy(*key_cols).agg(
-        F.max_by(value_col, order).alias(value_col),
-        F.max(version_col).alias(version_col),
+    width = pinned_width(cells.sparkSession)
+    return (
+        cells.repartition(width, *[F.col(c) for c in key_cols])
+        .groupBy(*key_cols)
+        .agg(
+            F.max_by(value_col, order).alias(value_col),
+            F.max(version_col).alias(version_col),
+        )
     )
 
 

@@ -725,3 +725,31 @@ def test_reference_ddl_snappy_all_features(tmp_path):
     assert h3.seek_row_hfile_v3(fn, row) == [c for c in cells if c[0] == row]
     stats = {}
     assert h3.seek_row_hfile_v3(fn, b"\xff\xfe-no-such-row", stats) == []
+
+
+def test_snappy_raw_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=5000))
+    def roundtrip(data):
+        assert h3._snappy_decompress_raw(h3._snappy_compress_raw(data)) == data
+
+    roundtrip()
+
+
+def test_snappy_hadoop_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # structured inputs bias toward matches (runs + repeated tokens)
+    token = st.sampled_from([b"ab", b"x", b"the ", b"\x00\x00", b"q1w2e3"])
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(token, max_size=2000))
+    def roundtrip(parts):
+        data = b"".join(parts)
+        assert h3._snappy_hadoop_decompress(h3._snappy_hadoop_compress(data)) == data
+
+    roundtrip()

@@ -120,7 +120,13 @@ PROBE_QUERIES = [
     "q218_readability",        # pure map-side regexp census; zero shuffle
     "q219_length_floor",       # one stratum-keyed rank window; floor table broadcast
     "q220_soft_sampling",      # q212's two keyed aggs + map-side md5 gate + src rollup
+    "q222_winnowing",          # fully map-side array expressions; zero data shuffle
+    "q223_label_majority",     # (item,label) pre-agg -> item-keyed min_by argmax
+    "q224_vocab_concentration",  # word agg + TakeOrdered top-k; tail metadata-scale
 ]
+# q221_hfilev3_snappy is a container byte-gate (q167-q170 class): its
+# wall is per-region writer/readback CPU, not a data-shuffle shape —
+# excluded like its codec siblings.
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
 # per-rep content perturbation, so cross-rep copies are NOT duplicates of
