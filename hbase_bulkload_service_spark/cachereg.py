@@ -36,17 +36,50 @@ _KEEP_PER_FAMILY = 4
 _LOCK = threading.Lock()
 
 
+def _plan_key(df: DataFrame):
+    """Semantic identity of the frame's analyzed plan — Spark's
+    CacheManager keys cache entries by PLAN, not by DataFrame object, so
+    two frames with the same analyzed plan share ONE cache entry."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # noqa: BLE001 — fall back to object identity
+        return id(df)
+
+
 def register(*frames: DataFrame, family: str = "default") -> None:
     """Register operator-internal persisted frames under ``family``;
     evict that family's oldest beyond the keep bound (unpersist is safe
     — see module doc). Frames passed in ONE call are never evicted by
-    that same call."""
+    that same call.
+
+    Plan-identity safety (round-7 fix): Spark caches by ANALYZED PLAN,
+    so re-registering a frame with the same plan (the common case: the
+    same operator called twice on the same input) must not grow the
+    list — and, critically, evicting an OLD same-plan frame would
+    uncache the NEW frame's entry too (this silently stripped the
+    persist from q155/q161 mid-test-suite). Registration therefore
+    dedupes by semantic hash (refreshing recency), and eviction skips
+    the unpersist when any still-registered frame shares the evictee's
+    plan."""
     with _LOCK:
         lst = _CACHES.setdefault(family, [])
-        lst.extend(frames)
-        floor = max(_KEEP_PER_FAMILY, len(frames))
+        incoming = {}
+        for f in frames:
+            incoming[_plan_key(f)] = f  # last wins within the call
+        # same-plan re-registration: refresh position, don't duplicate
+        lst[:] = [f for f in lst if _plan_key(f) not in incoming]
+        lst.extend(incoming.values())
+        floor = max(_KEEP_PER_FAMILY, len(incoming))
         while len(lst) > floor:
-            lst.pop(0).unpersist()
+            victim = lst.pop(0)
+            vkey = _plan_key(victim)
+            live = any(
+                _plan_key(f) == vkey
+                for fam in _CACHES.values()
+                for f in fam
+            )
+            if not live:
+                victim.unpersist()
             _EVICTIONS[family] = _EVICTIONS.get(family, 0) + 1
 
 

@@ -102,3 +102,38 @@ def test_token_tvd_corpus_total_derives_from_sources_not_vocab(spark):
 
     w_aggs = re.findall(r"Keys \[1\]: \[w#\d+\]", plan)
     assert len(w_aggs) <= 2, plan  # partial+final of the single wtot agg
+
+
+def test_cachereg_same_plan_reregistration_keeps_cache(spark):
+    """Round-7 cachereg fix: Spark caches by ANALYZED PLAN, so evicting
+    an old registration whose plan equals a newer one must NOT uncache
+    the newer frame. Re-registering the same plan refreshes recency
+    instead of growing the list, and eviction skips unpersist while any
+    live registration shares the plan."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_service_spark import cachereg
+
+    cachereg.release_all()
+    base = spark.range(0, 100).groupBy((F.col("id") % 5).alias("k")).count()
+
+    def build():
+        df = spark.range(0, 100).groupBy((F.col("id") % 5).alias("k")).count().persist()
+        cachereg.register(df, family="_test_sameplan")
+        df.count()  # materialize
+        return df
+
+    first = build()
+    assert "InMemoryRelation" in first._jdf.queryExecution().optimizedPlan().toString()
+    # re-register the same plan 6x (past the keep bound of 4): with the
+    # old behavior the evictions would unpersist the shared cache entry
+    frames = [build() for _ in range(6)]
+    last = frames[-1]
+    assert "InMemoryRelation" in last._jdf.queryExecution().optimizedPlan().toString(), (
+        "same-plan eviction uncached the live frame"
+    )
+    # and the family holds ONE entry for the one distinct plan
+    with cachereg._LOCK:
+        assert len(cachereg._CACHES["_test_sameplan"]) == 1
+    cachereg.release_all()
+    del base

@@ -71,6 +71,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("surprisal_buckets", "toks"): "recompute-by-design (reference-vocab branch is a ref_mod-sampled scan; sharing would persist a corpus-scale frame)",
     ("token_tvd", "totals"): "derived-from-cache (sw is persisted; totals is a sources-bounded agg over the cache)",
     ("stale_series", "last"): "reuse-covered (q158 probe: no duplicated scan)",
+    ("vocab_concentration", "counts"): "reuse-covered (q224 probe: no duplicated scan — totals and the TakeOrdered cut share the word-keyed exchange)",
     ("write", "latest"): "not-a-fanout (rebound inside the if branch; one consumption per path, per-micro-batch frame)",
 }
 
