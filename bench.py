@@ -37,6 +37,7 @@ BENCH_SKIP = {
     "q168_hfilev3_gz": "q167 with GZ blocks; per-task gzip CPU, same plan",
     "q169_hfilev3_ddl": "q167 with DIFF+bloom enabled; same plan",
     "q170_hfilev3_point_reads": "per-file byte-seek gate; correctness-only harness",
+    "q221_hfilev3_snappy": "q169 under the snappy codec; per-task pure-Python codec CPU, same plan",
     # finite availableNow replay twins: the stateful operator's batch
     # twin is benched; the replay harness (temp write + stream restart)
     # dominates the wall. q20 (TWS upsert) and q60 (stream-stream) stay.

@@ -319,16 +319,33 @@ def test_minhash_ngram_storage_bounded_across_calls(spark):
          for i in range(30)],
         "doc_id long, text string",
     )
+    # SAME input 6x: the round-7 plan-identity dedupe collapses each
+    # family to its distinct plans (1 minhash + 2 ngram) with ZERO
+    # evictions — re-registering a plan refreshes recency (evicting an
+    # old same-plan frame would uncache the live one; see cachereg)
+    ev0_mh = cachereg.eviction_counts().get("minhash", 0)
+    ev0_ng = cachereg.eviction_counts().get("ngram", 0)
     for _ in range(6):
         dedup.minhash_lsh_neardups(docs).collect()   # 1 persist/call
         dedup.ngram_jaccard_pairs(docs).collect()    # 2 persists/call
-    # without registration: 6*(1+2) = 18 live persists; with the per-
-    # family keep bound: <= 4 (minhash) + 4 (ngram)
-    assert cachereg.eviction_counts().get("minhash", 0) >= 1
-    assert cachereg.eviction_counts().get("ngram", 0) >= 1
+    assert cachereg.eviction_counts().get("minhash", 0) == ev0_mh
+    assert cachereg.eviction_counts().get("ngram", 0) == ev0_ng
+    assert storage_count() - base <= 3
+    # DISTINCT inputs (fresh plan per call) still churn through the
+    # per-family keep bound: evictions fire and storage stays capped
+    for k in range(6):
+        d2 = spark.createDataFrame(
+            [(i, f"doc {i} round {k} alpha beta gamma delta epsilon")
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        dedup.minhash_lsh_neardups(d2).collect()
+        dedup.ngram_jaccard_pairs(d2).collect()
+    assert cachereg.eviction_counts().get("minhash", 0) > ev0_mh
+    assert cachereg.eviction_counts().get("ngram", 0) > ev0_ng
     for _ in range(20):
-        if storage_count() - base <= 8:
+        if storage_count() - base <= 8 + 3:
             break
         time.sleep(0.25)
-    assert storage_count() - base <= 8
+    assert storage_count() - base <= 8 + 3  # 4 + 4 bound + same-plan trio
     cachereg.release_all()
