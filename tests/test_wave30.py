@@ -148,3 +148,35 @@ def test_vocab_concentration_topk_is_take_ordered(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = textops.vocab_concentration(docs)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_winnowing_hypothesis_vs_reference(spark):
+    """Randomized word sequences (small alphabet -> heavy hash ties and
+    repeated grams) must match the straight-from-the-paper reference on
+    counts AND the digest-pinned selected set."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "ab", "zz"])
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(word, min_size=0, max_size=24))
+    def collect(ws):
+        cases.append(" ".join(ws))
+
+    collect()
+    k, w = 3, 4
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textops.winnowing_fingerprints(docs, k=k, window=w).collect()}
+    for i, t in enumerate(cases):
+        words = [x for x in t.split() if x]
+        n_g, nwin, ref = _reference_winnow(words, k, w)
+        r = out[i]
+        assert r.n_grams == n_g, (t, r)
+        assert r.n_windows == (nwin if n_g else 0), (t, r)
+        assert r.n_fingerprints == len(ref), (t, r)
+        want = hashlib.md5(",".join(sorted(ref)).encode()).hexdigest()
+        assert r.fp_digest == want, (t, r)
