@@ -180,3 +180,49 @@ def test_winnowing_hypothesis_vs_reference(spark):
         assert r.n_fingerprints == len(ref), (t, r)
         want = hashlib.md5(",".join(sorted(ref)).encode()).hexdigest()
         assert r.fp_digest == want, (t, r)
+
+
+def test_label_majority_invariant_under_vote_permutation(spark):
+    """The verdict is a pure function of the multiset of votes — row
+    order and annotator ids must not matter."""
+    votes = [
+        (1, 0, "en"), (1, 1, "de"), (1, 2, "en"), (1, 3, "fr"), (1, 4, "en"),
+        (2, 0, "zz"), (2, 1, "aa"),
+    ]
+    import random
+
+    rng = random.Random(13)
+    outs = []
+    for _ in range(3):
+        perm = votes[:]
+        rng.shuffle(perm)
+        perm = [(d, 99 - a, l) for d, a, l in perm]  # relabel annotators
+        df = spark.createDataFrame(
+            perm, "doc_id long, annotator long, label string"
+        )
+        outs.append(
+            sorted(
+                (r.doc_id, r.maj_label, r.n_votes, r.maj_votes, r.unanimous)
+                for r in quality.label_majority(df).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0][0] == (1, "en", 5, 3, False)
+    assert outs[0][1] == (2, "aa", 2, 1, False)  # tie -> smallest label
+
+
+def test_vocab_concentration_monotone_and_saturating(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common common w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = {r.k: r for r in textops.vocab_concentration(docs, ks=(1, 2, 5, 50)).collect()}
+    ks = sorted(out)
+    # cumulative share is nondecreasing in k and saturates at 1e6 ppm
+    for a, b in zip(ks, ks[1:]):
+        assert out[a].cum_cnt <= out[b].cum_cnt
+        assert out[a].share_ppm <= out[b].share_ppm
+    assert out[50].cum_cnt == out[50].n_tokens
+    assert out[50].share_ppm == 1_000_000
+    # all rows agree on the corpus totals
+    assert len({(r.n_vocab, r.n_tokens) for r in out.values()}) == 1
