@@ -30,7 +30,14 @@ import threading
 
 from pyspark.sql import DataFrame
 
-_CACHES: dict[str, list[DataFrame]] = {}
+# family -> [(plan_key, frame), ...] — plan keys are computed ONCE at
+# registration and stored alongside the frame (ADVICE r07): the eviction
+# liveness check then compares stored keys instead of re-invoking a py4j
+# semanticHash round-trip per frame per victim, and a transient
+# semanticHash failure can no longer flip a frame's identity between
+# registration and eviction (the id(df) fallback previously could skip
+# dedupe or unpersist a still-shared plan).
+_CACHES: dict[str, list[tuple[object, DataFrame]]] = {}
 _EVICTIONS: dict[str, int] = {}
 _KEEP_PER_FAMILY = 4
 _LOCK = threading.Lock()
@@ -61,22 +68,21 @@ def register(*frames: DataFrame, family: str = "default") -> None:
     dedupes by semantic hash (refreshing recency), and eviction skips
     the unpersist when any still-registered frame shares the evictee's
     plan."""
+    incoming = {}
+    for f in frames:
+        incoming[_plan_key(f)] = f  # last wins within the call
     with _LOCK:
         lst = _CACHES.setdefault(family, [])
-        incoming = {}
-        for f in frames:
-            incoming[_plan_key(f)] = f  # last wins within the call
         # same-plan re-registration: refresh position, don't duplicate
-        lst[:] = [f for f in lst if _plan_key(f) not in incoming]
-        lst.extend(incoming.values())
+        lst[:] = [(k, f) for (k, f) in lst if k not in incoming]
+        lst.extend(incoming.items())
         floor = max(_KEEP_PER_FAMILY, len(incoming))
         while len(lst) > floor:
-            victim = lst.pop(0)
-            vkey = _plan_key(victim)
+            vkey, victim = lst.pop(0)
             live = any(
-                _plan_key(f) == vkey
+                k == vkey
                 for fam in _CACHES.values()
-                for f in fam
+                for (k, _f) in fam
             )
             if not live:
                 victim.unpersist()
@@ -103,4 +109,4 @@ def release_all() -> None:
     with _LOCK:
         for lst in _CACHES.values():
             while lst:
-                lst.pop().unpersist()
+                lst.pop()[1].unpersist()

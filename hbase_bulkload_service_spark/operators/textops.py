@@ -2039,7 +2039,6 @@ def winnowing_fingerprints(
     """
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
-    maxlong = (1 << 63) - 1
     expr = f"""
     CASE WHEN size(__ws) >= {k} THEN
       transform(sequence(0, size(__ws) - {k}),
@@ -2121,6 +2120,11 @@ def vocab_concentration(
     cut is orderBy+limit => TakeOrderedAndProject; the rank window and
     the per-k rollup run over max(k) rows (metadata-scale); corpus
     totals ride a broadcast 1-row cross join.
+
+    Empty corpus (zero tokens) emits ZERO rows — matching the SQL
+    oracle's ``ks CROSS JOIN top`` shape over an empty ``top``; without
+    the ``n_tokens`` guard Spark's global agg would emit len(ks)
+    NULL-filled rows where DuckDB emits none (ADVICE r07).
     """
     from pyspark.sql.window import Window
 
@@ -2154,6 +2158,7 @@ def vocab_concentration(
             f"stack({len(ks)}, {stack_args}) AS (k, cum_cnt)"
         )
         .crossJoin(F.broadcast(totals))
+        .filter(F.col("n_tokens").isNotNull())
         .select(
             F.col("k").cast("long").alias("k"),
             "cum_cnt",

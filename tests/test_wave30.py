@@ -144,6 +144,15 @@ def test_vocab_concentration_tie_order_is_deterministic(spark):
     assert out[2].cum_cnt == 5
 
 
+def test_vocab_concentration_empty_corpus_matches_oracle_shape(spark):
+    """Zero-token corpus emits ZERO rows (the oracle's ks CROSS JOIN top
+    over an empty top) — not len(ks) NULL-filled rows (ADVICE r07)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert textops.vocab_concentration(empty, ks=(1, 10)).count() == 0
+    blank = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id long, text string")
+    assert textops.vocab_concentration(blank, ks=(1, 10)).count() == 0
+
+
 def test_vocab_concentration_topk_is_take_ordered(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = textops.vocab_concentration(docs)._jdf.queryExecution().executedPlan().toString()
