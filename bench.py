@@ -33,7 +33,6 @@ from hbase_bulkload_service_spark.session import get_spark  # noqa: E402
 BENCH_SKIP = {
     # container byte-gates: q56 (flagship e2e) + q167 (real-v3 write+
     # verify) stay; these are codec/seek VARIANTS of the same pipeline
-    "q116_hfl2_container": "HFL2 stand-in container verify; real-v3 path benched via q167",
     "q168_hfilev3_gz": "q167 with GZ blocks; per-task gzip CPU, same plan",
     "q169_hfilev3_ddl": "q167 with DIFF+bloom enabled; same plan",
     "q170_hfilev3_point_reads": "per-file byte-seek gate; correctness-only harness",

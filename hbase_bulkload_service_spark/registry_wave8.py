@@ -18,8 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hbase_bulkload_service_spark.functions.codec import decode_double_be
-from hbase_bulkload_service_spark.operators import analytics, similarity, tsdb
+from hbase_bulkload_service_spark.operators import analytics, similarity
 from hbase_bulkload_service_spark.oracle_frags import (
     DUCK_QUANT_CTES,
     duck_quant_score,
@@ -30,7 +29,6 @@ from hbase_bulkload_service_spark.registry import (
     cents,
     register,
 )
-from hbase_bulkload_service_spark.sources import hfile
 from hbase_bulkload_service_spark.sources.tables import load_events
 
 
@@ -104,43 +102,17 @@ HFL_CONTAINER_ORACLE = f"""
     """
 
 
-@register("q116_hfl2_container", HFL_CONTAINER_ORACLE)
-def q116_hfl2_container(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q56's flagship pipeline driven through the BINARY container: salt →
-    dedup → range-partition+sort → HFL2 files (blocked DIFF-encoded
-    records, per-file block index, ROW bloom, snappy-flagged blocks),
-    then read BACK by parsing the binary format (one task per file, every
-    container invariant — magic, index↔block agreement, DIFF decode,
-    global sort, bloom membership of every row key — enforced inside the
-    reading task), layout-validated like adoption would, and summarized
-    per region against the same first-principles oracle as q56. A bug in
-    ANY of the block encoder, index, bloom builder, or trailer breaks the
-    readback and the row."""
-    cells = tsdb.derive_tsdb_cells(load_events(spark, sf_dir, spread=True))
-    c1 = cells.withColumn("value", tsdb.encode_double_be(F.col("dvalue")))
-    kv = tsdb.bulkload_kv(c1, num_partitions=16, tie_col="dvalue")
-
-    from hbase_bulkload_service_spark.registry_wave4 import _scratch
-
-    d = _scratch("q116hfl2")
-    import shutil
-
-    shutil.rmtree(d, ignore_errors=True)  # fresh layout on re-run
-    hfile.write_hfl2_files(kv, d, rollup=True, num_partitions=16)
-    # scale-path split: manifest-level layout checks in the driver
-    # (O(files) metadata), per-file container invariants + manifest/meta
-    # agreement inside the distributed reading tasks
-    hfile.validate_layout(spark, d, rollup=True, deep=False)
-    back = hfile.read_hfl2_dir(spark, d, verify_bloom=True)
-    return back.groupBy("region").agg(
-        F.count("*").alias("n_cells"),
-        F.countDistinct("key_hex").alias("n_keys"),
-        F.min("key_hex").alias("min_key_hex"),
-        F.max("key_hex").alias("max_key_hex"),
-        F.sum(
-            F.floor(decode_double_be(F.col("value")) * 100).cast("long")
-        ).alias("sum_value_cents"),
-    )
+# q116_hfl2_container RETIRED round 8 (VERDICT r07 item 3): the HFL2
+# stand-in container it exercised has been fully superseded by the real
+# HFile v3 path — q167 (container, SAME oracle below), q169 (full DDL),
+# q170 (byte-level bloom+index seek), q221 (DIFF+SNAPPY+compound-bloom
+# DDL codec). Every container invariant q116 enforced in-task (magic,
+# index<->block agreement, DIFF decode, global sort, bloom membership,
+# per-region aggregate parity with the manifest) is pinned by
+# tests/test_bulkload_hfile.py::{test_hfl2_unit_roundtrip,
+# test_hfl2_distributed_write_read} over the same write/read code path;
+# retiring the registry entry drops ~20 s from every local bench run
+# with zero coverage loss (COVERAGE.md H1 row updated).
 
 
 # ===========================================================================
