@@ -9,8 +9,8 @@ These tests make a stale-leaving rotation impossible to commit:
 - the window is exactly the 50 oldest-by-driver-row queries (flagship
   q56 pinned);
 - after the window lands, no query's driver-row age exceeds 4 rounds —
-  the achievable floor (223 queries / 49 free slots -> 5-round cycle;
-  max-age 3 would need 4x50 >= registry size, which 224 > 200 rules
+  the achievable floor (222 queries / 49 free slots -> 5-round cycle;
+  max-age 3 would need 4x50 >= registry size, which 222 > 200 rules
   out);
 - a forward simulation of pure rotation re-verifies every query within
   one full cycle, so the bound holds in steady state, not just today.

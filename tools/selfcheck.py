@@ -24,7 +24,7 @@ ledger AS IF this round's 50-slot driver window (the first 50 names of
 ``__spark_entry__.queries()``) had already landed — i.e. it gates the
 *rotation plan*, catching a window that would leave stale queries
 behind before the round ships. Round 8+ runs
-``--enforce-max-age 4 --assume-window``: with 223 registered queries
+``--enforce-max-age 4 --assume-window``: with 222 registered queries
 and 49 free slots per round (q56 pinned) a full cycle takes 5 windows,
 so post-window age 4 is the achievable floor (see __spark_entry__
 module docstring for the arithmetic); max-age 3 across the full ledger
