@@ -160,7 +160,6 @@ def with_salt(
         cells.withColumn("bucket", bucket)
         .withColumn("salt", salt)
         .withColumn("salted_key", F.concat(F.col("salt"), F.col(rowkey_col)))
-        .withColumn("salted_key_hex", key_hex(F.col("salted_key")))
     )
 
 
@@ -230,8 +229,21 @@ def bulkload_kv(
     qualifier, value) sorted per bucket range — the stream H1-H3 write.
 
     Upgrade over the reference (SURVEY.md §4.2): ``repartitionByRange`` on
-    (bucket, key_hex, qualifier_hex) makes files globally non-overlapping
-    and totally ordered across partitions, not just within one.
+    (bucket, key, qualifier) makes files globally non-overlapping and
+    totally ordered across partitions, not just within one.
+
+    Ordering runs on the RAW BINARY keys (round 8, VERDICT r07 item 2):
+    Spark compares BinaryType unsigned-lexicographically — exactly
+    HBase's Bytes.compareTo order — and uppercase-hex encoding is
+    order-isomorphic to it, so sorting on (key, qualifier) yields the
+    byte-identical stream the old (key_hex, qualifier_hex) sort did
+    while (a) halving the sort-key bytes the range exchange carries and
+    compares, and (b) keeping hex codec work OFF the dedup shuffle
+    entirely: the hex columns are display/oracle/manifest projections
+    computed once per SURVIVING row after the dedup instead of once per
+    input row before it (and no longer ride the exchange as a redundant
+    group key). test_composed_tsdb pins hex-order == binary-order on
+    adversarial high-bit keys.
 
     ``tie_col`` is forwarded to :func:`latest_version_dedup` so callers
     with same-version collisions get a deterministic winner without a
@@ -240,21 +252,21 @@ def bulkload_kv(
     salted = with_salt(cells, bucket_count)
     deduped = latest_version_dedup(
         salted,
-        key_cols=("bucket", "salted_key", "salted_key_hex", "qualifier"),
+        key_cols=("bucket", "salted_key", "qualifier"),
         tie_col=tie_col,
     )
     kv = deduped.select(
         F.col("bucket"),
         F.col("salted_key").alias("key"),
-        F.col("salted_key_hex").alias("key_hex"),
+        key_hex(F.col("salted_key")).alias("key_hex"),
         F.lit(family).alias("family"),
         F.col("qualifier"),
         key_hex(F.col("qualifier")).alias("qualifier_hex"),
         F.col("value"),
     )
     n = num_partitions or bucket_count // 8
-    return kv.repartitionByRange(n, "bucket", "key_hex", "qualifier_hex").sortWithinPartitions(
-        "bucket", "key_hex", "qualifier_hex"
+    return kv.repartitionByRange(n, "bucket", "key", "qualifier").sortWithinPartitions(
+        "bucket", "key", "qualifier"
     )
 
 

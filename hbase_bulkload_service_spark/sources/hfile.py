@@ -59,7 +59,9 @@ def write_hfiles(
     manifest.json. Input: columns (bucket, key, key_hex, family, qualifier,
     qualifier_hex, value) — e.g. from operators.tsdb.bulkload_kv.
 
-    Scale: range partitioning on (region, key_hex) keeps each region's data
+    Scale: range partitioning on (region, key) — raw binary, Spark's
+    unsigned-lexicographic BinaryType order == HBase Bytes.compareTo, and
+    order-isomorphic to the old hex sort (round 8) — keeps each region's data
     in contiguous partitions; the dynamic-partition writer rolls files on
     region change exactly like HadoopOutputFormat2.writeRecord.
 
@@ -70,8 +72,8 @@ def write_hfiles(
     regions = assign_region(kv, rollup)
     n = num_partitions or 64
     (
-        regions.repartitionByRange(n, "region", "key_hex", "qualifier_hex")
-        .sortWithinPartitions("region", "key_hex", "qualifier_hex")
+        regions.repartitionByRange(n, "region", "key", "qualifier")
+        .sortWithinPartitions("region", "key", "qualifier")
         .write.partitionBy("region")
         .option("compression", "snappy")
         .mode("overwrite")
@@ -280,8 +282,8 @@ def write_hfl1_files(kv: DataFrame, path: str, rollup: bool = False) -> list[dic
     os.makedirs(path, exist_ok=True)
     regions = assign_region(kv, rollup)
     sorted_kv = regions.repartitionByRange(
-        16, "region", "key_hex", "qualifier_hex"
-    ).sortWithinPartitions("region", "key_hex", "qualifier_hex")
+        16, "region", "key", "qualifier"
+    ).sortWithinPartitions("region", "key", "qualifier")
 
     def write_region_file(region: int, pid: int, cells) -> dict:
         body, count, first, last = _hfl1_encode_records(cells)
@@ -635,8 +637,8 @@ def write_hfl2_files(
     os.makedirs(path, exist_ok=True)
     regions = assign_region(kv, rollup)
     sorted_kv = regions.repartitionByRange(
-        num_partitions, "region", "key_hex", "qualifier_hex"
-    ).sortWithinPartitions("region", "key_hex", "qualifier_hex")
+        num_partitions, "region", "key", "qualifier"
+    ).sortWithinPartitions("region", "key", "qualifier")
 
     def write_region_file(region: int, pid: int, cells) -> dict:
         fname = os.path.join(path, f"region_{region:05d}_p{pid:05d}.hfl2")

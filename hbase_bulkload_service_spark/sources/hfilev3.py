@@ -1440,8 +1440,8 @@ def write_hfilev3_files(
     os.makedirs(path, exist_ok=True)
     regions = assign_region(kv, rollup)
     sorted_kv = regions.repartitionByRange(
-        num_partitions, "region", "key_hex", "qualifier_hex"
-    ).sortWithinPartitions("region", "key_hex", "qualifier_hex")
+        num_partitions, "region", "key", "qualifier"
+    ).sortWithinPartitions("region", "key", "qualifier")
 
     # Arrow-batched writer (sources/hfile.py:_rolling_write_arrow — the
     # old .rdd.mapPartitionsWithIndex path paid a per-CELL Row pickle):

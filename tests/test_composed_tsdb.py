@@ -118,3 +118,24 @@ def test_cascade_equals_direct_hourly_rollup(spark, tmp_path):
     assert sorted(map(tuple, via_cascade.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_binary_sort_order_is_isomorphic_to_hex_sort_order(spark):
+    """Round-8 invariant behind sorting bulkload_kv/write_hfiles on RAW
+    binary keys: Spark's BinaryType ordering (unsigned lexicographic,
+    == HBase Bytes.compareTo) must agree with ordering by the uppercase
+    hex projection on adversarial keys — high bit set, 0x00 bytes,
+    shared prefixes of different lengths, empty key."""
+    import itertools
+
+    keys = [b"", b"\x00", b"\x00\x00", b"\x7f", b"\x80", b"\xff",
+            b"\x00\xff", b"\xff\x00", b"\x80\x00\x01", b"\x80\x00",
+            b"ab", b"abc", b"aBc", b"\x10\x20", b"\x10", b"\x0f\xff"]
+    keys += [bytes(p) for p in itertools.product([0, 127, 128, 255], repeat=2)]
+    df = spark.createDataFrame([(k,) for k in keys], "k binary")
+    from hbase_bulkload_service_spark.functions.codec import key_hex
+    by_bin = [bytes(r.k) for r in df.orderBy("k").collect()]
+    by_hex = [bytes(r.k) for r in df.orderBy(key_hex(F.col("k"))).collect()]
+    assert by_bin == by_hex
+    # and both equal Python's bytes ordering (unsigned lexicographic)
+    assert by_bin == sorted(keys)
