@@ -47,7 +47,7 @@ def test_no_unadjudicated_multi_consumer_frames():
     fans an aggregate/explode into two differently-pruned consumers
     must either persist it or add an ALLOWLIST entry with the probe
     evidence."""
-    new, _allowed = sweep(REPO)
+    new, _allowed, _stale = sweep(REPO)
     assert not new, (
         "unadjudicated multi-consumer expensive frames (protect with "
         f"persist+cachereg or adjudicate in reuse_audit.ALLOWLIST): {new}"
@@ -58,10 +58,27 @@ def test_allowlist_has_no_dead_entries():
     """Every ALLOWLIST entry still matches a live finding — a fixed or
     deleted operator must drop its entry, keeping the adjudications
     honest."""
-    _new, allowed = sweep(REPO)
+    _new, allowed, _stale = sweep(REPO)
     live = {(r["function"], r["frame"]) for r in allowed}
     dead = set(ALLOWLIST) - live
     assert not dead, f"stale ALLOWLIST entries: {sorted(dead)}"
+
+
+def test_allowlist_adjudications_match_current_code():
+    """Round-8 re-validation hook (VERDICT r07 item 6): each ALLOWLIST
+    entry stores the content hash of the function it adjudicates; when
+    the function changes, this test fails until the entry is re-probed
+    and its hash + note refreshed — an old probe note can never silently
+    keep vouching for new code."""
+    _new, _allowed, stale = sweep(REPO)
+    assert not stale, (
+        "ALLOWLIST adjudications older than the code they vouch for — "
+        "re-run the duplicate-scan probe and refresh fn_sha + note: "
+        + str([
+            (r["function"], r["frame"], r["adjudicated_sha"], r["fn_sha"])
+            for r in stale
+        ])
+    )
 
 
 # single-evaluation pins for the operators fixed by the r07 sweep: the

@@ -26,6 +26,7 @@ Usage: python tools/reuse_audit.py [out_json]
 from __future__ import annotations
 
 import ast
+import hashlib
 import json
 import os
 import sys
@@ -47,39 +48,51 @@ OPERATOR_DIRS = ["hbase_bulkload_service_spark/operators", "hbase_bulkload_servi
 #     operator, so re-evaluation reads the cache, not the corpus.
 #   fixture-branch: registry-level fixture synthesis, adjudicated there.
 #   not-a-fanout: AST false positive (rebound per branch, single use).
-ALLOWLIST: dict[tuple[str, str], str] = {
-    ("histogram_drift", "per_bin"): "reuse-covered (q148 probe: 1 ReusedExchange, scans = the two input sides)",
-    ("join_size_estimate", "counts"): "reuse-covered (q189 probe: no duplicated scan)",
-    ("countmin_estimates", "hashed"): "derived-from-cache (truth is persisted; explode re-runs over InMemoryTableScan)",
-    ("pair_jaccard", "sizes"): "derived-from-cache (shingle table persisted by the minhash caller)",
-    ("ngram_jaccard_pairs", "g"): "derived-from-cache (garr persisted two lines above)",
-    ("ngram_jaccard_pairs", "stats"): "derived-from-cache (garr and gr both persisted)",
-    ("span_dup_stats", "per"): "reuse-covered (q107 probe: no duplicated scan — both consumers need the same pre-exchange payload)",
-    ("fuzzy_self_join_k1", "vx"): "reuse-covered (probe: no duplicated scan in the fuzzy queries)",
-    ("containment_pairs", "g"): "derived-from-cache (q134 probe: 11 InMemoryTableScans; garr-style persist upstream)",
-    ("layout_pruning_audit", "stats"): "reuse-covered (q211 probe: 4 ReusedExchanges + 2 localCheckpoints; manifest-scale)",
-    ("phash_neardups", "bands"): "reuse-covered (q109 probe: no duplicated scan)",
-    ("ivfpq_residual_topk", "cells"): "reuse-covered (q175 probe: no duplicated scan)",
-    ("nprobe_recall", "allowed"): "reuse-covered (q217 probe: no duplicated scan)",
-    ("bpe_encode", "words"): "recompute-by-design (collapsed-count variant measured 5.5x slower at sf0.1 — see operator docstring)",
-    ("bigram_lm_scores", "pairs"): "recompute-by-design (corpus bigram explode; exchanges above are vocab-bounded aggs + keyed joins)",
-    ("build_postings", "tf"): "reuse-covered (posting-list query probe: no duplicated scan — consumers share the (term,doc) exchange)",
-    ("build_postings", "stats"): "reuse-covered (same probe; vocab-bounded final agg recompute only)",
-    ("term_cooccurrence", "terms"): "recompute-by-design (doc-term incidence; docstring documents the two-pass shape)",
-    ("ngram_novelty", "per"): "reuse-covered (q174 probe: no duplicated scan — consumers share the (batch,hash) exchange)",
-    ("vocab_coverage", "toks"): "recompute-by-design (collapsed variant wall-neutral at sf0.1, strictly worse at scale — see operator docstring)",
-    ("surprisal_buckets", "toks"): "recompute-by-design (reference-vocab branch is a ref_mod-sampled scan; sharing would persist a corpus-scale frame)",
-    ("token_tvd", "totals"): "derived-from-cache (sw is persisted; totals is a sources-bounded agg over the cache)",
-    ("stale_series", "last"): "reuse-covered (q158 probe: no duplicated scan)",
-    ("vocab_concentration", "counts"): "reuse-covered (q224 probe: no duplicated scan — totals and the TakeOrdered cut share the word-keyed exchange)",
-    ("write", "latest"): "not-a-fanout (rebound inside the if branch; one consumption per path, per-micro-batch frame)",
+ALLOWLIST: dict[tuple[str, str], dict] = {
+    ("histogram_drift", "per_bin"): {"note": "reuse-covered (q148 probe: 1 ReusedExchange, scans = the two input sides)", "fn_sha": "729b8848f3b3"},
+    ("join_size_estimate", "counts"): {"note": "reuse-covered (q189 probe: no duplicated scan)", "fn_sha": "ba908d70e41a"},
+    ("countmin_estimates", "hashed"): {"note": "derived-from-cache (truth is persisted; explode re-runs over InMemoryTableScan)", "fn_sha": "d5882a41f0a9"},
+    ("pair_jaccard", "sizes"): {"note": "derived-from-cache (shingle table persisted by the minhash caller)", "fn_sha": "82e6f36dae2b"},
+    ("ngram_jaccard_pairs", "g"): {"note": "derived-from-cache (garr persisted two lines above)", "fn_sha": "ff12fc1c2003"},
+    ("ngram_jaccard_pairs", "stats"): {"note": "derived-from-cache (garr and gr both persisted)", "fn_sha": "ff12fc1c2003"},
+    ("span_dup_stats", "per"): {"note": "reuse-covered (q107 probe: no duplicated scan — both consumers need the same pre-exchange payload)", "fn_sha": "1227f16bfb9b"},
+    ("fuzzy_self_join_k1", "vx"): {"note": "reuse-covered (probe: no duplicated scan in the fuzzy queries)", "fn_sha": "7dafb4773469"},
+    ("containment_pairs", "g"): {"note": "derived-from-cache (q134 probe: 11 InMemoryTableScans; garr-style persist upstream)", "fn_sha": "29ad8204ede5"},
+    ("layout_pruning_audit", "stats"): {"note": "reuse-covered (q211 probe: 4 ReusedExchanges + 2 localCheckpoints; manifest-scale)", "fn_sha": "fadb677ff3f1"},
+    ("phash_neardups", "bands"): {"note": "reuse-covered (q109 probe: no duplicated scan)", "fn_sha": "a4650a8256f8"},
+    ("ivfpq_residual_topk", "cells"): {"note": "reuse-covered (q175 probe: no duplicated scan)", "fn_sha": "765576a66f64"},
+    ("nprobe_recall", "allowed"): {"note": "reuse-covered (q217 probe: no duplicated scan)", "fn_sha": "774048a6fb9e"},
+    ("bpe_encode", "words"): {"note": "recompute-by-design (collapsed-count variant measured 5.5x slower at sf0.1 — see operator docstring)", "fn_sha": "64aecb0c8616"},
+    ("bigram_lm_scores", "pairs"): {"note": "recompute-by-design (corpus bigram explode; exchanges above are vocab-bounded aggs + keyed joins)", "fn_sha": "52f6a9a4d05a"},
+    ("build_postings", "tf"): {"note": "reuse-covered (posting-list query probe: no duplicated scan — consumers share the (term,doc) exchange)", "fn_sha": "b30a084422a2"},
+    ("build_postings", "stats"): {"note": "reuse-covered (same probe; vocab-bounded final agg recompute only)", "fn_sha": "b30a084422a2"},
+    ("term_cooccurrence", "terms"): {"note": "recompute-by-design (doc-term incidence; docstring documents the two-pass shape)", "fn_sha": "8b8ca0e7bf2c"},
+    ("ngram_novelty", "per"): {"note": "reuse-covered (q174 probe: no duplicated scan — consumers share the (batch,hash) exchange)", "fn_sha": "3169de517398"},
+    ("vocab_coverage", "toks"): {"note": "recompute-by-design (collapsed variant wall-neutral at sf0.1, strictly worse at scale — see operator docstring)", "fn_sha": "a0b20261cbce"},
+    ("surprisal_buckets", "toks"): {"note": "recompute-by-design (reference-vocab branch is a ref_mod-sampled scan; sharing would persist a corpus-scale frame)", "fn_sha": "0e6bc75eb54c"},
+    ("token_tvd", "totals"): {"note": "derived-from-cache (sw is persisted; totals is a sources-bounded agg over the cache)", "fn_sha": "ca5b88a0f317"},
+    ("stale_series", "last"): {"note": "reuse-covered (q158 probe: no duplicated scan)", "fn_sha": "1017cedaa281"},
+    ("vocab_concentration", "counts"): {"note": "reuse-covered (q224 probe: no duplicated scan — totals and the TakeOrdered cut share the word-keyed exchange; re-adjudicated r08 after the empty-corpus filter, which sits ABOVE the fan-out and does not change it)", "fn_sha": "c1444c58c161"},
+    ("write", "latest"): {"note": "not-a-fanout (rebound inside the if branch; one consumption per path, per-micro-batch frame)", "fn_sha": "66110ecafbf4"},
     # registry-level (fixture/gate construction; the q204 class lives here)
-    ("q95_bloom_dim_join", "out"): "not-a-fanout (one reference forces optimizedPlan under pinned runtime-filter confs — memoized by QueryExecution — the other is the return; the dim's two scans are the bloom creation + join build, by design)",
+    ("q95_bloom_dim_join", "out"): {"note": "not-a-fanout (one reference forces optimizedPlan under pinned runtime-filter confs — memoized by QueryExecution — the other is the return; the dim's two scans are the bloom creation + join build, by design)", "fn_sha": "206a4389621b"},
 }
 
 EXPENSIVE_CALL_ATTRS = {"agg", "applyInPandas", "mapInPandas", "mapPartitions"}
 EXPENSIVE_FN_NAMES = {"explode", "posexplode", "explode_outer", "posexplode_outer"}
 PROTECT_ATTRS = {"persist", "cache", "localCheckpoint", "checkpoint"}
+
+
+def _fn_sha(fn: ast.FunctionDef, src: str) -> str:
+    """Content hash of the adjudicated function's source (whitespace-
+    normalized per line, 12 hex chars). Stored beside each ALLOWLIST
+    note (round 8, VERDICT r07 item 6): when the function changes, the
+    stored hash mismatches and test_reuse_audit fails until the entry is
+    re-adjudicated with a fresh probe note + hash — stale adjudications
+    become impossible by construction, not just new ones."""
+    seg = ast.get_source_segment(src, fn) or ""
+    canon = "\n".join(line.rstrip() for line in seg.splitlines())
+    return hashlib.sha256(canon.encode()).hexdigest()[:12]
 
 
 def _contains_expensive(node: ast.AST) -> str | None:
@@ -211,41 +224,61 @@ def _module_paths(repo: str):
             yield os.path.join(pkg, fname)
 
 
-def sweep(repo: str) -> tuple[list[dict], list[dict]]:
-    """Return (unadjudicated, allowlisted) findings across the operator
-    and registry modules."""
+def sweep(repo: str) -> tuple[list[dict], list[dict], list[dict]]:
+    """Return (unadjudicated, allowlisted, stale) findings across the
+    operator and registry modules. ``stale`` = allowlisted entries whose
+    adjudicated function's content hash no longer matches the hash
+    recorded at adjudication time — the probe note may no longer
+    describe the code."""
     new: list[dict] = []
     allowed: list[dict] = []
+    stale: list[dict] = []
     for path in _module_paths(repo):
-        tree = ast.parse(open(os.path.join(repo, path)).read())
+        src = open(os.path.join(repo, path)).read()
+        tree = ast.parse(src)
         for node in ast.walk(tree):
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
                 for rec in audit_function(node, path):
                     key = (rec["function"], rec["frame"])
                     if key in ALLOWLIST:
-                        rec["adjudication"] = ALLOWLIST[key]
+                        entry = ALLOWLIST[key]
+                        rec["adjudication"] = entry["note"]
+                        rec["fn_sha"] = _fn_sha(node, src)
+                        rec["adjudicated_sha"] = entry["fn_sha"]
                         allowed.append(rec)
+                        if rec["fn_sha"] != entry["fn_sha"]:
+                            stale.append(rec)
                     else:
                         new.append(rec)
-    return new, allowed
+    return new, allowed, stale
 
 
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/reuse_audit.json"
-    new, allowed = sweep(repo)
+    new, allowed, stale = sweep(repo)
     with open(out_path, "w") as f:
-        json.dump({"unadjudicated": new, "allowlisted": allowed}, f, indent=2)
+        json.dump(
+            {"unadjudicated": new, "allowlisted": allowed, "stale": stale},
+            f, indent=2,
+        )
     for rec in new:
         print(
             f"{rec['file']}:{rec['line']} {rec['function']}() frame "
             f"'{rec['frame']}' ({rec['builder']}) -> {rec['consumers']} consumers, UNADJUDICATED"
         )
+    for rec in stale:
+        print(
+            f"{rec['file']}:{rec['line']} {rec['function']}() frame "
+            f"'{rec['frame']}': function changed since adjudication "
+            f"({rec['adjudicated_sha']} -> {rec['fn_sha']}) — re-probe and "
+            "refresh the ALLOWLIST hash + note, STALE"
+        )
     print(
         f"TOTAL {len(new)} unadjudicated / {len(allowed)} allowlisted "
-        "multi-consumer expensive frames"
+        f"({len(stale)} stale) multi-consumer expensive frames"
     )
-    return 1 if new else 0
+    return 1 if (new or stale) else 0
 
 
 if __name__ == "__main__":
