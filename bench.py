@@ -4,7 +4,15 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query is fully materialized via a noop-format write (forces every
-operator, no driver collect cost)."""
+operator, no driver collect cost).
+
+``--runs N`` (or SPARK_GRAFT_BENCH_RUNS=N) times the whole query sweep N
+times in one session and reports the per-query MIN as "queries", with
+every sample kept in "queries_runs" (round 8, VERDICT r07 item 7: this
+VM's per-query walls carry a ±1.6x random-stall tail — single-run
+regression verdicts chased phantom 4x swings in rounds 6-7; min-of-N is
+the committed-artifact default, see tools/bench_compare.py which refuses
+single-run per-query regression verdicts inside the noise band)."""
 
 from __future__ import annotations
 
@@ -108,7 +116,11 @@ def main() -> None:
         shutil.rmtree(wd, ignore_errors=True)
 
     run_all = os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    if "--runs" in sys.argv:
+        n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
     skipped = {} if run_all else dict(BENCH_SKIP)
+    samples: dict[str, list[float]] = {}
     times: dict[str, float] = {}
     # trimmed runs use a DIFFERENT metric name so they can never be
     # compared-by-accident with the full-registry totals of rounds 1-5
@@ -124,7 +136,10 @@ def main() -> None:
 
     def emit(truncated: bool) -> None:
         print(
-            "\n" + json.dumps(build_payload(times, skipped, calibration, sf, truncated, metric)),
+            "\n" + json.dumps(build_payload(
+                times, skipped, calibration, sf, truncated, metric,
+                all_runs=samples if n_runs > 1 else None, n_runs=n_runs,
+            )),
             flush=True,
         )
 
@@ -138,19 +153,23 @@ def main() -> None:
 
     signal.signal(signal.SIGTERM, _on_term)
 
-    for name in sorted(registry.QUERIES):
-        if name in skipped:
-            continue
-        t0 = time.perf_counter()
-        df = registry.QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # operators persist() intermediates (LSH signatures, gram index);
-        # drop them so later queries aren't measured under cache pressure
-        from hbase_bulkload_service_spark import cachereg
+    for _rep in range(n_runs):
+        for name in sorted(registry.QUERIES):
+            if name in skipped:
+                continue
+            t0 = time.perf_counter()
+            df = registry.QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            sec = round(time.perf_counter() - t0, 3)
+            samples.setdefault(name, []).append(sec)
+            times[name] = min(samples[name])
+            # operators persist() intermediates (LSH signatures, gram
+            # index); drop them so later queries aren't measured under
+            # cache pressure
+            from hbase_bulkload_service_spark import cachereg
 
-        cachereg.release_all()
-        spark.catalog.clearCache()
+            cachereg.release_all()
+            spark.catalog.clearCache()
 
     emit(truncated=False)
 
@@ -162,26 +181,35 @@ def build_payload(
     sf,
     truncated: bool,
     metric: str,
+    all_runs: dict | None = None,
+    n_runs: int = 1,
 ) -> dict:
     """Headline keys LAST: the driver records only the stdout TAIL,
     which truncated the FRONT of this (long) line in rounds 1-5
     (BENCH_r0N.json "parsed": null) — with metric/value at the end they
-    survive any tail cut. The leading newline at the print site
-    guarantees the JSON starts a fresh line even after a \\r progress
-    bar. test_bench_payload pins both the key ordering and the
-    survive-a-2KB-tail-cut property."""
-    return {
+    survive any tail cut (the bulky per-sample "queries_runs" block goes
+    FIRST so a cut eats it before anything headline). The leading
+    newline at the print site guarantees the JSON starts a fresh line
+    even after a \\r progress bar. test_bench_payload pins both the key
+    ordering and the survive-a-2KB-tail-cut property. With n_runs > 1,
+    "queries" holds the per-query MIN across runs."""
+    payload: dict = {}
+    if all_runs:
+        payload["queries_runs"] = all_runs
+    payload.update({
         "queries": times,
         "skipped": skipped,
         "calibration": calibration,
         "sf": sf,
         "n_queries": len(times),
         "n_skipped": len(skipped),
+        "n_runs": n_runs,
         "truncated": truncated,
         "metric": metric,
         "unit": "sec",
         "value": round(sum(times.values()), 3),
-    }
+    })
+    return payload
 
 
 def _calibration(spark, cpus: int) -> dict:

@@ -91,3 +91,45 @@ def test_headline_keys_are_last_in_serialization_order():
     keys = list(payload)
     assert keys[-3:] == ["metric", "unit", "value"]
     assert keys.index("queries") < keys.index("calibration") < keys.index("metric")
+
+
+def test_multi_run_payload_min_and_tail_safety():
+    """--runs N: 'queries' holds the per-query min; the bulky
+    'queries_runs' block rides FIRST so a tail cut eats samples before
+    headline keys; n_runs survives in the tail."""
+    times = {f"q{i:03d}_x": 1.0 for i in range(206)}
+    runs = {f"q{i:03d}_x": [1.4, 1.0] for i in range(206)}
+    payload = build_payload(
+        times, dict(BENCH_SKIP), {"py_loop_ms": 1, "spark_shuffle_ms": 1},
+        0.1, False, "benched_query_wall_sec", all_runs=runs, n_runs=2,
+    )
+    keys = list(payload)
+    assert keys[0] == "queries_runs" and keys[-1] == "value"
+    line = "\n" + json.dumps(payload)
+    tail = line[-TAIL_BYTES:]
+    for key in ('"n_runs"', '"metric"', '"value"'):
+        assert key in tail
+
+
+def test_bench_compare_refuses_single_run_noise_verdicts(tmp_path):
+    """A single-run per-query ratio inside the recorded noise band is
+    'inside-single-run-noise-band', never 'regression'; min-of-2 runs
+    make the same ratio regression evidence (VERDICT r07 item 7)."""
+    from bench_compare import SINGLE_RUN_NOISE_P90, compare
+
+    cal = {"py_loop_ms": 100.0, "spark_shuffle_ms": 100.0}
+    old = {"queries": {"q1_a": 1.0, "q2_b": 1.0}, "calibration": cal, "n_runs": 1}
+    new = {"queries": {"q1_a": 1.4, "q2_b": 3.0}, "calibration": cal, "n_runs": 1}
+    rep = compare(old, new)
+    by_q = {r["query"]: r for r in rep["rows"]}
+    assert by_q["q1_a"]["verdict"] == "inside-single-run-noise-band"
+    assert by_q["q2_b"]["verdict"] == "regression"  # beyond the band
+    assert [r["query"] for r in rep["regressions"]] == ["q2_b"]
+    assert 1.4 < SINGLE_RUN_NOISE_P90 < 3.0
+    # min-of-2 evidence: the same 1.4x ratio becomes a real verdict
+    old2 = dict(old, n_runs=2)
+    new2 = dict(new, n_runs=2)
+    rep2 = compare(old2, new2)
+    by_q2 = {r["query"]: r for r in rep2["rows"]}
+    assert by_q2["q1_a"]["verdict"] == "regression"
+    assert rep2["min_of_n_evidence"] is True
