@@ -1274,3 +1274,109 @@ def soft_quality_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr("sum_quality_ppm div n_docs").alias("mean_quality_ppm"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Sequence packing — the concat-then-chunk layout every LM training
+    pipeline needs: documents are concatenated in ``key_col`` order into
+    one global token stream, then chunked into fixed ``context_len``
+    windows; each document's global token span ``[start_tok, end_tok)``
+    tells which training bins it lands in (documents freely straddle bin
+    boundaries, GPT-style). Output per doc: ``(key, n_tokens, start_tok,
+    end_tok, first_bin, last_bin, n_bins)``; zero-token docs occupy no
+    space (NULL bins, n_bins 0).
+
+    The global offset is a distributed PREFIX SUM, not a global window
+    (a single ``Window.orderBy`` serializes the corpus through one
+    task):
+
+    1. part id = ``floor((key - min_key) / chunk)`` — derived from the
+       KEY VALUE against collected min/max (2-row metadata agg), so both
+       passes agree deterministically no matter how the data is
+       physically partitioned (``spark_partition_id`` after a range
+       exchange is NOT stable across re-executions — the range sampler
+       reseeds per action);
+    2. per-part local cumulative sums run in parallel
+       (``Window.partitionBy(part)``, ~corpus/n_parts rows each for
+       dense keys);
+    3. per-part totals (≤ n_parts rows) collect to the driver, turn
+       into exclusive prefix offsets, and broadcast-join back.
+
+    One keyed exchange over the token counts (not the text), one
+    metadata collect, one broadcast join. Dense/near-uniform keys give
+    balanced parts; a heavily skewed key space should pre-rank (e.g.
+    :func:`deterministic_shuffle`'s (shard, pos)) before packing.
+    """
+    if context_len < 1:
+        raise ValueError("context_len must be >= 1")
+    if n_parts < 1:
+        raise ValueError("n_parts must be >= 1")
+    toks = docs.select(
+        F.col(key_col),
+        F.size(
+            F.filter(words_of(F.col(text_col)), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    lo_hi = toks.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        return toks.select(
+            key_col, "n_tokens",
+            F.lit(None).cast("long").alias("start_tok"),
+            F.lit(None).cast("long").alias("end_tok"),
+            F.lit(None).cast("long").alias("first_bin"),
+            F.lit(None).cast("long").alias("last_bin"),
+            F.lit(0).cast("long").alias("n_bins"),
+        )
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    chunk = max(1, (hi - lo) // n_parts + 1)
+    part = ((F.col(key_col) - F.lit(lo)) / F.lit(chunk)).cast("long")
+    local = toks.withColumn("__part", part).withColumn(
+        "__lsum",
+        F.sum("n_tokens").over(
+            Window.partitionBy("__part")
+            .orderBy(key_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals = sorted(
+        (int(r["__part"]), int(r["__t"]))
+        for r in toks.withColumn("__part", part)
+        .groupBy("__part")
+        .agg(F.sum("n_tokens").alias("__t"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for p, t in totals:
+        offsets.append((p, acc))
+        acc += t
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets, "__part long, __off long")
+    out = local.join(F.broadcast(off_df), "__part").select(
+        F.col(key_col),
+        "n_tokens",
+        (F.col("__off") + F.col("__lsum") - F.col("n_tokens")).alias("start_tok"),
+        (F.col("__off") + F.col("__lsum")).alias("end_tok"),
+    )
+    nz = F.col("n_tokens") > 0
+    first_bin = F.when(nz, F.expr(f"start_tok div {context_len}")).cast("long")
+    last_bin = F.when(nz, F.expr(f"(end_tok - 1) div {context_len}")).cast("long")
+    return out.select(
+        key_col,
+        "n_tokens",
+        "start_tok",
+        "end_tok",
+        first_bin.alias("first_bin"),
+        last_bin.alias("last_bin"),
+        F.when(nz, last_bin - first_bin + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_bins"),
+    )
