@@ -63,14 +63,16 @@ def test_bulkload_kv_is_range_partitioned_and_sorted(spark):
 
     kv = tsdb.bulkload_kv(tsdb.derive_tsdb_cells(load_events(spark, SF_DIR)))
     plan = formatted_plan(kv)
-    # final layout: range exchange on (bucket, key_hex, qualifier_hex) …
+    # final layout: range exchange on the RAW BINARY (bucket, key,
+    # qualifier) — round 8: binary order == hex order, half the sort-key
+    # bytes (BINSORT_AB_r08.json) …
     assert re.search(
-        r"rangepartitioning\(bucket#\d+ ASC NULLS FIRST, key_hex#\d+ ASC", plan
+        r"rangepartitioning\(bucket#\d+ ASC NULLS FIRST, key#\d+ ASC", plan
     ), plan
     # … with a partition-local sort on the same keys directly above it
     assert re.search(
-        r"\[bucket#\d+ ASC NULLS FIRST, key_hex#\d+ ASC NULLS FIRST, "
-        r"qualifier_hex#\d+ ASC NULLS FIRST\], false", plan
+        r"\[bucket#\d+ ASC NULLS FIRST, key#\d+ ASC NULLS FIRST, "
+        r"qualifier#\d+ ASC NULLS FIRST\], false", plan
     ), plan
 
 
