@@ -172,8 +172,13 @@ def audit_function(fn: ast.FunctionDef, path: str) -> list[dict]:
         if tag is None:
             continue
         # a driver-side materialization (collect/count/toPandas/...) is a
-        # plain Python value — re-use of the NAME is not a plan fan-out
+        # plain Python value — re-use of the NAME is not a plan fan-out.
+        # Unwrap subscripts/attributes so `.collect()[0]` / `.first().x`
+        # are recognized too (round-8 false positive: pack_sequences'
+        # `lo_hi = toks.agg(...).collect()[0]`).
         outer = stmt.value
+        while isinstance(outer, (ast.Subscript, ast.Attribute, ast.Starred)):
+            outer = outer.value
         if (
             isinstance(outer, ast.Call)
             and isinstance(outer.func, ast.Attribute)
