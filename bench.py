@@ -57,6 +57,8 @@ BENCH_SKIP = {
     # BPE: q110 times the learner, q213 times learn+encode+rollup;
     # q111's encode path is a strict subset of q213's
     "q111_bpe_encode": "encode path benched via q213's superset",
+    "q231_stream_stream_outer": "outer variant of q60's replay; wall is the "
+    "sentinel/watermark-eviction harness, same join operator",
 }
 
 

@@ -1969,3 +1969,116 @@ def countmin_estimates(
             ).alias("over_ppm"),
         )
     )
+
+
+def trailing_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    horizons_ms: Sequence[int],
+) -> DataFrame:
+    """Multi-horizon trailing-window feature matrix: per key, event
+    counts and value sums inside each trailing horizon ending at the
+    corpus reference time (``max(ts_col)`` over the whole frame) — the
+    churn/activity feature block a training pipeline derives per user
+    ("events in the last 1/7/30 days") right before model assembly.
+
+    One pass, one keyed shuffle: the reference time is a 1-row aggregate
+    cross-broadcast onto the scan (never a driver collect round-trip in
+    the plan), and every horizon is a conditional aggregate inside the
+    SAME hash aggregate — k horizons cost k expressions, not k scans and
+    not k window sorts. Contrast with a window-function formulation,
+    which would sort every partition; at 100 TB this shape is a plain
+    map + one shuffle of #keys rows.
+
+    Output: key, n_total, sum_total, then per horizon ``n_{ms}`` /
+    ``sum_{ms}`` counting rows with ``ts > ref - horizon``.
+    """
+    ref = df.agg(F.max(ts_col).alias("_ref"))
+    aggs = [
+        F.count("*").alias("n_total"),
+        F.sum(value_col).alias("sum_total"),
+    ]
+    for ms in horizons_ms:
+        inside = F.col(ts_col) > F.col("_ref") - F.lit(int(ms))
+        aggs.append(
+            F.sum(F.when(inside, 1).otherwise(0)).alias(f"n_{ms}")
+        )
+        aggs.append(
+            F.sum(F.when(inside, F.col(value_col)).otherwise(0)).alias(f"sum_{ms}")
+        )
+    return df.crossJoin(F.broadcast(ref)).groupBy(key_col).agg(*aggs)
+
+
+def loo_target_encoding(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding: each row's category is
+    encoded as the mean of the TARGET over every *other* row of the same
+    category — ``(sum(t) - t_i) / (n - 1)`` — so a row never sees its own
+    label (the defining property of LOO encoding; plain target encoding
+    leaks the label into the feature and inflates eval).
+
+    Exact integer contract: ``target_col`` must be integral (0/1 labels
+    or counts); the encoding is emitted as a truncating ppm
+    (``* 1_000_000 div (n-1)``) so both engines agree bit-for-bit.
+    Singleton categories (n == 1) encode as NULL — there is no "other
+    row" to borrow a mean from.
+
+    Scale shape: a #categories-row aggregate broadcast back onto the
+    stream — the fact side is never shuffled (same two-pass pattern as
+    zscore_outliers); the per-row arithmetic is codegen'd.
+    """
+    stats = df.groupBy(category_col).agg(
+        F.count("*").alias("_n"),
+        F.sum(target_col).alias("_sum_t"),
+    )
+    out = df.join(F.broadcast(stats), category_col)
+    # `div` (not `/`): exact BIGINT division — float division then floor
+    # would drift from the integer truth once the numerator passes 2^53.
+    loo = F.expr(
+        f"CASE WHEN _n > 1 THEN CAST((_sum_t - {target_col}) * 1000000 "
+        f"AS BIGINT) div (_n - 1) END"
+    )
+    return out.select(
+        *id_cols,
+        category_col,
+        F.col(target_col).cast("long").alias(target_col),
+        loo.cast("long").alias("loo_ppm"),
+    )
+
+
+def moment_profile(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact bivariate moment profile per key: ``(n, Σx, Σy, Σx², Σy²,
+    Σxy)`` over integral columns — the sufficient statistics from which
+    Pearson correlation, OLS slope/intercept, and variance all derive.
+
+    The engine ships the MOMENTS, not the float statistic: the six sums
+    are exact integers (inputs must be integral; sums stay in BIGINT for
+    any realistic group size), so the result is engine-portable
+    bit-for-bit, while float corr computed in two engines differs in the
+    last ulp and can't be hash-compared. Downstream derives corr =
+    (nΣxy-ΣxΣy)/√((nΣx²-Σx²)(nΣy²-Σy²)) at display time.
+
+    One partial-aggregate-then-shuffle hash aggregate (#keys output
+    rows); the same associative-moments trick is what lets a 1000-node
+    cluster compute exact correlation in one pass with no sort.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    return df.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sum_x"),
+        F.sum(y).alias("sum_y"),
+        F.sum(x * x).alias("sum_xx"),
+        F.sum(y * y).alias("sum_yy"),
+        F.sum(x * y).alias("sum_xy"),
+    )

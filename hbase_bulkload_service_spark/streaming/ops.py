@@ -274,8 +274,9 @@ def stream_stream_interval_join(
     right_ts: str,
     within_ms: int,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-STREAM inner join: each left event matched to right events of
+    """Stream-STREAM join: each left event matched to right events of
     the same key arriving within ``[left_ts, left_ts + within_ms]`` — the
     click→purchase attribution shape. Both sides are unbounded, so BOTH
     carry watermarks and the time-interval condition bounds how long each
@@ -285,9 +286,21 @@ def stream_stream_interval_join(
 
     Inner-join matches emit as soon as both rows have arrived (no
     watermark holdback — that's only for outer sides), so a finite
-    replay produces exactly the batch join's rows. The reference has no
-    stream-stream surface at all (its lookup join probes a static table);
-    this is the F1-family member Spark adds outright.
+    replay produces exactly the batch join's rows. ``how="left_outer"``
+    adds the null-padded row for every unmatched left event — but that
+    row can only emit once the watermark proves no match can still
+    arrive, i.e. after the global watermark passes ``left_ts +
+    within_ms`` AND a further micro-batch runs to evict the state
+    (measured semantics, same one-batch-late rule as append-mode window
+    eviction — tests/test_streaming_latedata.py). A finite replay that
+    wants the full outer result must therefore push the watermark past
+    the data with a late sentinel batch on BOTH streams (min-across-
+    streams watermark) and rely on the availableNow no-data final batch
+    for the flush; see q231_stream_stream_outer.
+
+    The reference has no stream-stream surface at all (its lookup join
+    probes a static table); this is the F1-family member Spark adds
+    outright.
 
     Scale: state is keyed on the join key — the same salt-spread keys as
     every batch shuffle — and bounded by (event rate × interval width).
@@ -299,7 +312,9 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within_ms} MILLISECONDS"))
     )
-    return lw.join(rw, cond, "inner")
+    # drop the right-side key: it duplicates the left's (and is NULL on
+    # outer-padded rows), and the collision makes `user_id` unselectable
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 # ---------------------------------------------------------------------------
