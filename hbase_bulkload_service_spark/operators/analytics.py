@@ -2082,3 +2082,149 @@ def moment_profile(
         F.sum(y * y).alias("sum_yy"),
         F.sum(x * y).alias("sum_xy"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    key_col: str,
+    cohort_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per key: the max
+    absolute gap between cohort A's and cohort B's empirical CDFs of an
+    integral metric — the standard distribution-drift test between a
+    baseline and a candidate window (``cohort_col`` must be 'a'/'b').
+
+    All arithmetic is integer-exact: at each distinct value the CDF gap
+    is compared in cross-multiplied form ``|cum_a·n_b − cum_b·n_a|`` (no
+    float CDFs), and only the final readout divides to a truncating ppm
+    — so both engines agree bit-for-bit.
+
+    Plan: one (key, value)-grained pre-aggregate, then a cumulative
+    window PARTITIONED BY the same key (the exchange is reused — value
+    order is resolved inside each key partition), then a #keys-row max
+    aggregate. No global sort; per-key work is the distinct-value count.
+    """
+    per_v = df.groupBy(key_col, value_col).agg(
+        F.sum(F.when(F.col(cohort_col) == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col(cohort_col) == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tot = per_v.groupBy(key_col).agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    w = Window.partitionBy(key_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        key_col,
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    gaps = cum.join(F.broadcast(tot), key_col)
+    return (
+        gaps.groupBy(key_col)
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("d_num"),
+        )
+        .withColumn(
+            "d_ppm",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.expr("CAST(d_num * 1000000 AS BIGINT) div (n_a * n_b)"),
+            ).cast("long"),
+        )
+    )
+
+
+def behavior_bitmask(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    type_bits: dict[str, int],
+) -> DataFrame:
+    """Set-of-behaviors encoding as a bitmask: per key, OR together one
+    bit per observed type (``type_bits`` maps type -> bit value), then
+    census the masks — how many keys share each exact behavior
+    combination, and how many distinct behaviors that is (popcount).
+
+    The bitmask is the scale play: a user's behavior SET becomes one
+    BIGINT held in a single aggregation buffer (vs collect_set's
+    variable-length array state), ``bit_or`` is associative for partial
+    aggregation, and downstream set algebra (did X and Y but not Z) is a
+    codegen'd bitwise expression instead of array_contains chains.
+    Two keyed hash aggregates; output is #distinct-masks rows.
+    """
+    bit = F.lit(0)
+    for t, b in type_bits.items():
+        bit = F.when(F.col(type_col) == t, F.lit(int(b))).otherwise(bit)
+    masks = df.select(F.col(key_col), bit.alias("_bit")).groupBy(key_col).agg(
+        F.bit_or("_bit").alias("mask")
+    )
+    return (
+        masks.groupBy("mask")
+        .agg(F.count("*").alias("n_keys"))
+        .select(
+            F.col("mask").cast("long").alias("mask"),
+            "n_keys",
+            F.bit_count("mask").cast("long").alias("n_types"),
+        )
+    )
+
+
+def funnel_path(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+    within_ms: int | None = None,
+) -> DataFrame:
+    """Strict-ordered N-step funnel: per key, the earliest occurrence of
+    ``steps[0]``, then the earliest ``steps[1]`` STRICTLY after it, and
+    so on — each step's timestamp NULL (and all later steps NULL) once
+    the chain breaks. ``within_ms`` adds a conversion flag: the last
+    step landed within that span of the first (the q92 two-step funnel
+    generalized to arbitrary paths).
+
+    Plan: one aggregate per step, every one keyed on ``key_col`` — the
+    partitioning is established once and carried through each join+agg
+    round (no re-exchange; AQE sees identical distributions). Step i's
+    input is pre-filtered to that step's type before the join, so each
+    round joins the #keys-row frontier against only that type's slice.
+    NULL chains propagate for free: ``ts > NULL`` is NULL, the
+    conditional min stays NULL.
+    """
+    first = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("ts_0"))
+    )
+    cur = first
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = df.filter(F.col(type_col) == step).select(
+            key_col, F.col(ts_col).alias("_ts")
+        )
+        carried = [f"ts_{j}" for j in range(i)]
+        cur = (
+            cur.join(nxt, key_col, "left")
+            .groupBy(key_col, *carried)
+            .agg(
+                F.min(
+                    F.when(F.col("_ts") > F.col(f"ts_{i-1}"), F.col("_ts"))
+                ).alias(f"ts_{i}")
+            )
+        )
+    if within_ms is not None:
+        last = f"ts_{len(steps) - 1}"
+        cur = cur.withColumn(
+            "converted",
+            F.when(
+                F.col(last).isNotNull(),
+                (F.col(last) - F.col("ts_0")) <= F.lit(int(within_ms)),
+            ).otherwise(F.lit(False)),
+        )
+    return cur

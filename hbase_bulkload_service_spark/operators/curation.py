@@ -1380,3 +1380,45 @@ def pack_sequences(
         .cast("long")
         .alias("n_bins"),
     )
+
+
+def golden_record_merge(
+    key_col: str,
+    feeds: list[tuple[DataFrame, list[str]]],
+) -> DataFrame:
+    """Golden-record (survivorship) merge: one row per key assembled
+    from N source feeds by TRUST ORDER — for every field, the value from
+    the highest-priority feed that has it (non-null), the classic MDM
+    merge a corpus pipeline runs when the same entity arrives from
+    multiple ingest systems. ``feeds`` is priority-ordered
+    ``(frame, [field, ...])``; a field may appear in several feeds.
+
+    Plan: a chain of FULL OUTER joins on the key (no feed may drop keys
+    the others know) + ``coalesce`` per field in priority order. Every
+    join keys on ``key_col``, so the first shuffle's partitioning is
+    reused by each subsequent join and there is no broadcast assumption
+    — feeds are fact-sized, not dims. Field conflict resolution is pure
+    projection (codegen), zero extra passes.
+    """
+    field_sources: dict[str, list[Column]] = {}
+    merged: DataFrame | None = None
+    for i, (frame, fields) in enumerate(feeds):
+        renamed = frame.select(
+            F.col(key_col),
+            *[F.col(f).alias(f"_{i}_{f}") for f in fields],
+        )
+        merged = (
+            renamed
+            if merged is None
+            else merged.join(renamed, key_col, "full_outer")
+        )
+        for f in fields:
+            field_sources.setdefault(f, []).append(F.col(f"_{i}_{f}"))
+    assert merged is not None, "golden_record_merge needs at least one feed"
+    return merged.select(
+        key_col,
+        *[
+            F.coalesce(*cols).alias(f) if len(cols) > 1 else cols[0].alias(f)
+            for f, cols in field_sources.items()
+        ],
+    )

@@ -1799,3 +1799,40 @@ def nprobe_recall(
         )
         .withColumn("recall_ppm", F.expr(f"overlap * 1000000 div {k}"))
     )
+
+
+def top_dims(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-vector top-k dimensions by absolute magnitude — the sparse
+    'which features fire' readout (feature attribution / sparse
+    projection) over a dense embedding column.
+
+    Entirely map-side: the vector is decorated in place with
+    ``transform(v, (x, i) -> struct(-abs(micro), i, micro))`` (struct
+    order = |value| DESC, dim ASC — deterministic tie-break),
+    ``array_sort``'d with the default struct comparator, sliced to k and
+    pos-exploded. ZERO shuffle, no per-element explode-then-window (the
+    relational formulation would shuffle every element of every vector —
+    dims × rows — to rank inside each vector; this does it inside the
+    row). Values are truncated micros off the double-promoted float so
+    both engines rank identical integers.
+    """
+    # FLOOR before the BIGINT cast on BOTH engines: Spark's double->long
+    # cast truncates but DuckDB's ROUNDS — FLOOR is the shared semantics
+    # (same rule as registry.cents()).
+    micro = "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+    arr = F.expr(
+        f"slice(array_sort(transform({vec_col}, (x, i) -> "
+        f"struct(-abs({micro}) AS neg, i AS idx, {micro} AS micro))), "
+        f"1, {int(k)})"
+    )
+    return df.select(F.col(id_col), F.posexplode(arr).alias("pos", "s")).select(
+        id_col,
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+        F.col("s.idx").cast("long").alias("dim_idx"),
+        F.col("s.micro").alias("micro"),
+    )
