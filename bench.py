@@ -59,6 +59,10 @@ BENCH_SKIP = {
     "q111_bpe_encode": "encode path benched via q213's superset",
     "q231_stream_stream_outer": "outer variant of q60's replay; wall is the "
     "sentinel/watermark-eviction harness, same join operator",
+    "q241_foreachbatch_upsert": "foreachBatch flush harness (temp writes + "
+    "snapshot rewrites); the merge operator is q20/q11's benched max_by",
+    "q243_incremental_ingest": "two full stream restarts against one "
+    "checkpoint; wall is the restart harness, the plan is a passthrough",
 }
 
 

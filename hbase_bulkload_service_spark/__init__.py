@@ -58,3 +58,4 @@ from hbase_bulkload_service_spark import registry_wave30  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave31  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave32  # noqa: E402,F401
 from hbase_bulkload_service_spark import registry_wave33  # noqa: E402,F401
+from hbase_bulkload_service_spark import registry_wave34  # noqa: E402,F401
