@@ -123,10 +123,24 @@ PROBE_QUERIES = [
     "q222_winnowing",          # fully map-side array expressions; zero data shuffle
     "q223_label_majority",     # (item,label) pre-agg -> item-keyed min_by argmax
     "q224_vocab_concentration",  # word agg + TakeOrdered top-k; tail metadata-scale
+    "q229_trailing_features",  # 1-row ref broadcast + ONE user-keyed conditional agg
+    "q230_loo_target_encoding",  # #categories stats broadcast + codegen projection; no fact shuffle
+    "q232_metric_moments",     # one keyed moment agg, combiner-bounded
+    "q233_variant_props",      # map-side variant parse/extract + (type,bucket) agg
+    "q235_map_assembly",       # (decile,type) agg -> decile map rollup; map HOFs map-side
+    "q236_ks_drift",           # (key,value) pre-agg bounds the window; totals broadcast
+    "q237_bitmask_census",     # two keyed aggs; one-BIGINT set state per key
+    "q238_golden_record",      # key-partitioned full-outer chain (2N-2 exchanges, SCALE.md)
+    "q240_funnel3",            # per-step join+agg, all user-keyed; frontier stays #users rows
 ]
 # q221_hfilev3_snappy is a container byte-gate (q167-q170 class): its
 # wall is per-region writer/readback CPU, not a data-shuffle shape —
 # excluded like its codec siblings.
+# Wave 32/34 members not probed: q227/q228/q234/q241/q243 are
+# write-harness round-trips (temp parquet generations, partitioned
+# overwrite, stream restarts) whose wall is the fixture write, not a
+# shuffle shape; q231 is the sentinel-replay twin of q60; q242 is a
+# single observed scan. Scale arguments in SCALE.md round-8 section.
 # Pair-output operators (near-dup / linkage / graph families) are probed
 # against a PERTURBED amplification instead (below): replication with
 # per-rep content perturbation, so cross-rep copies are NOT duplicates of
@@ -165,6 +179,7 @@ PROBE_QUERIES_PERTURBED = [
     "q205_matryoshka_recall",  # brute-force baseline: query set broadcast, |dims| prefix folds per row
     "q210_cluster_split",      # q35's banded-LSH + CC ledger; fold hash map-side on the join
     "q217_nprobe_recall",      # one broadcast-query distance pass + id-keyed cell join; tallies broadcast
+    "q239_top_dims",           # zero-shuffle in-row array_sort (embeddings grow under this amplifier)
 ]
 # q146_rank_fusion is NOT probed: the fusion itself is k-bounded
 # (queries x k x n_lists rows); its scale cost lives entirely in the
