@@ -2033,9 +2033,22 @@ def loo_target_encoding(
     stream — the fact side is never shuffled (same two-pass pattern as
     zscore_outliers); the per-row arithmetic is codegen'd.
     """
+    from hbase_bulkload_service_spark.operators.textops import int64_bound_guard
+
     stats = df.groupBy(category_col).agg(
         F.count("*").alias("_n"),
         F.sum(target_col).alias("_sum_t"),
+    )
+    # (Σt − t)·1e6 must fit int64; guard the #categories-row frame
+    stats = int64_bound_guard(
+        stats,
+        F.col("_sum_t") <= F.lit(LOO_INT64_BOUND),
+        F.format_string(
+            "loo_target_encoding int64 bound exceeded: category %s has "
+            "sum_t=%s",
+            F.col(category_col).cast("string"),
+            F.col("_sum_t").cast("string"),
+        ),
     )
     out = df.join(F.broadcast(stats), category_col)
     # `div` (not `/`): exact BIGINT division — float division then floor
@@ -2069,6 +2082,11 @@ def moment_profile(
     last ulp and can't be hash-compared. Downstream derives corr =
     (nΣxy-ΣxΣy)/√((nΣx²-Σx²)(nΣy²-Σy²)) at display time.
 
+    int64 bound (documented, not guarded — a pre-guard would cost a
+    second aggregate pass): with |x|,|y| ≤ B per row, a group of n rows
+    needs n·B² < 2^63; at B = 10^6 (cents/micros) that is n < 9.2e6
+    rows per group — rescale the inputs or shard the key past that.
+
     One partial-aggregate-then-shuffle hash aggregate (#keys output
     rows); the same associative-moments trick is what lets a 1000-node
     cluster compute exact correlation in one pass with no sort.
@@ -2082,6 +2100,13 @@ def moment_profile(
         F.sum(y * y).alias("sum_yy"),
         F.sum(x * y).alias("sum_xy"),
     )
+
+
+# ks_drift ppm arithmetic: |gap|·1e6 ≤ n_a·n_b·1e6 must fit int64
+KS_INT64_BOUND = (1 << 63) // 1_000_000 - 1  # ≈ 9.2e12
+
+# loo_target_encoding: (Σt − t)·1e6 must fit int64
+LOO_INT64_BOUND = (1 << 63) // 1_000_000 - 1
 
 
 def ks_drift(
@@ -2105,12 +2130,27 @@ def ks_drift(
     order is resolved inside each key partition), then a #keys-row max
     aggregate. No global sort; per-key work is the distinct-value count.
     """
+    from hbase_bulkload_service_spark.operators.textops import int64_bound_guard
+
     per_v = df.groupBy(key_col, value_col).agg(
         F.sum(F.when(F.col(cohort_col) == "a", 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col(cohort_col) == "b", 1).otherwise(0)).alias("cb"),
     )
     tot = per_v.groupBy(key_col).agg(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    # |cum·n| ≤ n_a·n_b and the ppm readout multiplies by 1e6: past
+    # n_a·n_b > KS_INT64_BOUND the arithmetic would wrap silently under
+    # non-ANSI Spark — fail loudly on the #keys-row totals frame instead
+    # (bin the CDF first at that scale; SCALE.md round-8 notes).
+    tot = int64_bound_guard(
+        tot,
+        F.col("n_a") * F.col("n_b") <= F.lit(KS_INT64_BOUND),
+        F.format_string(
+            "ks_drift int64 bound exceeded: key %s has n_a*n_b=%s",
+            F.col(key_col).cast("string"),
+            (F.col("n_a") * F.col("n_b")).cast("string"),
+        ),
     )
     w = Window.partitionBy(key_col).orderBy(value_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

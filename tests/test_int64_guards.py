@@ -100,3 +100,40 @@ def test_char_diversity_unchanged_below_bound(spark):
     r = textops.char_diversity(docs).collect()[0]
     # n=4, counts {a:2,b:2}, ss=8 -> (16-8)*1e6 // 16 = 500000
     assert r.gini_ppm == 500_000 and r.distinct_chars == 2
+
+
+def test_ks_drift_guard_fires_past_bound(spark, monkeypatch):
+    from hbase_bulkload_service_spark.operators import analytics
+
+    monkeypatch.setattr(analytics, "KS_INT64_BOUND", 3)
+    df = spark.createDataFrame(
+        [("k", "a", 1), ("k", "a", 2), ("k", "b", 3), ("k", "b", 4)],
+        "k string, cohort string, v long",
+    )
+    msg = _collect_raises(analytics.ks_drift(df, "k", "cohort", "v"))
+    assert "ks_drift int64 bound exceeded" in msg
+    assert "n_a*n_b=4" in msg
+
+
+def test_ks_drift_unchanged_below_bound(spark):
+    from hbase_bulkload_service_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [("k", "a", 1), ("k", "b", 2)], "k string, cohort string, v long"
+    )
+    r = analytics.ks_drift(df, "k", "cohort", "v").collect()[0]
+    assert r["d_ppm"] == 1_000_000  # guard present, values untouched
+
+
+def test_loo_guard_fires_past_bound(spark, monkeypatch):
+    from hbase_bulkload_service_spark.operators import analytics
+
+    monkeypatch.setattr(analytics, "LOO_INT64_BOUND", 2)
+    df = spark.createDataFrame(
+        [(1, "c", 1), (2, "c", 1), (3, "c", 1)], "id long, cat string, t long"
+    )
+    msg = _collect_raises(
+        analytics.loo_target_encoding(df, "cat", "t", ("id",))
+    )
+    assert "loo_target_encoding int64 bound exceeded" in msg
+    assert "sum_t=3" in msg

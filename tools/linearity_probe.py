@@ -246,10 +246,16 @@ def _amplify(spark, work: str, amp: int) -> str:
     max_ok = load(spark, SF_DIR, "orders").agg(
         F.max("o_orderkey")
     ).collect()[0][0]
+    max_ck = load(spark, SF_DIR, "customer").agg(
+        F.max("c_custkey")
+    ).collect()[0][0]
     shifted("events", {"event_id": n_ev, "user_id": 1_000_000})
     shifted("documents", {"doc_id": n_doc})
     shifted("orders", {"o_orderkey": max_ok + 1})
     shifted("lineitem", {"l_orderkey": max_ok + 1})
+    # rep-0 keys survive the shift, so orders.o_custkey FK joins still
+    # resolve; the extra customers exercise entity-keyed operators (q238)
+    shifted("customer", {"c_custkey": max_ck + 1})
     for t in TABLES:
         p = os.path.join(dst, f"{t}.parquet")
         if not os.path.exists(p):
