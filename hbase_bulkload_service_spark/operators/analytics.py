@@ -2130,12 +2130,21 @@ def ks_drift(
     order is resolved inside each key partition), then a #keys-row max
     aggregate. No global sort; per-key work is the distinct-value count.
     """
+    from hbase_bulkload_service_spark import cachereg
     from hbase_bulkload_service_spark.operators.textops import int64_bound_guard
 
-    per_v = df.groupBy(key_col, value_col).agg(
-        F.sum(F.when(F.col(cohort_col) == "a", 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col(cohort_col) == "b", 1).otherwise(0)).alias("cb"),
+    # per_v feeds BOTH the totals and the cumulative window; persist it
+    # (distinct-value-domain-sized, far smaller than the scan) so the
+    # base data is read once, not once per consumer.
+    per_v = (
+        df.groupBy(key_col, value_col)
+        .agg(
+            F.sum(F.when(F.col(cohort_col) == "a", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col(cohort_col) == "b", 1).otherwise(0)).alias("cb"),
+        )
+        .persist()
     )
+    cachereg.register(per_v, family="ksdrift")
     tot = per_v.groupBy(key_col).agg(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
