@@ -491,3 +491,50 @@ def test_lookup_join_default_still_broadcasts(spark):
     pinned shape) — the bucketed fallback is opt-in."""
     plan = formatted_plan(registry.QUERIES["q05_lookup_join"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join is the engine's AUTOMATIC answer to the hot-key
+    shape q28 mitigates manually with salting: one probe-side key
+    carrying most of the rows gets its shuffle partition split at
+    runtime (OptimizeSkewedJoin; 'skew=true' in the final adaptive
+    plan). Pinned so a conf regression that silently disables AQE skew
+    handling fails a test, not a production job. Thresholds are lowered
+    locally because the fixture is MBs, not GBs — the mechanism, not
+    the default trigger sizes, is the contract."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        # 50k rows on ONE key vs a trickle on 50 others
+        probe = spark.range(50_000).select(
+            F.when(F.col("id") % 50 == 0, F.col("id") % 50)
+            .otherwise(F.lit(7))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("dv")
+        )
+        # the downstream aggregate must NOT need the join's hash
+        # partitioning (a groupBy on the join key would make AQE refuse
+        # the split — splitting breaks the partitioning it requires)
+        out = probe.join(dim, "k").agg(F.sum("payload").alias("s"))
+        out.collect()  # AQE finalizes only on execution
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
