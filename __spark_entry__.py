@@ -18,19 +18,19 @@ mis-planned:
   ``q56_bulkload_e2e`` into the 50-slot window every round.
 
 Arithmetic of the achievable bound (documented for the age gate): with
-241 registered queries and 49 free slots per round (q56 pins one), a full
-verification cycle takes ceil(241/49) = 5 windows. Under strict
+240 registered queries and 49 free slots per round (q56 pins one), a full
+verification cycle takes ceil(240/49) = 5 windows. Under strict
 oldest-first rotation the worst *post-window* age is therefore 4 rounds
 — a max-age-3 ledger is impossible with this registry size and a 50-slot
 driver window (3 prior windows + the current one cover at most 200
-queries < 241). ``tools/selfcheck.py --enforce-max-age 4
+queries < 240). ``tools/selfcheck.py --enforce-max-age 4
 --assume-window`` enforces exactly the achievable bound and is pinned by
 tests/test_rotation.py.
 
 CAPACITY CEILING (round 8): 246 registered queries is the TERMINAL size
 under the 50-slot window + age-4 gate (ceil(245/49) = 5 windows; one
 more and the cycle needs 6, pushing the achievable bound to age 5).
-At 241 live queries there are 5 slots left — new registrations should
+At 240 live queries there are 6 slots left — new registrations should
 replace or consolidate, not accrete, unless the gate parameter is
 consciously renegotiated.
 """

@@ -1,9 +1,10 @@
 """Registry wave 32 (round 8) — source/sink semantics breadth + the
 feature-engineering block a training pipeline runs after curation:
 
-- schema evolution across parquet shards (``mergeSchema``) and
-  heterogeneous-frame union (``unionByName(allowMissingColumns)``) — the
-  two ways a 100 TB corpus accretes columns over months of ingest;
+- heterogeneous-frame union (``unionByName(allowMissingColumns)``) —
+  how a 100 TB corpus accretes columns across independently-evolving
+  feeds (file-level mergeSchema is q98's gate; a briefly-registered
+  q227 duplicate was retired round 8);
 - Spark 4 VARIANT semi-structured access (``parse_json`` /
   ``variant_get``) next to q81's string-path extraction;
 - dynamic partition overwrite (the idempotent backfill/correction sink
@@ -36,74 +37,6 @@ from hbase_bulkload_service_spark.registry import (
     register,
 )
 from hbase_bulkload_service_spark.sources.tables import load, load_events
-
-# ===========================================================================
-# q227 — parquet schema evolution (mergeSchema read)
-# ===========================================================================
-
-
-@register(
-    "q227_schema_evolution",
-    """
-    WITH s AS (
-      SELECT event_id, user_id,
-             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
-             CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
-      FROM events WHERE user_id % 7 = 0
-    )
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(cents) AS BIGINT) AS sum_cents,
-           MIN(event_id) AS min_event_id,
-           MAX(event_id) AS max_event_id
-    FROM s GROUP BY event_type
-    """,
-)
-def q227_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution across parquet generations: an early shard written
-    WITHOUT ``event_type`` (v1 schema) and a later shard WITH it, read
-    back as one table via ``mergeSchema=true`` — v1 rows surface NULL for
-    the added column, and the aggregate proves no row was dropped or
-    miscast. This is how a long-lived 100 TB corpus actually looks: the
-    schema grows over months and readers must union generations without a
-    rewrite.
-
-    Scale posture: ``mergeSchema`` reconciles FOOTERS only (one metadata
-    task per file, no data read) and is scoped to this read — the
-    session-wide default stays off because footer-merging every read of a
-    million-file table is a planning tax. Filters/pruning still push into
-    both generations."""
-    sub = (
-        load_events(spark, sf_dir, spread=True)
-        .filter(F.col("user_id") % 7 == 0)
-        .select("event_id", "user_id", "event_type", cents(F.col("value")).alias("cents"))
-    )
-    d = tempfile.mkdtemp(prefix="q227evo")
-    try:
-        sub.filter(F.col("event_id") % 2 == 0).select(
-            "event_id", "user_id", "cents"
-        ).coalesce(2).write.mode("overwrite").parquet(f"{d}/gen1")
-        sub.filter(F.col("event_id") % 2 == 1).select(
-            "event_id", "user_id", "cents", "event_type"
-        ).coalesce(2).write.mode("overwrite").parquet(f"{d}/gen2")
-        merged = spark.read.option("mergeSchema", "true").parquet(
-            f"{d}/gen1", f"{d}/gen2"
-        )
-        out = merged.groupBy("event_type").agg(
-            F.count("*").alias("n_rows"),
-            F.sum("cents").alias("sum_cents"),
-            F.min("event_id").alias("min_event_id"),
-            F.max("event_id").alias("max_event_id"),
-        )
-        rows = out.collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "event_type string, n_rows long, sum_cents long, "
-        "min_event_id long, max_event_id long",
-    )
-
 
 # ===========================================================================
 # q228 — unionByName over heterogeneous projections
