@@ -154,3 +154,89 @@ def test_loo_encoding_formula(spark, rows):
         s = sum(tt for cc, tt in rows if cc == c)
         want = None if n == 1 else (s - t) * 1_000_000 // (n - 1)
         assert got[i] == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 1000), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+    ),
+    horizons=st.lists(st.integers(1, 500), min_size=1, max_size=3, unique=True),
+)
+@settings(**_SETTINGS)
+def test_trailing_features_matches_reference(spark, rows, horizons):
+    df = spark.createDataFrame(rows, "k long, ts long, v long")
+    got = {
+        r["k"]: r
+        for r in analytics.trailing_features(df, "k", "ts", "v", horizons).collect()
+    }
+    ref = max(ts for _, ts, _ in rows)
+    keys = {k for k, _, _ in rows}
+    for k in keys:
+        mine = [(ts, v) for kk, ts, v in rows if kk == k]
+        assert got[k]["n_total"] == len(mine)
+        assert got[k]["sum_total"] == sum(v for _, v in mine)
+        for h in horizons:
+            inside = [(ts, v) for ts, v in mine if ts > ref - h]
+            assert got[k][f"n_{h}"] == len(inside)
+            assert got[k][f"sum_{h}"] == sum(v for _, v in inside)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g", "h"]), st.integers(-100, 100),
+                  st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_moment_profile_matches_reference(spark, rows):
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {
+        r["k"]: r for r in analytics.moment_profile(df, "k", "x", "y").collect()
+    }
+    for k in {k for k, _, _ in rows}:
+        xs = [(x, y) for kk, x, y in rows if kk == k]
+        assert got[k]["n"] == len(xs)
+        assert got[k]["sum_x"] == sum(x for x, _ in xs)
+        assert got[k]["sum_y"] == sum(y for _, y in xs)
+        assert got[k]["sum_xx"] == sum(x * x for x, _ in xs)
+        assert got[k]["sum_yy"] == sum(y * y for _, y in xs)
+        assert got[k]["sum_xy"] == sum(x * y for x, y in xs)
+
+
+@given(
+    feed_a=st.dictionaries(st.integers(1, 8), st.text("ab", min_size=1, max_size=3),
+                           max_size=6),
+    feed_b=st.dictionaries(st.integers(1, 8), st.text("cd", min_size=1, max_size=3),
+                           max_size=6),
+    feed_c=st.dictionaries(st.integers(1, 8), st.integers(0, 99), max_size=6),
+)
+@settings(**_SETTINGS)
+def test_golden_record_matches_dict_merge(spark, feed_a, feed_b, feed_c):
+    from hbase_bulkload_service_spark.operators import curation
+
+    if not (feed_a or feed_b or feed_c):
+        return  # at least one feed must carry rows for a frame schema
+    a = spark.createDataFrame(
+        list(feed_a.items()) or [(None, None)], "k long, name string"
+    ).filter("k IS NOT NULL")
+    b = spark.createDataFrame(
+        list(feed_b.items()) or [(None, None)], "k long, name string"
+    ).filter("k IS NOT NULL")
+    c = spark.createDataFrame(
+        list(feed_c.items()) or [(None, None)], "k long, extra long"
+    ).filter("k IS NOT NULL")
+    out = {
+        r["k"]: (r["name"], r["extra"])
+        for r in curation.golden_record_merge(
+            "k", [(a, ["name"]), (b, ["name"]), (c, ["extra"])]
+        ).collect()
+    }
+    keys = set(feed_a) | set(feed_b) | set(feed_c)
+    want = {
+        k: (feed_a.get(k, feed_b.get(k)), feed_c.get(k)) for k in keys
+    }
+    assert out == want  # priority coalesce + full-outer key survival
