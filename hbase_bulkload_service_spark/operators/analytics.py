@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbase_bulkload_service_spark.session import local_frame
+
 
 def rollup_cube(
     df: DataFrame,
@@ -583,9 +585,9 @@ def heavy_hitters(df: DataFrame, item_col: str, phi_ppm: int = 10_000) -> DataFr
     total = next(r["lb"] for r in rows if r["item"] is None)
     candidates = [r["item"] for r in rows if r["item"] is not None]
     if not candidates or total == 0:
-        return df.sparkSession.createDataFrame([], f"item {item_type}, cnt long")
+        return local_frame(df.sparkSession, [], f"item {item_type}, cnt long")
     spark = df.sparkSession
-    cand_df = spark.createDataFrame([(c,) for c in candidates], f"item {item_type}")
+    cand_df = local_frame(spark, [(c,) for c in candidates], f"item {item_type}")
     return (
         df.select(F.col(item_col).alias("item"))
         .join(F.broadcast(cand_df), "item")
@@ -716,7 +718,7 @@ def prefix_sum(
         + [df.schema[c] for c in part_cols]
         + [T.StructField("_off", T.LongType())]
     )
-    off = df.sparkSession.createDataFrame(off_rows, off_schema)
+    off = local_frame(df.sparkSession, off_rows, off_schema)
     # null-safe on the group keys: a NULL group must still find its offset
     cond = sharded["_shard"] == off["_shard"]
     for c in part_cols:

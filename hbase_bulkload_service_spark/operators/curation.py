@@ -18,6 +18,8 @@ Design notes for 100 TB:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from hbase_bulkload_service_spark.session import local_frame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -666,7 +668,7 @@ def dataset_split(
         ).isNull()
     )
     spark = docs.sparkSession
-    splits = spark.createDataFrame(
+    splits = local_frame(spark, 
         [(i, name, w) for i, (name, w) in enumerate(weights_ppm.items())],
         "__idx int, split string, __w long",
     )
@@ -1358,7 +1360,7 @@ def pack_sequences(
         offsets.append((p, acc))
         acc += t
     spark = docs.sparkSession
-    off_df = spark.createDataFrame(offsets, "__part long, __off long")
+    off_df = local_frame(spark, offsets, "__part long, __off long")
     out = local.join(F.broadcast(off_df), "__part").select(
         F.col(key_col),
         "n_tokens",

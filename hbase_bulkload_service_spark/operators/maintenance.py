@@ -20,6 +20,8 @@ import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+
+from hbase_bulkload_service_spark.session import local_frame
 from pyspark.sql import functions as F
 
 LOWER_SIZE = 100 * 1024 * 1024  # 100 MB — HBaseProperties.java:18
@@ -527,7 +529,7 @@ def plan_merges_df(
         s = summaries[(pid, tag)]
         tag = s["end_tag"]
         last = (s["last_name"] or last) if tag in ("PS", "PB") else None
-    picks_df = spark.createDataFrame(
+    picks_df = local_frame(spark, 
         picks, "pid int, chosen_tag string, prev_name string"
     )
     return (
@@ -663,7 +665,7 @@ def layout_pruning_audit(
     Parameters: probes = [(probe_id, lo, hi)] inclusive on key_col.
     """
     spark = df.sparkSession
-    probe_df = spark.createDataFrame(
+    probe_df = local_frame(spark, 
         list(probes), "probe_id int, lo long, hi long"
     )
     bounds = df.agg(

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hbase_bulkload_service_spark.session import pinned_width
+from hbase_bulkload_service_spark.session import local_frame, pinned_width
 
 
 def _fold_sum(arr: Column) -> Column:
@@ -209,8 +209,8 @@ def kmeans_centroids(
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    return embeddings.sparkSession.createDataFrame(
-        rows, "centroid_id int, cvec array<float>"
+    return local_frame(
+        embeddings.sparkSession, rows, "centroid_id int, cvec array<float>"
     )
 
 
@@ -620,7 +620,7 @@ def _lloyd_centroids(
     init = vm.orderBy(id_col).limit(k).collect()
     cents = [(i, list(r["vm"])) for i, r in enumerate(init)]
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, "cid int, cvec array<long>")
+        cdf = local_frame(spark, cents, "cid int, cvec array<long>")
         assign = (
             _lloyd_scored(vm, cdf, id_col)
             .groupBy(id_col, "vm")
@@ -687,7 +687,7 @@ def kmeans_lloyd(
     spark = embeddings.sparkSession
     vm = _quantized(embeddings, id_col, vec_col, scale)
     cents = _lloyd_centroids(spark, vm, k, iters, id_col)
-    cdf = spark.createDataFrame(cents, "cid int, cvec array<long>")
+    cdf = local_frame(spark, cents, "cid int, cvec array<long>")
     return (
         _lloyd_scored(vm, cdf, id_col)
         .groupBy(F.col(id_col), "vm")
@@ -1032,7 +1032,7 @@ def _pq_codebooks(
     }
 
     def cdf_of(c):
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(s, i, v) for (s, i), v in sorted(c.items())],
             "sub int, cid int, cvec array<long>",
         )
@@ -1207,7 +1207,7 @@ def ivfpq_topk(
     d = _subdim(quant, m)
 
     # coarse quantizer: Lloyd cells + final argmin cell assignment
-    coarse = spark.createDataFrame(
+    coarse = local_frame(spark, 
         _lloyd_centroids(spark, quant, n_cells, coarse_iters, id_col),
         "cid int, cvec array<long>",
     )
@@ -1298,7 +1298,7 @@ def ivfpq_residual_topk(
     quant = _quantized(embeddings, id_col, vec_col, scale)
     d = _subdim(quant, m)
 
-    coarse = spark.createDataFrame(
+    coarse = local_frame(spark, 
         _lloyd_centroids(spark, quant, n_cells, coarse_iters, id_col),
         "cid int, cvec array<long>",
     )
@@ -1710,7 +1710,7 @@ def nprobe_recall(
     spark = embeddings.sparkSession
     vm = _quantized(embeddings, id_col, vec_col, scale)
     cents = _lloyd_centroids(spark, vm, n_cells, iters, id_col)
-    cdf = spark.createDataFrame(cents, "cid int, cvec array<long>")
+    cdf = local_frame(spark, cents, "cid int, cvec array<long>")
     asn = (
         _lloyd_scored(vm, cdf, id_col)
         .groupBy(id_col, "vm")

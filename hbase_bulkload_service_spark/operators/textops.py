@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
+
+from hbase_bulkload_service_spark.session import local_frame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -765,7 +767,7 @@ def bpe_merges(
         seqs = seqs.localCheckpoint(eager=False)
     global _LAST_BPE_ROUNDS
     _LAST_BPE_ROUNDS = rounds
-    return spark.createDataFrame(
+    return local_frame(spark, 
         merges, "rank int, left string, right string, pair_count long"
     )
 
@@ -1551,7 +1553,7 @@ def blocklist_audit(
     if any(v <= 0 for v in blocklist.values()):
         raise ValueError("severities must be positive")
     spark = docs.sparkSession
-    bl = spark.createDataFrame(
+    bl = local_frame(spark, 
         sorted(blocklist.items()), "__w string, __sev long"
     )
     toks = docs.select(

@@ -11,6 +11,8 @@ HUGEINT promotion).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hbase_bulkload_service_spark.session import local_frame
 from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.registry import (
@@ -232,7 +234,7 @@ def q27_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sub.unpersist()
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_frame(spark, rows, schema)
 
 
 # ===========================================================================
@@ -500,7 +502,7 @@ def q56_bulkload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = full_rows + summarize(sliced, "dsv2slice").collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_frame(spark, rows, schema)
 
 
 # ===========================================================================
@@ -666,7 +668,7 @@ def q59_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("q59_fact", "q59_dim"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "bucket int, factor long, n_rows long, sum_cents long"
     )
 
@@ -769,7 +771,7 @@ def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = spark.table("q60_ss_mem").collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "click_id long, user_id long, click_ms long, purchase_ms long, "
         "purchase_cents long",
@@ -1092,7 +1094,7 @@ def q67_format_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = back.collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_frame(spark, rows, schema)
 
 
 # ===========================================================================

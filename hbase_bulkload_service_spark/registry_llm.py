@@ -16,6 +16,8 @@ Portability rules used here (see registry.py for the general ones):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hbase_bulkload_service_spark.session import local_frame
 from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.registry import register
@@ -890,7 +892,7 @@ def q53_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in catalog
     ]
     merges = mnt.plan_merges(regions, MERGE_NOW_MS)
-    return spark.createDataFrame(merges, "region_a string, region_b string")
+    return local_frame(spark, merges, "region_a string, region_b string")
 
 
 @register(

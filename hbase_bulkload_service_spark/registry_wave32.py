@@ -28,6 +28,8 @@ import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hbase_bulkload_service_spark.session import local_frame
 from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.operators import analytics
@@ -259,7 +261,7 @@ def q231_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(path, exist_ok=True)
         t0 = time.time() - 3600
         frames = [df] + [
-            spark.createDataFrame([row], df.schema) for row in sentinel_rows
+            local_frame(spark, [row], df.schema) for row in sentinel_rows
         ]
         for i, frame in enumerate(frames):
             tmp = f"{path}/_b{i}"
@@ -341,7 +343,7 @@ def q231_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = spark.table("q231_lo_mem").filter(F.col("user_id") >= 0).collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "click_id long, user_id long, click_ms long, purchase_ms long, "
         "purchase_cents long",
@@ -497,7 +499,7 @@ def q234_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, "day_num long, n_rows long, sum_cents long")
+    return local_frame(spark, rows, "day_num long, n_rows long, sum_cents long")
 
 
 # ===========================================================================

@@ -24,6 +24,8 @@ import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hbase_bulkload_service_spark.session import local_frame
 from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.registry import (
@@ -112,7 +114,7 @@ def q241_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = spark.read.parquet(snap).collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "key string, qualifier string, version_ts long, value long"
     )
 
@@ -160,7 +162,7 @@ def q242_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the production aggregate this pass actually exists for
     observed.groupBy("event_type").agg(F.count("*")).collect()
     m = obs.get
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 int(m["n_rows"]),
@@ -253,6 +255,6 @@ def q243_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = final.collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "event_type string, n_rows long, sum_cents long"
     )

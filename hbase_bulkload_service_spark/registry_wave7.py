@@ -16,6 +16,8 @@ fetch path (HUGEINT renders as float64 and breaks the value hash).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hbase_bulkload_service_spark.session import local_frame
 from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.operators import (
@@ -743,7 +745,7 @@ def q112_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "rf string, n_rows long, min_l_orderkey long, max_l_orderkey long,"
         " min_cents long, max_cents long",

@@ -33,6 +33,8 @@ import os
 import struct
 
 from pyspark.sql import DataFrame
+
+from hbase_bulkload_service_spark.session import local_frame
 from pyspark.sql import functions as F
 
 MAX_FILES_PER_REGION = 2048  # HFileOutputUtil.java:20
@@ -678,7 +680,7 @@ def read_hfl2_dir(spark, path: str, verify_bloom: bool = False) -> DataFrame:
     # with per-row verification; mapInPandas ships one Arrow batch per
     # file. Manifest <-> file meta agreement is still enforced IN the
     # reading task, so deep=False layout validation loses no coverage.
-    meta_df = spark.createDataFrame(
+    meta_df = local_frame(spark, 
         [(f, r, e[0], e[1], e[2]) for f, r, e in files],
         "fname string, region int, exp_rows long, exp_min string, "
         "exp_max string",

@@ -58,10 +58,10 @@ ALLOWLIST: dict[tuple[str, str], dict] = {
     ("span_dup_stats", "per"): {"note": "reuse-covered (q107 probe: no duplicated scan — both consumers need the same pre-exchange payload)", "fn_sha": "1227f16bfb9b"},
     ("fuzzy_self_join_k1", "vx"): {"note": "reuse-covered (probe: no duplicated scan in the fuzzy queries)", "fn_sha": "7dafb4773469"},
     ("containment_pairs", "g"): {"note": "derived-from-cache (q134 probe: 11 InMemoryTableScans; garr-style persist upstream)", "fn_sha": "29ad8204ede5"},
-    ("layout_pruning_audit", "stats"): {"note": "reuse-covered (q211 probe: 4 ReusedExchanges + 2 localCheckpoints; manifest-scale)", "fn_sha": "fadb677ff3f1"},
+    ("layout_pruning_audit", "stats"): {"note": "reuse-covered (q211 probe: 4 ReusedExchanges + 2 localCheckpoints; manifest-scale; re-adjudicated r08: probe_df now a LocalTableScan via local_frame, fan-out unchanged)", "fn_sha": "6977151292fe"},
     ("phash_neardups", "bands"): {"note": "reuse-covered (q109 probe: no duplicated scan)", "fn_sha": "a4650a8256f8"},
-    ("ivfpq_residual_topk", "cells"): {"note": "reuse-covered (q175 probe: no duplicated scan)", "fn_sha": "765576a66f64"},
-    ("nprobe_recall", "allowed"): {"note": "reuse-covered (q217 probe: no duplicated scan)", "fn_sha": "774048a6fb9e"},
+    ("ivfpq_residual_topk", "cells"): {"note": "reuse-covered (q175 probe: no duplicated scan; re-adjudicated r08: coarse centroids now a LocalTableScan via local_frame, fan-out unchanged)", "fn_sha": "4674c1e14326"},
+    ("nprobe_recall", "allowed"): {"note": "reuse-covered (q217 probe: no duplicated scan; re-adjudicated r08: cdf now a LocalTableScan via local_frame, fan-out unchanged)", "fn_sha": "182e396a9e71"},
     ("bpe_encode", "words"): {"note": "recompute-by-design (collapsed-count variant measured 5.5x slower at sf0.1 — see operator docstring)", "fn_sha": "64aecb0c8616"},
     ("bigram_lm_scores", "pairs"): {"note": "recompute-by-design (corpus bigram explode; exchanges above are vocab-bounded aggs + keyed joins)", "fn_sha": "52f6a9a4d05a"},
     ("build_postings", "tf"): {"note": "reuse-covered (posting-list query probe: no duplicated scan — consumers share the (term,doc) exchange)", "fn_sha": "b30a084422a2"},
