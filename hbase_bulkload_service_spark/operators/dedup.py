@@ -445,23 +445,35 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        prop = edges.join(labels, edges.b == labels.node).select(
-            edges.a.alias("node"), F.col("comp")
+        # min neighbor label per node (map-side-combined agg over the
+        # propagated rows only — the old `labels ∪ prop` union fed the
+        # same agg |V| extra rows for the identical result, since the
+        # left join below folds the node's own label back in via least)
+        prop_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(edges.a.alias("node"))
+            .agg(F.min("comp").alias("pcomp"))
         )
+        # new label + changed flag in ONE pass: least(own, neighbors-min)
+        # is exactly the union-min, and the flag rides the checkpointed
+        # frame so the convergence probe becomes a cache-scan
+        # filter+limit (optimization r08: the old probe re-JOINED the
+        # new and old label tables every round — one extra job with two
+        # exchanges per round, measured as pure driver/scheduler tax on
+        # diameter-2 blocking graphs).
         new = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            labels.join(prop_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.col("pcomp")).alias("comp"),
+                # null pcomp (no neighbor rows) compares NULL -> filter
+                # drops it, same as "unchanged"
+                (F.col("pcomp") < F.col("comp")).alias("__chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("__chg")).limit(1).count()
+        labels = new.select("node", "comp")
         if changed == 0:
             break
     else:
