@@ -39,30 +39,43 @@ from hbase_bulkload_service_spark.session import get_spark  # noqa: E402
 # registry) and its correctness driven via selfcheck + the driver
 # window.
 BENCH_SKIP = {
+    # Values are SHORT CODES ("<kind>:<benched representative>") so the
+    # one-line JSON stays small enough to survive the driver's stdout
+    # tail capture whole (VERDICT r08 item 2: round 7's per-query
+    # history was lost to a front-truncated line). The prose rationale
+    # for each entry lives here, in comments — the code names the query
+    # that DOES bench the same engine path.
+    #
     # container byte-gates: q56 (flagship e2e) + q167 (real-v3 write+
     # verify) stay; these are codec/seek VARIANTS of the same pipeline
-    "q168_hfilev3_gz": "q167 with GZ blocks; per-task gzip CPU, same plan",
-    "q169_hfilev3_ddl": "q167 with DIFF+bloom enabled; same plan",
-    "q170_hfilev3_point_reads": "per-file byte-seek gate; correctness-only harness",
-    "q221_hfilev3_snappy": "q169 under the snappy codec; per-task pure-Python codec CPU, same plan",
+    # (q168: GZ blocks — per-task gzip CPU, same plan; q169: DIFF+bloom
+    # enabled, same plan; q170: per-file byte-seek gate, correctness-
+    # only harness; q221: q169 under snappy — pure-Python codec CPU).
+    "q168_hfilev3_gz": "variant:q167",
+    "q169_hfilev3_ddl": "variant:q167",
+    "q170_hfilev3_point_reads": "harness-only:q167",
+    "q221_hfilev3_snappy": "variant:q167",
     # finite availableNow replay twins: the stateful operator's batch
     # twin is benched; the replay harness (temp write + stream restart)
     # dominates the wall. q20 (TWS upsert) and q60 (stream-stream) stay.
-    "q19_streaming_rollup": "replay twin of q13's rollup",
-    "q23_streaming_dedup": "replay twin of q11's dedup",
-    "q137_streaming_expectations": "replay twin of q130's audit",
-    "q156_streaming_counter_rate": "replay twin of q151's rate",
-    "q180_streaming_ewma": "replay twin of q178's chart",
-    "q201_streaming_blocklist": "replay twin of q196's audit",
+    "q19_streaming_rollup": "replay-twin:q13",
+    "q23_streaming_dedup": "replay-twin:q11",
+    "q137_streaming_expectations": "replay-twin:q130",
+    "q156_streaming_counter_rate": "replay-twin:q151",
+    "q180_streaming_ewma": "replay-twin:q178",
+    "q201_streaming_blocklist": "replay-twin:q196",
     # BPE: q110 times the learner, q213 times learn+encode+rollup;
     # q111's encode path is a strict subset of q213's
-    "q111_bpe_encode": "encode path benched via q213's superset",
-    "q231_stream_stream_outer": "outer variant of q60's replay; wall is the "
-    "sentinel/watermark-eviction harness, same join operator",
-    "q241_foreachbatch_upsert": "foreachBatch flush harness (temp writes + "
-    "snapshot rewrites); the merge operator is q20/q11's benched max_by",
-    "q243_incremental_ingest": "two full stream restarts against one "
-    "checkpoint; wall is the restart harness, the plan is a passthrough",
+    "q111_bpe_encode": "subset:q213",
+    # q231: outer variant of q60's replay; wall is the sentinel/
+    # watermark-eviction harness, same join operator.
+    "q231_stream_stream_outer": "harness-variant:q60",
+    # q241: foreachBatch flush harness (temp writes + snapshot
+    # rewrites); the merge operator is q20/q11's benched max_by.
+    "q241_foreachbatch_upsert": "harness-variant:q20",
+    # q243: two full stream restarts against one checkpoint; wall is
+    # the restart harness, the plan is a passthrough.
+    "q243_incremental_ingest": "harness-variant:q20",
 }
 
 
@@ -141,11 +154,14 @@ def main() -> None:
     calibration = _calibration(spark, int(cpus))
 
     def emit(truncated: bool) -> None:
+        # compact separators: ~0.6 KB less line for 226 queries — every
+        # byte raises the odds the driver's tail capture keeps the whole
+        # line (VERDICT r08 item 2)
         print(
             "\n" + json.dumps(build_payload(
                 times, skipped, calibration, sf, truncated, metric,
                 all_runs=samples if n_runs > 1 else None, n_runs=n_runs,
-            )),
+            ), separators=(",", ":")),
             flush=True,
         )
 

@@ -136,7 +136,9 @@ class BulkloadService:
         # rollup routing (TsdbBulkload.java:62-69): rollup jobs write the
         # 8-buckets-per-region layout and skip auto-adoption (autoLoad =
         # !rollup, :163)
-        manifest = hfile.write_hfiles(kv, out, rollup=req.rollup)
+        # kv IS bulkload_kv output: its (bucket, key, qualifier) range
+        # layout already satisfies the writer (r09, guide §2.4)
+        manifest = hfile.write_hfiles(kv, out, rollup=req.rollup, presorted=True)
         if not req.rollup:
             hfile.validate_layout(self.spark, out, rollup=False)
         return manifest

@@ -1282,7 +1282,7 @@ def user_journeys(
 ) -> DataFrame:
     """Top user journeys — frequent-path mining over per-user event
     sequences (the product-analytics "what do users actually do first"
-    query; the FULL-path complement of :func:`event_transitions`' 
+    query; the FULL-path complement of :func:`event_transitions`'
     first-order matrix): each user's first ``max_steps`` events in
     ``(ts, tiebreak)`` order form a path string ``a>b>c``; paths are
     counted across users and the ``top_k`` most common are returned

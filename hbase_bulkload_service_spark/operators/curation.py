@@ -668,7 +668,7 @@ def dataset_split(
         ).isNull()
     )
     spark = docs.sparkSession
-    splits = local_frame(spark, 
+    splits = local_frame(spark,
         [(i, name, w) for i, (name, w) in enumerate(weights_ppm.items())],
         "__idx int, split string, __w long",
     )

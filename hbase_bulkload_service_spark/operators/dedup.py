@@ -776,9 +776,15 @@ def fuzzy_self_join_k1(
     exact_dedup_groups if only typos are wanted).
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+    # xxhash64 (8-byte long), not md5 (32-char string): the variant key
+    # only BLOCKS candidates and every candidate is verified exactly with
+    # levenshtein below, so a hash collision can only add a candidate
+    # that the verify then discards — the output is hash-independent
+    # (r09, guide §2.3 narrower shuffle keys: 4x fewer key bytes through
+    # the candidate join's exchanges).
     vx = base.select(
         "_id", "_s", F.explode(deletion_variants(F.col("_s"))).alias("_v")
-    ).withColumn("_v", F.md5("_v"))
+    ).withColumn("_v", F.xxhash64("_v"))
     a = vx.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_v")
     b = vx.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_v")
     return (

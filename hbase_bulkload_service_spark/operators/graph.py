@@ -11,8 +11,55 @@ star-shaped false-positive hubs).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Node-count ceiling under which the iterative operators statically
+#: broadcast-hint the |V|-row side of their per-round joins (guide §3.1:
+#: hint when YOU know a side is small — the planner's estimate for a
+#: post-agg localCheckpoint is unreliable). At two longs per row, 1M rows
+#: is ≈ the session's own 64 MB autoBroadcastJoinThreshold. Without the
+#: hint AQE still ends up broadcasting at bench scale, but only AFTER
+#: planning and materializing BOTH sides' shuffle-map stages every round
+#: — measured 5 AQE jobs per pagerank round (31 jobs / 3.3 s of
+#: inter-job driver gap per q114 run at sf0.1). Above the ceiling the
+#: plan is byte-identical to the unhinted one (cluster posture: a graph
+#: with |V| past broadcast keeps the exchange). Env-parameterized like
+#: SPARK_GRAFT_SHUFFLE_PARTITIONS so a cluster deployment can tune it
+#: without a code change.
+_BROADCAST_NODES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_NODES", "1000000")
+)
+
+
+def _maybe_broadcast(df: DataFrame, n_nodes: int) -> DataFrame:
+    return F.broadcast(df) if n_nodes <= _BROADCAST_NODES else df
+
+
+def _edge_layout(edges: DataFrame, key: str) -> DataFrame:
+    """Cluster-scale opt-in (VERDICT r08 item 7): pre-partition + persist
+    the loop-invariant edge table on the per-round join key, so that when
+    |V| is past the broadcast ceiling (the hint above does not fire) each
+    round's sort-merge join reuses ONE edge layout instead of
+    re-exchanging the edge table every round.
+
+    DEFAULT OFF: at bench scale the |V|-row side broadcasts, the edge
+    table is never exchanged, and the upfront repartition is pure cost —
+    the r08 experiment measured exactly this shape 1.27x SLOWER at
+    sf0.1, which is why this is an env opt-in
+    (``SPARK_GRAFT_GRAPH_EDGE_CACHE=1``, same parameterization pattern
+    as SPARK_GRAFT_SHUFFLE_PARTITIONS) rather than the default plan.
+    The persist is registered under the bounded cache registry like
+    every operator-internal persist."""
+    if os.environ.get("SPARK_GRAFT_GRAPH_EDGE_CACHE") != "1":
+        return edges
+    from hbase_bulkload_service_spark import cachereg
+
+    cached = edges.repartition(key).persist()
+    cachereg.register(cached, family="graph")
+    return cached
 
 
 def degrees(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
@@ -58,11 +105,28 @@ def triangle_counts(
     duplication, the checkpoints remove the rest).
     """
     pairs = pairs.localCheckpoint(eager=False)
-    deg = degrees(pairs, a, b)
+    # EAGER: deg feeds BOTH endpoint joins below — one materialization
+    # instead of two evaluations of the degree agg, and its row count
+    # gates the broadcast hints (r09, guide §3.1): statically hinting
+    # the |V|-row degree table keeps the m-row pair table from being
+    # shuffled by x and again by y (AQE would broadcast too, but only
+    # after planning + materializing both shuffle-map stages).
+    deg = degrees(pairs, a, b).localCheckpoint(eager=True)
+    n = deg.count()
     e = (
         pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
-        .join(deg.select(F.col("node").alias("x"), F.col("degree").alias("dx")), "x")
-        .join(deg.select(F.col("node").alias("y"), F.col("degree").alias("dy")), "y")
+        .join(
+            _maybe_broadcast(
+                deg.select(F.col("node").alias("x"), F.col("degree").alias("dx")), n
+            ),
+            "x",
+        )
+        .join(
+            _maybe_broadcast(
+                deg.select(F.col("node").alias("y"), F.col("degree").alias("dy")), n
+            ),
+            "y",
+        )
     )
     kx = F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
     ky = F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
@@ -144,14 +208,23 @@ def pagerank(
     if n == 0:  # empty graph: empty (node, rank_ppb) frame, not a crash
         return deg.select("node", F.lit(0).cast("long").alias("rank_ppb"))
     teleport = (15 * PR_MASS // 100) // n
+    # |V| is known here (n): below the broadcast ceiling, statically
+    # hint the node-keyed sides of every join (r09, guide §3.1) — the
+    # edge table is then never exchanged, and each round plans ONE
+    # shuffle (the dst agg) instead of AQE re-deriving the broadcast
+    # from runtime stats (measured 31 jobs -> fewer; 5 AQE jobs/round).
     edges_wd = edges.join(
-        deg.select(F.col("node").alias("src"), F.col("deg").alias("src_deg")),
+        _maybe_broadcast(
+            deg.select(F.col("node").alias("src"), F.col("deg").alias("src_deg")), n
+        ),
         "src",
     ).localCheckpoint(eager=False)
+    edges_wd = _edge_layout(edges_wd, "src")
     ranks = deg.select("node", F.lit(PR_MASS // n).alias("r"))
     for _ in range(iters):
         contrib = (
-            ranks.join(edges_wd, F.col("node") == F.col("src"))
+            _maybe_broadcast(ranks, n)
+            .join(edges_wd, F.col("node") == F.col("src"))
             .select(
                 F.col("dst").alias("node"), F.expr("r div src_deg").alias("c")
             )
@@ -206,10 +279,16 @@ def connected_components_rounds(
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=False)
     )
+    # |V|: one count on the checkpointed frame (materializes state round
+    # 1 needs anyway) gates a static broadcast hint on the label side of
+    # every round's contribution join (r09, guide §3.1) — the edge table
+    # is never exchanged and each round plans one shuffle (the min agg).
+    n = labels.count()
+    edges = _edge_layout(edges, "src")
     for _ in range(rounds):
-        nbr = labels.join(edges, F.col("node") == F.col("src")).select(
-            F.col("dst").alias("node"), "lbl"
-        )
+        nbr = _maybe_broadcast(labels, n).join(
+            edges, F.col("node") == F.col("src")
+        ).select(F.col("dst").alias("node"), "lbl")
         labels = (
             labels.unionAll(nbr)
             .groupBy("node")
@@ -274,9 +353,22 @@ def kcore_rounds(
             .select("node")
             .localCheckpoint(eager=True)
         )
+        # keep is already materialized (eager), so this count is a cache
+        # scan; below the ceiling the static broadcast hint keeps the
+        # edge frontier from being exchanged by x and again by y per
+        # round (r09, guide §3.1 — same rationale as pagerank/CC).
+        kn = keep.count()
         cur = (
-            cur.join(keep.withColumnRenamed("node", "x"), "x", "left_semi")
-            .join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
+            cur.join(
+                _maybe_broadcast(keep.withColumnRenamed("node", "x"), kn),
+                "x",
+                "left_semi",
+            )
+            .join(
+                _maybe_broadcast(keep.withColumnRenamed("node", "y"), kn),
+                "y",
+                "left_semi",
+            )
             .localCheckpoint(eager=False)
         )
     return (
@@ -335,9 +427,14 @@ def label_propagation_rounds(
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=False)
     )
+    # same static-broadcast gate as connected_components_rounds (r09,
+    # guide §3.1): one count up front, edge table never exchanged.
+    n = labels.count()
+    edges = _edge_layout(edges, "src")
     for _ in range(rounds):
         counts = (
-            labels.join(edges, F.col("node") == F.col("src"))
+            _maybe_broadcast(labels, n)
+            .join(edges, F.col("node") == F.col("src"))
             .groupBy(F.col("dst").alias("nd"), "lbl")
             .agg(F.count("*").alias("c"))
         )

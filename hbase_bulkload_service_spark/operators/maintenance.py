@@ -529,7 +529,7 @@ def plan_merges_df(
         s = summaries[(pid, tag)]
         tag = s["end_tag"]
         last = (s["last_name"] or last) if tag in ("PS", "PB") else None
-    picks_df = local_frame(spark, 
+    picks_df = local_frame(spark,
         picks, "pid int, chosen_tag string, prev_name string"
     )
     return (
@@ -665,7 +665,7 @@ def layout_pruning_audit(
     Parameters: probes = [(probe_id, lo, hi)] inclusive on key_col.
     """
     spark = df.sparkSession
-    probe_df = local_frame(spark, 
+    probe_df = local_frame(spark,
         list(probes), "probe_id int, lo long, hi long"
     )
     bounds = df.agg(

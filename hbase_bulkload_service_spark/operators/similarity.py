@@ -1032,7 +1032,7 @@ def _pq_codebooks(
     }
 
     def cdf_of(c):
-        return local_frame(spark, 
+        return local_frame(spark,
             [(s, i, v) for (s, i), v in sorted(c.items())],
             "sub int, cid int, cvec array<long>",
         )
@@ -1207,7 +1207,7 @@ def ivfpq_topk(
     d = _subdim(quant, m)
 
     # coarse quantizer: Lloyd cells + final argmin cell assignment
-    coarse = local_frame(spark, 
+    coarse = local_frame(spark,
         _lloyd_centroids(spark, quant, n_cells, coarse_iters, id_col),
         "cid int, cvec array<long>",
     )
@@ -1298,7 +1298,7 @@ def ivfpq_residual_topk(
     quant = _quantized(embeddings, id_col, vec_col, scale)
     d = _subdim(quant, m)
 
-    coarse = local_frame(spark, 
+    coarse = local_frame(spark,
         _lloyd_centroids(spark, quant, n_cells, coarse_iters, id_col),
         "cid int, cvec array<long>",
     )

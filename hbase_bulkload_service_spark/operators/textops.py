@@ -767,7 +767,7 @@ def bpe_merges(
         seqs = seqs.localCheckpoint(eager=False)
     global _LAST_BPE_ROUNDS
     _LAST_BPE_ROUNDS = rounds
-    return local_frame(spark, 
+    return local_frame(spark,
         merges, "rank int, left string, right string, pair_count long"
     )
 
@@ -1553,7 +1553,7 @@ def blocklist_audit(
     if any(v <= 0 for v in blocklist.values()):
         raise ValueError("severities must be positive")
     spark = docs.sparkSession
-    bl = local_frame(spark, 
+    bl = local_frame(spark,
         sorted(blocklist.items()), "__w string, __sev long"
     )
     toks = docs.select(

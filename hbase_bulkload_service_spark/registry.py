@@ -513,8 +513,13 @@ def q20_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir, spread=True)
     # metric_id 0 is the alphabetically-first event_type (the dictionary
     # ranks by name); filtering the events FIRST lets derive_tsdb_cells
-    # skip the full-corpus dictionary join — same cells, smaller scan
-    min_type = ev.agg(F.min("event_type")).first()[0]
+    # skip the full-corpus dictionary join — same cells, smaller scan.
+    # The min itself reads the UNSPREAD single-column scan (r09, guide
+    # §2.4): the spread round-robin exchange buys nothing for a
+    # one-column MIN and was the probe job's whole cost.
+    min_type = (
+        load(spark, sf_dir, "events").agg(F.min("event_type")).first()[0]
+    )
     cells = tsdb.derive_tsdb_cells(ev.filter(F.col("event_type") == min_type))
     slim = (
         cells.filter(

@@ -478,7 +478,10 @@ def q56_bulkload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tempfile.mkdtemp(prefix="q56hfiles")
     try:
-        hfile.write_hfiles(kv, d, rollup=True, num_partitions=16, manifest=False)
+        hfile.write_hfiles(
+            kv, d, rollup=True, num_partitions=16, manifest=False,
+            presorted=True,  # kv IS bulkload_kv output (r09, guide §2.4)
+        )
         # full-corpus summary: native parquet readback (the sink IS parquet
         # per region; at bench scale a full Arrow transfer through the
         # Python source would dominate the query). The SAME aggregation
@@ -668,7 +671,7 @@ def q59_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("q59_fact", "q59_dim"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(d, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "bucket int, factor long, n_rows long, sum_cents long"
     )
 
@@ -771,7 +774,7 @@ def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = spark.table("q60_ss_mem").collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "click_id long, user_id long, click_ms long, purchase_ms long, "
         "purchase_cents long",

@@ -343,7 +343,7 @@ def q231_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = spark.table("q231_lo_mem").filter(F.col("user_id") >= 0).collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "click_id long, user_id long, click_ms long, purchase_ms long, "
         "purchase_cents long",

@@ -114,7 +114,7 @@ def q241_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = spark.read.parquet(snap).collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "key string, qualifier string, version_ts long, value long"
     )
 
@@ -162,7 +162,7 @@ def q242_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the production aggregate this pass actually exists for
     observed.groupBy("event_type").agg(F.count("*")).collect()
     m = obs.get
-    return local_frame(spark, 
+    return local_frame(spark,
         [
             (
                 int(m["n_rows"]),
@@ -255,6 +255,6 @@ def q243_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = final.collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "event_type string, n_rows long, sum_cents long"
     )

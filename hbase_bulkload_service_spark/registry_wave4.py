@@ -785,7 +785,7 @@ def q90_dpp_hot_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "ts_part long, n_events long, sum_cents long"
     )
 
@@ -1139,7 +1139,7 @@ def q98_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "event_type string, cnt long, cnt_flagged long, sum_cents long"
     )
 
@@ -1201,7 +1201,7 @@ def q99_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "region int, cnt long, sum_cents long, n_files int"
     )
 
@@ -1308,7 +1308,7 @@ def q100_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         cells.unpersist()
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "metric_id int, n_versions long, n_kept long, n_ttl long, "
         "n_evicted long, sum_kept_cents long",

@@ -745,7 +745,7 @@ def q112_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "rf string, n_rows long, min_l_orderkey long, max_l_orderkey long,"
         " min_cents long, max_cents long",

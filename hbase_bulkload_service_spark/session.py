@@ -136,7 +136,20 @@ def local_frame(spark: SparkSession, rows, schema) -> "DataFrame":  # noqa: F821
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(st)
-        data = [tuple(r) if isinstance(r, (Row, list)) else r for r in rows]
+        # Strictly positional sequences only (ADVICE r08): a Mapping row
+        # would zip its KEYS into the columns and a row longer than the
+        # schema would be silently truncated by the zip below — both take
+        # the classic path instead (which maps dicts by name and raises
+        # on width mismatch, the documented createDataFrame semantics).
+        n_fields = len(st.fields)
+        data = []
+        for r in rows:
+            if not isinstance(r, (Row, list, tuple)):
+                raise ValueError("non-positional row — classic path")
+            t = tuple(r)
+            if len(t) != n_fields:
+                raise ValueError("row width != schema width — classic path")
+            data.append(t)
         cols = list(zip(*data)) if data else [() for _ in arrow_schema]
         arrays = [
             pa.array(list(c), type=f.type)

@@ -56,6 +56,7 @@ def write_hfiles(
     rollup: bool = False,
     num_partitions: int | None = None,
     manifest: bool = True,
+    presorted: bool = False,
 ) -> dict | None:
     """Write the KV stream as one sorted parquet directory per region +
     manifest.json. Input: columns (bucket, key, key_hex, family, qualifier,
@@ -67,16 +68,31 @@ def write_hfiles(
     in contiguous partitions; the dynamic-partition writer rolls files on
     region change exactly like HadoopOutputFormat2.writeRecord.
 
+    ``presorted=True`` (r09, guide §2.4) declares the bulkload_kv layout
+    contract: the input is ALREADY range-partitioned and sorted by
+    (bucket, key, qualifier), and ``key`` embeds the bucket as its 2-byte
+    big-endian prefix (tsdb.with_salt), so region (= bucket or bucket div
+    8) order is a prefix coarsening of key order and the (region, key,
+    qualifier) layout this writer needs already holds — the writer then
+    skips its own repartitionByRange + sort. Catalyst does NOT collapse
+    the two back-to-back range exchanges on its own (verified: the
+    flagship plan carried ``Exchange rangepartitioning(bucket, key,
+    qualifier)`` directly under ``Exchange rangepartitioning(region, key,
+    qualifier)``, each a full shuffle of the kv payload plus a sampling
+    pass). Callers with arbitrary kv frames keep the default.
+
     ``manifest=False`` skips the readback pass; a caller that re-reads the
     output anyway can derive the same stats from its own scan and persist
     them with :func:`write_manifest` (avoids scanning the data twice).
     """
     regions = assign_region(kv, rollup)
-    n = num_partitions or 64
+    if not presorted:
+        n = num_partitions or 64
+        regions = regions.repartitionByRange(
+            n, "region", "key", "qualifier"
+        ).sortWithinPartitions("region", "key", "qualifier")
     (
-        regions.repartitionByRange(n, "region", "key", "qualifier")
-        .sortWithinPartitions("region", "key", "qualifier")
-        .write.partitionBy("region")
+        regions.write.partitionBy("region")
         .option("compression", "snappy")
         .mode("overwrite")
         .parquet(path)
@@ -680,7 +696,7 @@ def read_hfl2_dir(spark, path: str, verify_bloom: bool = False) -> DataFrame:
     # with per-row verification; mapInPandas ships one Arrow batch per
     # file. Manifest <-> file meta agreement is still enforced IN the
     # reading task, so deep=False layout validation loses no coverage.
-    meta_df = local_frame(spark, 
+    meta_df = local_frame(spark,
         [(f, r, e[0], e[1], e[2]) for f, r, e in files],
         "fname string, region int, exp_rows long, exp_min string, "
         "exp_max string",

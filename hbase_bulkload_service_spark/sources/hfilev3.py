@@ -1496,7 +1496,7 @@ def read_hfilev3_dir(spark, path: str):
     # per-row schema verification — measured at ~50 s executor CPU for a
     # ~6 s-wall gate (the decode itself is ~20 ms/file). mapInPandas
     # ships each file's cells as ONE Arrow batch instead.
-    meta_df = local_frame(spark, 
+    meta_df = local_frame(spark,
         [(f, r, e[0], e[1], e[2]) for f, r, e in files],
         "fname string, region int, exp_rows long, exp_min string, "
         "exp_max string",
@@ -1669,4 +1669,3 @@ def seek_row_hfile_v3(fname: str, row: bytes, stats: dict | None = None) -> list
             elif r > row:
                 return cells
     return cells
-

@@ -53,6 +53,33 @@ def test_rollup_region_step(spark, kv, tmp_path):
     hfile.validate_layout(spark, path, rollup=True)
 
 
+def test_presorted_write_equals_default_write(spark, kv, tmp_path):
+    """r09 (guide §2.4): ``presorted=True`` on bulkload_kv output must
+    produce the same rows AND the same layout invariants as the default
+    writer path, while skipping the second range exchange (the key
+    embeds the bucket as its BE prefix, so (bucket, key, qualifier)
+    order == (region, key, qualifier) order)."""
+    p_default = str(tmp_path / "hf_default")
+    p_presorted = str(tmp_path / "hf_presorted")
+    hfile.write_hfiles(kv, p_default, rollup=True, num_partitions=8)
+    hfile.write_hfiles(
+        kv, p_presorted, rollup=True, num_partitions=8, presorted=True
+    )
+    a = spark.read.parquet(p_default)
+    b = spark.read.parquet(p_presorted)
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    ra = sorted(tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                      for v in r) for r in a.select(*cols).collect())
+    rb = sorted(tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                      for v in r) for r in b.select(*cols).collect())
+    assert ra == rb
+    # the presorted layout must satisfy every writer invariant the
+    # default path does (sorted within files, regions non-overlapping,
+    # region == bucket prefix, file cap)
+    hfile.validate_layout(spark, p_presorted, rollup=True)
+
+
 def test_hfl1_binary_container(kv, tmp_path):
     path = str(tmp_path / "hfl1")
     manifest = hfile.write_hfl1_files(kv, path)

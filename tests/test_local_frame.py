@@ -66,3 +66,26 @@ def test_structtype_schema_accepted(spark):
     st = spark.range(1).select("id").schema
     df = local_frame(spark, [(5,)], st)
     assert df.schema == st and df.collect()[0][0] == 5
+
+
+def test_dict_rows_map_by_name_like_classic_path(spark):
+    # ADVICE r08 (medium): the fast path used to zip dict KEYS into the
+    # columns — [{'a':'x','b':'y'}] became Row(a='a', b='b'). Mappings must
+    # take the classic path, which maps by field name.
+    rows = [{"a": "x", "b": "y"}]
+    fast = local_frame(spark, rows, "a string, b string")
+    classic = spark.createDataFrame(rows, "a string, b string")
+    assert fast.collect() == classic.collect()
+    assert fast.collect()[0].asDict() == {"a": "x", "b": "y"}
+
+
+def test_overlong_rows_raise_like_classic_path(spark):
+    # ADVICE r08 (low): rows longer than the schema were silently
+    # truncated by the fast path; classic createDataFrame raises.
+    with pytest.raises(Exception):
+        local_frame(spark, [(1, 2, 3)], "a int, b int").collect()
+
+
+def test_short_rows_raise_like_classic_path(spark):
+    with pytest.raises(Exception):
+        local_frame(spark, [(1,)], "a int, b int").collect()

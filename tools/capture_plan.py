@@ -1,9 +1,9 @@
-"""Capture ``explain("formatted")`` for registered queries into plans/r08/.
+"""Capture ``explain("formatted")`` for registered queries into plans/<round>/ (SPARK_GRAFT_PLANS_ROUND, default r09).
 
 Usage: ``python tools/capture_plan.py <suffix> q56_bulkload_e2e[,q11_...]
 [sf_dir]``
 
-Writes ``plans/r08/<query>_<suffix>.txt`` (suffix = "before"/"after") for
+Writes ``plans/<round>/<query>_<suffix>.txt`` (suffix = "before"/"after") for
 each named query. The plan is captured from the UNEXECUTED DataFrame the
 registry builds (AdaptiveSparkPlan initial plan) — the same thing
 ``df.explain("formatted")`` prints interactively; judge-checkable without
@@ -25,7 +25,7 @@ from hbase_bulkload_service_spark import registry  # noqa: E402
 from hbase_bulkload_service_spark.session import get_spark  # noqa: E402
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r08"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r09")
 )
 
 
