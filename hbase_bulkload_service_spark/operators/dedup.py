@@ -444,6 +444,14 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # NOTE (r09): the graph.py static-broadcast-hint pattern was tried
+    # here too and REVERTED — measured q44 1.43x slower (hints on both
+    # per-round joins) and still 1.12x slower with the edge-join hint
+    # alone (interleaved A/B vs the pre-change commit, min-of-4). Unlike
+    # graph.py's lazy-checkpoint loops, labels here is EAGER-checkpointed
+    # each round, and the forced per-round broadcast build serializes
+    # against the convergence probe's cache scan instead of overlapping
+    # with it. AQE's runtime broadcast remains the right call here.
     for _ in range(max_iter):
         # min neighbor label per node (map-side-combined agg over the
         # propagated rows only — the old `labels ∪ prop` union fed the

@@ -720,7 +720,7 @@ def q187_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined keyed agg filtered to the risky tail."""
     from hbase_bulkload_service_spark.operators import quality
 
-    cust = load(spark, sf_dir, "customer", spread=True)
+    cust = load(spark, sf_dir, "customer")
     return quality.k_anonymity_audit(
         cust.withColumn(
             "bal_bucket",

@@ -165,7 +165,7 @@ def q196_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('dirty' never occurs — the miss path stays live); raw text never
     shuffles."""
     return textops.blocklist_audit(
-        load(spark, sf_dir, "documents", spread=True),
+        load(spark, sf_dir, "documents"),
         blocklist=_BL_LIST,
         flag_threshold=_BL_THRESH,
     )
@@ -211,5 +211,5 @@ def q197_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trusting a batch of vectors. One scan, map-side fold math,
     one keyed agg; |labels| output rows."""
     return similarity.embedding_health(
-        load(spark, sf_dir, "embeddings", spread=True), low_norm_micros=_EH_LOW
+        load(spark, sf_dir, "embeddings"), low_norm_micros=_EH_LOW
     )

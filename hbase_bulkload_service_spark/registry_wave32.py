@@ -417,7 +417,7 @@ def q233_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture for multi-key semi-structured columns (and what an open
     table format would store physically). Extraction + bucketing fuse
     into the scan projection; one #groups-row shuffle."""
-    ev = load_events(spark, sf_dir, spread=True).select(
+    ev = load_events(spark, sf_dir).select(
         "event_type", F.parse_json(F.col("props")).alias("v")
     )
     return (

@@ -348,7 +348,7 @@ def q81_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd map fused into the scan; for repeated multi-key access
     from_json with an explicit schema amortizes the parse — single-key
     access keeps the cheaper path used here."""
-    ev = load_events(spark, sf_dir, spread=True).select(
+    ev = load_events(spark, sf_dir).select(
         "event_type",
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("kv"),
     )
@@ -480,7 +480,7 @@ def q83_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equi-join on user_id + interval filter (analytics.pit_join); both
     sides key-partition, intervals are disjoint per key so ≤1 match per
     probe; clicks before a user's first purchase drop out (inner)."""
-    ev = load_events(spark, sf_dir, spread=True)
+    ev = load_events(spark, sf_dir)
     hist = analytics.scd2_history(
         ev.filter(F.col("event_type") == "purchase").withColumn(
             "cents", cents(F.col("value"))

@@ -361,7 +361,7 @@ def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     with document length (weight_ppm = min(1e6, n_chars * 4000)) via the
     deterministic md5 bucket (operators/curation.py:weighted_sample —
     zero-shuffle map filter; retries/reruns keep the identical subset)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents")
     w = F.least(F.lit(1_000_000), F.col("n_chars").cast("long") * 4000)
     return curation.weighted_sample(docs, w, seed=WS_SEED).select(
         "doc_id", "lang", "n_chars", w.alias("weight_ppm")

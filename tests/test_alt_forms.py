@@ -9,6 +9,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # r09 slow tier: see pytest.ini
+
 from hbase_bulkload_service_spark.operators import dedup
 from hbase_bulkload_service_spark.operators import table as tbl
 from hbase_bulkload_service_spark.functions import codec

@@ -10,6 +10,9 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.operators import analytics, maintenance
+import pytest
+
+pytestmark = pytest.mark.slow  # r09 slow tier: see pytest.ini
 
 _SETTINGS = dict(
     max_examples=10,

@@ -19,6 +19,9 @@ from pyspark.sql.types import (
 )
 
 from hbase_bulkload_service_spark.functions import codec
+import pytest
+
+pytestmark = pytest.mark.slow  # r09 slow tier: see pytest.ini
 
 _SETTINGS = dict(
     max_examples=10,

@@ -17,6 +17,9 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.functions import codec
+import pytest
+
+pytestmark = pytest.mark.slow  # r09 slow tier: see pytest.ini
 
 _SETTINGS = dict(
     max_examples=12,

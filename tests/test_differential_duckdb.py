@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from hbase_bulkload_service_spark.operators import analytics, curation
 
+pytestmark = pytest.mark.slow  # r09 slow tier: see pytest.ini
+
 _SETTINGS = dict(
     max_examples=8,
     deadline=None,

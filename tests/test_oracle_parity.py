@@ -13,6 +13,8 @@ import pytest
 from hbase_bulkload_service_spark import registry
 from hbase_bulkload_service_spark.sources.tables import TABLES
 
+pytestmark = pytest.mark.slow  # r09 slow tier: see pytest.ini
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

@@ -12,6 +12,8 @@ import pytest
 
 from hbase_bulkload_service_spark.operators import similarity, textops
 
+pytestmark = pytest.mark.slow  # r09 slow tier: see pytest.ini
+
 
 # ---------------------------------------------------------------------------
 # k_for — the SemDeDup k ∝ n rule, encoded

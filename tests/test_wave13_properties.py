@@ -12,6 +12,8 @@ import hashlib
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from hbase_bulkload_service_spark.operators import (
     analytics,
     curation,
@@ -19,6 +21,8 @@ from hbase_bulkload_service_spark.operators import (
     similarity,
     tsdb,
 )
+
+pytestmark = pytest.mark.slow  # r09 slow tier: see pytest.ini
 
 _SETTINGS = dict(
     max_examples=10,

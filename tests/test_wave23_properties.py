@@ -9,12 +9,16 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+import pytest
+
 from hbase_bulkload_service_spark.operators import (
     curation,
     multimodal,
     quality,
     textops,
 )
+
+pytestmark = pytest.mark.slow  # r09 slow tier: see pytest.ini
 
 _SETTINGS = dict(
     max_examples=8,

@@ -10,11 +10,15 @@ from collections import Counter
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from hbase_bulkload_service_spark.operators import (
     analytics,
     maintenance,
     textops,
 )
+
+pytestmark = pytest.mark.slow  # r09 slow tier: see pytest.ini
 
 _SETTINGS = dict(
     max_examples=8,

@@ -183,9 +183,15 @@ def test_token_tvd_storage_bounded_across_calls(spark):
         [(i, f"alpha beta gamma doc{i}", f"s{i % 2}") for i in range(20)],
         "doc_id long, text string, source string",
     )
-    for _ in range(6):
-        textops.token_tvd(docs).collect()
-    assert cachereg.eviction_counts().get("tvd", 0) >= 1
+    # six DISTINCT plans (a per-call filter): registration dedupes
+    # same-plan frames by semanticHash, so identical calls never grow
+    # the registry — the eviction assertion needs distinct frames. (The
+    # old identical-call loop only passed because earlier tests in the
+    # session had already bumped the CUMULATIVE tvd eviction counter —
+    # an order dependency the r09 slow-tier split exposed.)
+    for i in range(6):
+        textops.token_tvd(docs.where(F.col("doc_id") < 20 - i)).collect()
+    assert cachereg.eviction_counts().get("tvd", 0) >= 2
     for _ in range(20):
         if storage_count() - base <= 4:
             break

@@ -56,7 +56,7 @@ ALLOWLIST: dict[tuple[str, str], dict] = {
     ("ngram_jaccard_pairs", "g"): {"note": "derived-from-cache (garr persisted two lines above)", "fn_sha": "ff12fc1c2003"},
     ("ngram_jaccard_pairs", "stats"): {"note": "derived-from-cache (garr and gr both persisted)", "fn_sha": "ff12fc1c2003"},
     ("span_dup_stats", "per"): {"note": "reuse-covered (q107 probe: no duplicated scan — both consumers need the same pre-exchange payload)", "fn_sha": "1227f16bfb9b"},
-    ("fuzzy_self_join_k1", "vx"): {"note": "reuse-covered (probe: no duplicated scan in the fuzzy queries)", "fn_sha": "7dafb4773469"},
+    ("fuzzy_self_join_k1", "vx"): {"note": "reuse-covered (probe: no duplicated scan in the fuzzy queries; re-adjudicated r09: variant key md5->xxhash64, fan-out shape unchanged — q107 plan scan count identical before/after)", "fn_sha": "4b20a1901023"},
     ("containment_pairs", "g"): {"note": "derived-from-cache (q134 probe: 11 InMemoryTableScans; garr-style persist upstream)", "fn_sha": "29ad8204ede5"},
     ("layout_pruning_audit", "stats"): {"note": "reuse-covered (q211 probe: 4 ReusedExchanges + 2 localCheckpoints; manifest-scale; re-adjudicated r08: probe_df now a LocalTableScan via local_frame, fan-out unchanged)", "fn_sha": "6977151292fe"},
     ("phash_neardups", "bands"): {"note": "reuse-covered (q109 probe: no duplicated scan)", "fn_sha": "a4650a8256f8"},
