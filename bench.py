@@ -31,7 +31,11 @@ from hbase_bulkload_service_spark.session import get_spark  # noqa: E402
 # dominated by a correctness HARNESS (byte-level container verify,
 # finite streaming replay, re-learning a vocabulary a sibling query
 # already times), not by engine throughput, AND a representative of the
-# same engine path stays in the run. With 217 registered queries the
+# same engine path stays in the run. CONTRACT (VERDICT r08): edits to
+# this dict must stay ADDITIONS-ONLY within a round — removing or
+# renaming a skip entry (or skipping a previously-benched query)
+# invalidates the driver's round-over-round comparison; a retired query
+# leaves the registry first, then its skip entry. With 217 registered queries the
 # full sweep passed ~630 s on this VM — past plausible driver budgets —
 # so the cut list is explicit and shipped in the output JSON
 # ("skipped"), never silent. Every skipped query still has its wall
